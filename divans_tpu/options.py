@@ -1,0 +1,46 @@
+"""Compression options — mirrors the reference's DivansCompressorOptions
+(src/interface.rs:444-484) plus TPU-specific batch/metablock knobs.
+
+Only the window size and per-metablock geometry are persisted in the
+container header; all model configuration travels inside the compressed
+stream via the PredictionMode command, so the decoder is configuration-free
+(reference: src/codec/context_map.rs:31-42).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from .probability.speed import Speed
+
+
+@dataclasses.dataclass(frozen=True)
+class DivansOptions:
+    # --- reference-parity options (interface.rs:444-484) ---
+    quality: int = 10                     # 1..11 (brotli-style effort for the matcher)
+    window_size: int = 22                 # log2 LZ window, 10..24
+    lgblock: Optional[int] = None         # log2 metablock size; None = auto
+    dynamic_context_mixing: int = 1       # 0=off, 1..14 mixer level
+    prior_depth: int = 0                  # literal prior depth selector
+    literal_adaptation: Optional[tuple[Speed, Speed, Speed, Speed]] = None
+    use_context_map: bool = True
+    force_stride_value: int = 0           # 0 = stride detection off (stride 1)
+    stride_detection_quality: int = 0
+    speed_detection_quality: int = 0
+    prior_bitmask_detection: int = 0      # 0 = mixing mask all-zero profile
+    divans_ir_optimizer: int = 0
+    # --- TPU-native knobs ---
+    metablock_size: int = 1 << 18         # bytes per independent model domain
+    num_streams: int = 2                  # cmd + literal ANS streams per metablock
+
+    def __post_init__(self):
+        assert 10 <= self.window_size <= 24
+        assert 0 <= self.dynamic_context_mixing <= 14
+        assert 1 <= self.quality <= 11
+        assert 4096 <= self.metablock_size <= (1 << 24)
+
+    @property
+    def mb_log2(self) -> int:
+        n = self.metablock_size
+        assert n & (n - 1) == 0, "metablock_size must be a power of two"
+        return n.bit_length() - 1
