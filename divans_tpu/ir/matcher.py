@@ -1,0 +1,132 @@
+"""LZ matcher: raw bytes → command IR.
+
+The reference leans on the brotli encoder for IR generation
+(src/brotli_ir_gen.rs); its own internal assembler emits only whole-buffer
+literals (src/raw_to_cmd/mod.rs:105-181, a stub by design).  This module is
+our own matcher: a hash-chain greedy matcher with one-step lazy evaluation,
+quality-scaled chain depth.  A native (C++) implementation of the same
+algorithm is the planned fast path; this reference implementation defines
+its behavior.
+
+Emits [PredictionMode, (Literal | Copy | Dict)...] for one metablock.
+Distances never cross the metablock boundary (metablocks are independent
+model domains).
+"""
+from __future__ import annotations
+
+from ..ir import commands as cmds
+from ..options import DivansOptions
+from ..probability.speed import Speed, MUD
+from .. import constants
+
+MIN_MATCH = 4
+_HASH_MUL = 0x1E35A7BD  # Fibonacci-style multiplicative hash (public-domain LZ idiom)
+
+
+def default_prediction_mode(options: DivansOptions) -> cmds.PredictionMode:
+    """The model header we emit per metablock."""
+    if options.use_context_map:
+        lcm = bytes(range(64))          # identity: full 6-bit literal context
+        dcm = bytes([0, 1, 2, 3])       # identity: 4 copy-length buckets
+    else:
+        lcm = b""
+        dcm = b""
+    speeds = options.literal_adaptation or (MUD, MUD, Speed(8, 8192), Speed(8, 8192))
+    return cmds.PredictionMode(
+        literal_prediction_mode=constants.LITERAL_PREDICTION_MODE_UTF8,
+        context_mixing=min(options.dynamic_context_mixing, 7) & 3,
+        adv_context_map=0,
+        prior_depth=options.prior_depth,
+        speeds=tuple(speeds),
+        literal_context_map=lcm,
+        distance_context_map=dcm,
+        mixing_values=b"",
+    )
+
+
+def _hash4(data: bytes, i: int) -> int:
+    v = int.from_bytes(data[i:i + 4], "little")
+    return ((v * _HASH_MUL) & 0xFFFFFFFF) >> 17  # 15-bit bucket
+
+
+def _match_len(data: bytes, a: int, b: int, limit: int) -> int:
+    n = 0
+    while b + n < limit and data[a + n] == data[b + n]:
+        n += 1
+    return n
+
+
+def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
+    """Greedy+lazy hash-chain matching.
+
+    Returns [(position, distance, length)] sorted by position, non-overlapping.
+    """
+    n = len(data)
+    if n < MIN_MATCH:
+        return []
+    chains: dict[int, list[int]] = {}
+    depth = max(1, min(64, 1 << max(0, quality - 4)))
+    lazy = quality >= 5
+    matches: list[tuple[int, int, int]] = []
+
+    def best_at(i: int) -> tuple[int, int]:
+        """(length, distance) of best match at i, or (0, 0)."""
+        if i + MIN_MATCH > n:
+            return 0, 0
+        h = _hash4(data, i)
+        cand = chains.get(h)
+        best_len, best_dist = 0, 0
+        if cand:
+            for j in reversed(cand[-depth:]):
+                l = _match_len(data, j, i, n)
+                if l > best_len or (l == best_len and i - j < best_dist):
+                    best_len, best_dist = l, i - j
+                    if l >= 128:
+                        break
+        return (best_len, best_dist) if best_len >= MIN_MATCH else (0, 0)
+
+    def insert(i: int) -> None:
+        if i + 4 <= n:
+            h = _hash4(data, i)
+            lst = chains.setdefault(h, [])
+            lst.append(i)
+            if len(lst) > 4 * depth:
+                del lst[:2 * depth]
+
+    i = 0
+    while i + MIN_MATCH <= n:
+        l, d = best_at(i)
+        if l:
+            if lazy and i + 1 + MIN_MATCH <= n:
+                insert(i)
+                l2, d2 = best_at(i + 1)
+                if l2 > l + 1:
+                    i += 1  # defer: the literal byte joins the pending run
+                    l, d = l2, d2
+            matches.append((i, d, l))
+            end = i + l
+            if lazy:
+                step = max(1, l // 8) if l > 64 else 1
+                j = i + 1
+                while j < end:
+                    insert(j)
+                    j += step
+            i = end
+        else:
+            insert(i)
+            i += 1
+    return matches
+
+
+def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
+    out: list[cmds.Command] = [default_prediction_mode(options)]
+    matches = find_matches(raw, options.quality)
+    pos = 0
+    for (mpos, dist, mlen) in matches:
+        if mpos > pos:
+            out.append(cmds.Literal(raw[pos:mpos]))
+        out.append(cmds.Copy(distance=dist, num_bytes=mlen))
+        pos = mpos + mlen
+    if pos < len(raw):
+        out.append(cmds.Literal(raw[pos:]))
+    return out
