@@ -1,10 +1,10 @@
 """rANS round-trip tests (analog of reference src/test_ans.rs): encode a
-stream of symbols with evolving CDFs, decode, require exactness —
-including multi-chunk streams crossing the 65536-symbol flush boundary."""
+stream of symbols with evolving CDFs, decode, require exactness — across
+sizes that exercise the renorm interval boundaries."""
 import numpy as np
 import pytest
 
-from divans_tpu.ans.coder_np import ANSEncoder, ANSDecoder, NUM_SYMBOLS_BEFORE_FLUSH
+from divans_tpu.ans.coder_np import ANSEncoder, ANSDecoder
 from divans_tpu.probability import cdf16
 from divans_tpu.probability.speed import MED, FAST, GLACIAL
 
@@ -51,21 +51,19 @@ def test_skewed_distribution_efficiency():
 
 
 @pytest.mark.slow
-def test_chunk_boundary_roundtrip():
-    """Cross the 65536-symbol flush boundary (ans.rs:138) exactly."""
+def test_long_stream_roundtrip():
+    """A long stream with a slow-adapting CDF (many renorm pulls)."""
     rng = np.random.RandomState(6)
-    n = NUM_SYMBOLS_BEFORE_FLUSH + 1234
+    n = (1 << 16) + 1234
     syms = rng.randint(16, size=n).tolist()
     _, out = _roundtrip(syms, speed=GLACIAL)
     assert out == syms
 
 
-def test_exact_chunk_multiple():
+def test_header_overhead_is_4_bytes():
     rng = np.random.RandomState(8)
-    # use a tiny synthetic boundary by encoding exactly 65536 symbols is slow;
-    # cover the = boundary path with the full chunk in the slow marker above and
-    # here verify 2 chunks of tiny streams concatenated decode independently.
     syms = rng.randint(16, size=500).tolist()
     data, out = _roundtrip(syms)
     assert out == syms
-    assert len(data) >= 16
+    assert len(data) >= 4  # u32 final state
+    assert len(data) % 2 == 0
