@@ -152,7 +152,9 @@ class MetablockCodec:
         return bytes(out)
 
     def _literal_nibble(self, is_high: bool, value: int, cur_byte_prior: int) -> int:
-        """The literal hot path (codec/literal.rs:153-259)."""
+        """The literal hot path (codec/literal.rs:153-259): compute the
+        prior indices from the byte history, then code via _code_lit_nibble
+        (overridden by the encode-trace builder, codec/trace.py)."""
         lbk = self.lbk
         l8 = lbk.last_8_literals
         prev_byte = (l8 >> 0x38) & 0xFF
@@ -177,14 +179,23 @@ class MetablockCodec:
             index_b = (mm & stride_byte) | ((~mm & 0xFF) & actual_context)
             index_c = (cur_byte_prior & fast_cm) | ((actual_context & opt1) << 4)
         sel = (mm >> 7) ^ (opt1 >> 2)
-        table = lbk.lit_high_priors if is_high else lbk.lit_low_priors
-        nibble_prob = table.get((sel, index_b, index_c))
-        io = self.io_lit
+        nib_key = (sel, index_b, index_c)
         if lbk.combine_literal_predictions:
-            if is_high:
-                cm_prob = lbk.lit_cm_priors.get((0, actual_context))
-            else:
-                cm_prob = lbk.lit_cm_priors.get((1, cur_byte_prior, actual_context))
+            cm_key = (0, actual_context) if is_high \
+                else (1, cur_byte_prior, actual_context)
+        else:
+            cm_key = None
+        return self._code_lit_nibble(is_high, nib_key, cm_key, value, mm_opts)
+
+    def _code_lit_nibble(self, is_high: bool, nib_key: tuple,
+                         cm_key: tuple | None, value: int, mm_opts: int) -> int:
+        """Code one literal nibble: optional two-model mix + blends."""
+        lbk = self.lbk
+        io = self.io_lit
+        table = lbk.lit_high_priors if is_high else lbk.lit_low_priors
+        nibble_prob = table.get(nib_key)
+        if cm_key is not None:
+            cm_prob = lbk.lit_cm_priors.get(cm_key)
             w = lbk.model_weights[1 if is_high else 0]
             mixed = scalar.average(cm_prob, nibble_prob, w[2] & 0xFFFF)
             v = io.code(mixed, value)
@@ -429,27 +440,38 @@ class MetablockCodec:
         bk.reset_context_map_lru()
         out.distance_context_map = bytes(self._code_context_map(
             cmd.distance_context_map if io.is_encoder else None, True))
-        # mixing values (:385-422)
+        # mixing values (reference: 8192 raw nibbles, context_map.rs:385-422).
+        # Format departure: a leading mv_mode nibble elides the constant
+        # masks (0 = all zeros, 1 = all fours, 2 = explicit) so the scan
+        # decoder pays 1 step instead of 8192 in the common case.
         combine = out.context_mixing != 0
-        mv_out = bytearray()
-        prev_page = None
-        for index in range(cmds.NUM_MIXING_VALUES):
-            if io.is_encoder:
-                if not bk.desired_do_context_map:
-                    nib_in = 4
-                elif not combine:
-                    nib_in = 0
-                elif index < len(cmd.mixing_values):
-                    nib_in = cmd.mixing_values[index]
+        if io.is_encoder:
+            if not bk.desired_do_context_map:
+                mv_mode = 1
+            elif not combine or not any(cmd.mixing_values):
+                mv_mode = 0
+            else:
+                mv_mode = 2
+        else:
+            mv_mode = 0
+        mv_mode = self._nib(io, pp, ("mvmode",), mv_mode, MED)
+        if mv_mode == 0:
+            out.mixing_values = bytes(cmds.NUM_MIXING_VALUES)
+        elif mv_mode == 1:
+            out.mixing_values = bytes([4]) * cmds.NUM_MIXING_VALUES
+        elif mv_mode == 2:
+            mv_out = bytearray()
+            for index in range(cmds.NUM_MIXING_VALUES):
+                if io.is_encoder:
+                    nib_in = (cmd.mixing_values[index]
+                              if index < len(cmd.mixing_values) else 0)
                 else:
                     nib_in = 0
-            else:
-                nib_in = 0
-            prior = (mv_out[index - 256] & 0xF) if index >= 256 else 16
-            nib = self._nib(io, pp, ("mix", prior), nib_in, PLANE)
-            mv_out.append(nib)
-        out.mixing_values = bytes(mv_out)
-        del prev_page
+                prior = (mv_out[index - 256] & 0xF) if index >= 256 else 16
+                mv_out.append(self._nib(io, pp, ("mix", prior), nib_in, PLANE))
+            out.mixing_values = bytes(mv_out)
+        else:
+            raise CorruptStream("bad mixing-value mode")
         return out
 
     def _code_context_map(self, in_map: bytes | None, is_distance: bool) -> bytearray:
@@ -616,6 +638,7 @@ def decode_metablock(cmd_stream: bytes, lit_stream: bytes, raw_len: int,
 
 def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     from ..ir.matcher import build_commands
+    from .layout import profile_for_options, PROFILE_FLAGS
     options = options or DivansOptions()
     mb = options.metablock_size
     frames = []
@@ -625,7 +648,8 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
         cmd_b, lit_b = encode_metablock(raw, commands, options)
         frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
     return fmt.serialize(frames, options.window_size, options.mb_log2,
-                         crc32c(data))
+                         crc32c(data),
+                         flags=PROFILE_FLAGS[profile_for_options(options)])
 
 
 def decompress(blob: bytes, options: DivansOptions | None = None) -> bytes:

@@ -1,0 +1,158 @@
+"""Batched JAX codec engine — the TPU compute path.
+
+Encode (two-pass, DESIGN.md §2):
+  1. host: matcher -> commands -> per-nibble trace (codec/trace.py);
+  2. device: `model_pass` — one lax.scan over trace steps, batched over
+     metablocks, carrying the dense [B, R, 16] int16 model and the
+     [B, 2, 3] mixer weights; emits (start, freq) per nibble;
+  3. device: wide rANS reverse encode (ans/kernels.encode_lanes) over
+     2B lanes (cmd + lit stream per metablock);
+  4. host: container assembly.
+
+Bitstreams are identical to the golden serial engine's by construction
+(asserted by tests/test_jax_engine.py): the trace replays the same FSM
+and the scan applies the same integer CDF/mixer rules.
+
+Shapes are bucketed (next power of two) so jit caches stay warm across
+inputs.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..options import DivansOptions
+from ..container import format as fmt
+from ..container.crc32c import crc32c
+from ..probability import cdf16, weights as weights_mod
+from ..ans import kernels
+from . import trace as trace_mod
+from .layout import (ModelLayout, PROFILES, PROFILE_FLAGS, FLAG_PROFILES,
+                     profile_for_options)
+
+MIX_RATE_MASK = 0xFFFF
+
+
+def _model_init(b: int, r: int):
+    m = np.broadcast_to(np.asarray(cdf16.CDF_INIT, np.int16), (b, r, 16))
+    return jnp.asarray(m)
+
+
+def _weights_init(b: int):
+    w = np.zeros((b, 2, 3), np.int32)
+    w[:, :, 0] = 1
+    w[:, :, 1] = 1
+    w[:, :, 2] = weights_mod.NORM_WEIGHT_INIT
+    return jnp.asarray(w)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows",))
+def model_pass(trace, num_rows):
+    """trace: int32[B, N, 10] (padded steps: all-zero row with lim!=0).
+
+    Returns (starts int32[B, N], freqs int32[B, N])."""
+    b = trace.shape[0]
+    model = _model_init(b, num_rows)
+    weights = _weights_init(b)
+    bidx = jnp.arange(b)
+
+    def step(carry, xs):
+        model, weights = carry
+        flat, value, _stream, inc, lim, mix, which, cm_idx, cm_inc, cm_lim = \
+            [xs[:, i] for i in range(10)]
+        rows = model[bidx, flat].astype(jnp.int32)
+        cm_rows = model[bidx, cm_idx].astype(jnp.int32)
+        wsel = weights[bidx, which]
+        mixed = cdf16.average(cm_rows, rows, wsel[:, 2] & MIX_RATE_MASK, xp=jnp)
+        do_mix = (mix != 0)
+        coded = jnp.where(do_mix[:, None], mixed, rows)
+        start, freq = cdf16.sym_to_start_freq(coded, value, xp=jnp)
+        # mixer update (gated): probs of the coded symbol under each model
+        _, p_cm = cdf16.sym_to_start_freq(cm_rows, value, xp=jnp)
+        _, p_nib = cdf16.sym_to_start_freq(rows, value, xp=jnp)
+        w0n, w1n, nw = weights_mod.update(wsel[:, 0], wsel[:, 1],
+                                          p_cm, p_nib, freq, xp=jnp)
+        new_w = jnp.stack([w0n, w1n, nw], axis=-1)
+        weights = weights.at[bidx, which].set(
+            jnp.where(do_mix[:, None], new_w, wsel))
+        # adapt both rows (inc 0 + high lim = no-op, incl. frozen row 0)
+        rows2 = cdf16.blend(rows, value, inc, lim, xp=jnp).astype(jnp.int16)
+        model = model.at[bidx, flat].set(rows2)
+        cm2 = cdf16.blend(cm_rows, value, cm_inc, cm_lim, xp=jnp).astype(jnp.int16)
+        model = model.at[bidx, cm_idx].set(cm2)
+        return (model, weights), (start, freq)
+
+    (_, _), (starts, freqs) = jax.lax.scan(
+        step, (model, weights), jnp.swapaxes(trace, 0, 1))
+    return jnp.swapaxes(starts, 0, 1), jnp.swapaxes(freqs, 0, 1)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(4, (n - 1).bit_length())
+
+
+def _pad_traces(traces: list[np.ndarray]) -> np.ndarray:
+    n = _next_pow2(max(t.shape[0] for t in traces))
+    out = np.zeros((len(traces), n, trace_mod.NCOLS), np.int32)
+    out[:, :, 9] = trace_mod.NOOP_LIM  # padded steps must not renorm row 0
+    out[:, :, 4] = trace_mod.NOOP_LIM
+    for i, t in enumerate(traces):
+        out[i, :t.shape[0]] = t
+    return out
+
+
+def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
+    from ..ir.matcher import build_commands
+    options = options or DivansOptions()
+    profile = profile_for_options(options)
+    layout = ModelLayout(PROFILES[profile])
+    mb = options.metablock_size
+    if not data:
+        return fmt.serialize([], options.window_size, options.mb_log2,
+                             crc32c(b""), flags=PROFILE_FLAGS[profile])
+
+    blocks = [data[off:off + mb] for off in range(0, len(data), mb)]
+    traces = []
+    for raw in blocks:
+        commands = build_commands(raw, options)
+        traces.append(trace_mod.build_trace(raw, commands, options, layout))
+
+    trace = _pad_traces(traces)
+    starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
+    starts = np.asarray(starts)
+    freqs = np.asarray(freqs)
+
+    # split (start, freq) by stream into 2B rANS lanes
+    b = len(blocks)
+    lane_starts, lane_freqs, lane_counts = [], [], []
+    for i in range(b):
+        n = traces[i].shape[0]
+        stream = traces[i][:, 2]
+        for sid in (0, 1):
+            m = stream == sid
+            lane_starts.append(starts[i, :n][m])
+            lane_freqs.append(freqs[i, :n][m])
+            lane_counts.append(int(m.sum()))
+    lmax = _next_pow2(max(1, max(lane_counts)))
+    ls = np.zeros((2 * b, lmax), np.int32)
+    lf = np.ones((2 * b, lmax), np.int32)
+    for i, (s, f) in enumerate(zip(lane_starts, lane_freqs)):
+        ls[i, :s.shape[0]] = s
+        lf[i, :f.shape[0]] = f
+    words, nwords, states = kernels.encode_lanes(
+        jnp.asarray(ls), jnp.asarray(lf),
+        jnp.asarray(np.array(lane_counts, np.int32)))
+    lane_bytes = kernels.lanes_to_bytes(words, nwords, states)
+
+    frames = [fmt.MetablockFrame(len(blocks[i]), lane_bytes[2 * i],
+                                 lane_bytes[2 * i + 1]) for i in range(b)]
+    return fmt.serialize(frames, options.window_size, options.mb_log2,
+                         crc32c(data), flags=PROFILE_FLAGS[profile])
+
+
+def decompress(blob: bytes) -> bytes:
+    raise NotImplementedError("JAX decode lands with the FSM scan; "
+                              "api.py falls back to the golden engine")

@@ -1,0 +1,169 @@
+"""Dense model layout: prior-table keys -> flat rows of one device array.
+
+The golden engine's sparse `PriorTable` dict-of-rows (codec/model.py) is
+semantically a set of dense multi-dimensional CDF tables (the reference
+allocates them flat via define_prior_struct!, src/priors.rs:21-74, shapes
+src/codec/priors.rs:8-133).  The JAX engine holds the whole per-metablock
+model as one `[R, 16]` int16 array; this module owns the segment offsets
+and the (host + traced) index arithmetic.
+
+Profiles jit-specialize the allocation (DESIGN.md §4): the arithmetic is
+identical, only dense dims differ.  `cm` is what our encoder emits with
+the context map on (mixing mask all-zero); `stride` is the context-map-off
+stream (mixing mask all-four).  Streams outside a profile's bounds (block
+switches with NB=1, context values >= NCTX) are detected during decode and
+re-decoded by the golden engine.
+
+Row 0 is a frozen CDF_INIT row used for (a) padded no-op steps and
+(b) the reference's mm_opts==2 "code against the static prior" path —
+coded with Speed(0, 0x4000) so it never mutates.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Profile:
+    name: str
+    nb: int        # distinct command/literal block types (256 full)
+    nd: int        # distinct distance-context-map values (256 full)
+    nctx: int      # distinct literal-context-map values (256 full)
+    lit_sel: int   # which `sel` value the literal tables use (0=cm, 1=stride)
+    hi_shape: tuple[int, int]   # dense (index_b, index_c) dims, high nibble
+    lo_shape: tuple[int, int]   # dense (index_b, index_c) dims, low nibble
+
+
+# mm all-zero: hi rows (sel=0, b=0, c=ctx); lo rows (sel=0, b=ctx, c=nib)
+PROFILE_CM = Profile("cm", nb=1, nd=4, nctx=64, lit_sel=0,
+                     hi_shape=(1, 64), lo_shape=(64, 16))
+# mm all-four (context map off): hi (sel=1, b=byte, c=0); lo (1, byte, nib)
+PROFILE_STRIDE = Profile("stride", nb=1, nd=4, nctx=1, lit_sel=1,
+                         hi_shape=(256, 1), lo_shape=(256, 16))
+
+PROFILES = {p.name: p for p in (PROFILE_CM, PROFILE_STRIDE)}
+PROFILE_FLAGS = {"cm": 0, "stride": 1}
+FLAG_PROFILES = {v: k for k, v in PROFILE_FLAGS.items()}
+
+
+def profile_for_options(options) -> str:
+    """The model profile a stream written with `options` stays within."""
+    return "cm" if options.use_context_map else "stride"
+
+
+class ModelLayout:
+    """Segment table for one profile; `idx` works on ints and traced arrays."""
+
+    def __init__(self, profile: Profile):
+        self.profile = profile
+        p = profile
+        self.segments: dict[str, tuple[int, tuple[int, ...]]] = {}
+        off = 1  # row 0 = frozen CDF_INIT
+        for name, shape in [
+            # --- command stream ---
+            ("cc", (16,)),
+            ("ll_cs", (p.nb,)), ("ll_beg", (p.nb,)), ("ll_last", (p.nb,)),
+            ("ll_mant", (p.nb,)),
+            ("c_ccs", (p.nb, 16)), ("c_cbeg", (p.nb,)), ("c_clast", (p.nb,)),
+            ("c_cmant", (p.nb, 5)),
+            ("c_dmn", (p.nd, 2)), ("c_dbeg", (p.nd, 8)), ("c_dlast", (p.nd,)),
+            ("c_dmant", (p.nd, 5)),
+            ("d_sbeg", (p.nb,)), ("d_slast", (p.nb,)), ("d_idx", (p.nd, 5)),
+            ("d_tr", (2, 16)),
+            ("bt_mn", (3,)), ("bt_f", (3,)), ("bt_s", (3,)), ("bt_stride", (1,)),
+            ("pm_only", (1,)), ("pm_dcm", (1,)), ("pm_pd", (1,)),
+            ("pm_palette", (4,)), ("pm_mvmode", (1,)), ("pm_mix", (17,)),
+            ("pm_cmn", (2,)), ("pm_cf", (2,)), ("pm_cs", (2,)),
+            # --- literal stream ---
+            ("lit_hi", p.hi_shape), ("lit_lo", p.lo_shape),
+            ("cm_first", (p.nctx,)), ("cm_second", (16, p.nctx)),
+        ]:
+            self.segments[name] = (off, shape)
+            off += int(np.prod(shape))
+        self.num_rows = off
+
+    def idx(self, seg: str, *coords):
+        """Flat row index; coords may be python ints or traced int32."""
+        off, shape = self.segments[seg]
+        assert len(coords) == len(shape), (seg, coords, shape)
+        flat = 0
+        for c, dim in zip(coords, shape):
+            flat = flat * dim + c
+        return off + flat
+
+    # ------------------------------------------------ golden-key mapping
+    def idx_for_key(self, table: str, key: tuple) -> int:
+        """Map a golden-engine (PriorTable name, key tuple) to a flat row.
+
+        Raises KeyError/AssertionError when the key is outside this
+        profile's dense bounds (caller falls back to a wider profile)."""
+        p = self.profile
+
+        def _chk(v, n):
+            if not 0 <= v < n:
+                raise KeyError(f"{table}{key} outside profile {p.name}")
+            return v
+
+        if table == "cc":
+            return self.idx("cc", _chk(key[0], 16))
+        if table == "lit_len":
+            kind, ctype = key[0], _chk(key[1], p.nb)
+            return self.idx({"cs": "ll_cs", "beg": "ll_beg",
+                             "last": "ll_last", "mant": "ll_mant"}[kind], ctype)
+        if table == "copy":
+            kind = key[0]
+            if kind == "ccs":
+                return self.idx("c_ccs", _chk(key[1], p.nb), _chk(key[2], 16))
+            if kind == "cbeg":
+                return self.idx("c_cbeg", _chk(key[1], p.nb))
+            if kind == "clast":
+                return self.idx("c_clast", _chk(key[1], p.nb))
+            if kind == "cmant":
+                return self.idx("c_cmant", _chk(key[1], p.nb), _chk(key[2], 5))
+            if kind == "dmn":
+                return self.idx("c_dmn", _chk(key[1], p.nd), _chk(key[2], 2))
+            if kind == "dbeg":
+                return self.idx("c_dbeg", _chk(key[1], p.nd), _chk(key[2], 8))
+            if kind == "dlast":
+                return self.idx("c_dlast", _chk(key[1], p.nd))
+            if kind == "dmant":
+                return self.idx("c_dmant", _chk(key[1], p.nd), _chk(key[2], 5))
+        if table == "dict":
+            kind = key[0]
+            if kind == "sbeg":
+                return self.idx("d_sbeg", _chk(key[1], p.nb))
+            if kind == "slast":
+                return self.idx("d_slast", _chk(key[1], p.nb))
+            if kind == "idx":
+                return self.idx("d_idx", _chk(key[1], p.nd), _chk(key[2], 5))
+            if kind == "tr":
+                return self.idx("d_tr", _chk(key[1], 2), _chk(key[2], 16))
+        if table == "btype":
+            kind = key[0]
+            if kind == "stride":
+                return self.idx("bt_stride", 0)
+            return self.idx({"mn": "bt_mn", "f": "bt_f", "s": "bt_s"}[kind],
+                            _chk(key[1], 3))
+        if table == "pred":
+            kind = key[0]
+            if kind in ("only", "dcm", "pd", "mvmode"):
+                return self.idx("pm_" + kind, 0)
+            if kind == "palette":
+                return self.idx("pm_palette", _chk(key[1], 4))
+            if kind == "mix":
+                return self.idx("pm_mix", _chk(key[1], 17))
+            return self.idx({"cmn": "pm_cmn", "cf": "pm_cf",
+                             "cs": "pm_cs"}[kind], _chk(key[1], 2))
+        if table in ("lit_hi", "lit_lo"):
+            sel, b, c = key
+            if sel != p.lit_sel:
+                raise KeyError(f"lit sel {sel} outside profile {p.name}")
+            shape = p.hi_shape if table == "lit_hi" else p.lo_shape
+            return self.idx(table, _chk(b, shape[0]), _chk(c, shape[1]))
+        if table == "cm":
+            if key[0] == 0:
+                return self.idx("cm_first", _chk(key[1], p.nctx))
+            return self.idx("cm_second", _chk(key[1], 16), _chk(key[2], p.nctx))
+        raise KeyError((table, key))

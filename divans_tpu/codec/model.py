@@ -16,12 +16,16 @@ from .. import constants
 
 
 class PriorTable:
-    """Sparse table of 16-entry CDFs keyed by an index tuple."""
+    """Sparse table of 16-entry CDFs keyed by an index tuple.
 
-    __slots__ = ("rows",)
+    `name` identifies the table family for the dense-layout mapping
+    (codec/layout.py idx_for_key)."""
 
-    def __init__(self):
+    __slots__ = ("rows", "name")
+
+    def __init__(self, name: str = ""):
         self.rows: dict[tuple, list[int]] = {}
+        self.name = name
 
     def get(self, key: tuple) -> list[int]:
         row = self.rows.get(key)
@@ -51,12 +55,12 @@ class CrossCommandBookKeeping:
         self.cmap_lru = list(range(13))
         self.distance_context_map = [i & 3 for i in range(NUM_BLOCK_TYPES * 4)]
         # priors
-        self.cc_priors = PriorTable()          # FullSelection (16, 1)
-        self.lit_len_priors = PriorTable()     # CountSmall/SizeBegNib/SizeLastNib/SizeMantissaNib
-        self.copy_priors = PriorTable()
-        self.dict_priors = PriorTable()
-        self.btype_priors = PriorTable()
-        self.prediction_priors = PriorTable()
+        self.cc_priors = PriorTable("cc")       # FullSelection (16, 1)
+        self.lit_len_priors = PriorTable("lit_len")  # CountSmall/SizeBeg/SizeLast/Mantissa
+        self.copy_priors = PriorTable("copy")
+        self.dict_priors = PriorTable("dict")
+        self.btype_priors = PriorTable("btype")
+        self.prediction_priors = PriorTable("pred")
         # desired-* mirrors of encoder options (carried into the PM command)
         self.desired_context_mixing = 0
         self.desired_prior_depth = 0
@@ -168,9 +172,9 @@ class LiteralBookKeeping:
         self.mixing_mask = [0] * 8192
         self.literal_context_map = [0] * (NUM_BLOCK_TYPES * 64)
         self.model_weights = [scalar.WEIGHT_INIT.copy(), scalar.WEIGHT_INIT.copy()]
-        self.lit_high_priors = PriorTable()   # (sel, index_b, index_c)
-        self.lit_low_priors = PriorTable()
-        self.lit_cm_priors = PriorTable()     # FirstNibble (0, ctx) / SecondNibble (1, prior, ctx)
+        self.lit_high_priors = PriorTable("lit_hi")  # (sel, index_b, index_c)
+        self.lit_low_priors = PriorTable("lit_lo")
+        self.lit_cm_priors = PriorTable("cm")  # FirstNibble (0, ctx) / SecondNibble (1, prior, ctx)
 
     def push_literal_byte(self, b: int) -> None:
         self.last_8_literals = ((self.last_8_literals >> 8)

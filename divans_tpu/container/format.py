@@ -86,8 +86,8 @@ def write_frame(frame: MetablockFrame) -> bytes:
 
 
 def serialize(frames: list[MetablockFrame], window_size: int, mb_log2: int,
-              crc: int) -> bytes:
-    out = bytearray(write_header(window_size, mb_log2))
+              crc: int, flags: int = 0) -> bytes:
+    out = bytearray(write_header(window_size, mb_log2, flags))
     for f in frames:
         out += write_frame(f)
     out.append(constants.FRAME_EOF)

@@ -57,7 +57,13 @@ def offset_to_sym(cdf: list[int], cdf_offset: int) -> int:
 # ----------------------------------------------------------------- weights
 
 def weights_update(w: list[int], prob0: int, prob1: int, weighted_prob: int) -> None:
-    """In-place mixer update; w = [w0, w1, norm_weight] (weights.rs:22-38)."""
+    """In-place mixer update; w = [w0, w1, norm_weight] (weights.rs:22-38).
+
+    Departure from the reference: weights are clamped to [1, 2^30 - 1]
+    (the reference only floors at 1), so every intermediate — including
+    w0 + w1 in norm_weight — provably fits int32.  This makes the whole
+    mixer int32-exact on TPU; encoder and decoder agree by construction.
+    """
     w0, w1 = w[0], w[1]
     if (w0 | w1) & 0x7F000000:
         ilog = max(w0.bit_length(), w1.bit_length())
@@ -71,11 +77,12 @@ def weights_update(w: list[int], prob0: int, prob1: int, weighted_prob: int) -> 
     log_geo = (p1 * p0).bit_length()
     new = []
     for wi, n1i in ((w0, prob0), (w1, prob1)):
-        efficacy = total * n1i - p1 * total
-        adj = (error * efficacy) >> log_geo
+        # (error * (n1i - p1) * 2^15) >> log_geo, with the 2^15 folded into
+        # the shift: log_geo >= 15 always since p1*p0 >= 2^15 - 1.
+        adj = (error * (n1i - p1)) >> (log_geo - 15)
         s = wi + adj
         s = ((s + 0x80000000) & 0xFFFFFFFF) - 0x80000000
-        new.append(max(1, s))
+        new.append(min(max(1, s), (1 << 30) - 1))
     w[0], w[1] = new
     w[2] = norm_weight(w[0], w[1])
 
