@@ -99,6 +99,7 @@ def _pad_traces(traces: list[np.ndarray]) -> np.ndarray:
     out = np.zeros((len(traces), n, trace_mod.NCOLS), np.int32)
     out[:, :, 9] = trace_mod.NOOP_LIM  # padded steps must not renorm row 0
     out[:, :, 4] = trace_mod.NOOP_LIM
+    out[:, :, 2] = -1                  # stream -1 marks padding
     for i, t in enumerate(traces):
         out[i, :t.shape[0]] = t
     return out
