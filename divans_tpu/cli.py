@@ -1,0 +1,149 @@
+"""Command-line interface (reference: src/bin/divans.rs main, :1198-1712).
+
+    python -m divans_tpu.cli [mode] [flags] [infile [outfile]]
+
+Modes (default -c):
+  -c            compress raw bytes      (passthrough if already compressed)
+  -d            decompress
+  -i            compress from textual IR (the oracle path, divans.rs:945-979)
+  -ir           dump the matcher's IR as text
+  -recode       execute textual IR into raw bytes (no entropy coding)
+
+Flags (a subset of the reference's ~40, same spellings where they exist):
+  -q<N>         quality 1..11 (e.g. -q9, -q11)
+  -w<N>         log2 window size 10..24
+  -bs<N>        metablock size in bytes (TPU-native knob; power of two)
+  -cm / -nocm   enable/disable the literal context map
+  -mixing=<N>   dynamic context mixing level 0..14
+  -speed=<inc>,<lim>  literal adaptation speed
+  -serial       force the golden serial engine (no device batching)
+  -v            print per-file ratio to stderr
+  -version      print version
+"""
+from __future__ import annotations
+
+import sys
+
+from .options import DivansOptions
+from .probability.speed import Speed
+from . import __version__
+
+
+def _fail(msg: str) -> "NoReturn":
+    print(f"divans_tpu: {msg}", file=sys.stderr)
+    raise SystemExit(2)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    mode = "-c"
+    opts = {}
+    engine = "auto"
+    verbose = False
+    files: list[str] = []
+    for a in argv:
+        if a in ("-c", "-d", "-i", "-ir", "-recode", "--recode"):
+            mode = a.lstrip("-")
+        elif a.startswith("-q") and a[2:].replace(".", "").isdigit():
+            opts["quality"] = min(11, max(1, int(float(a[2:]))))
+        elif a.startswith("-w") and a[2:].isdigit():
+            opts["window_size"] = int(a[2:])
+        elif a.startswith("-bs") and a[3:].isdigit():
+            opts["metablock_size"] = int(a[3:])
+        elif a == "-cm":
+            opts["use_context_map"] = True
+        elif a == "-nocm":
+            opts["use_context_map"] = False
+            opts.setdefault("dynamic_context_mixing", 0)
+        elif a.startswith("-mixing="):
+            opts["dynamic_context_mixing"] = int(a.split("=")[1])
+        elif a.startswith("-speed="):
+            inc, lim = a.split("=")[1].split(",")
+            sp = Speed(int(inc), int(lim))
+            opts["literal_adaptation"] = (sp, sp, sp, sp)
+        elif a == "-serial":
+            engine = "golden"
+        elif a == "-bill":
+            engine = "bill"
+        elif a == "-v":
+            verbose = True
+        elif a in ("-version", "--version"):
+            print(f"divans_tpu {__version__}")
+            return 0
+        elif a in ("-h", "--help"):
+            print(__doc__)
+            return 0
+        elif a.startswith("-"):
+            _fail(f"unknown flag {a} (see -h)")
+        else:
+            files.append(a)
+
+    options = DivansOptions(**opts)
+    data = (open(files[0], "rb").read() if files
+            else sys.stdin.buffer.read())
+    out = _run(mode, data, options, engine)
+    if len(files) > 1:
+        open(files[1], "wb").write(out)
+    else:
+        sys.stdout.buffer.write(out)
+    if verbose and mode in ("c", "i"):
+        print(f"ratio {len(out) / max(1, len(data)):.4f}", file=sys.stderr)
+    return 0
+
+
+def _run(mode: str, data: bytes, options: DivansOptions, engine: str) -> bytes:
+    from . import constants
+    from .codec import engine_np
+
+    if mode == "c":
+        if data[:4] == constants.MAGIC:   # already compressed: passthrough
+            return data                   # (reference divans.rs:884-886)
+        if engine == "golden":
+            return engine_np.compress(data, options)
+        if engine == "bill":              # per-substate bit accounting
+            from .codec import jax_engine, billing
+            bits: dict = {}
+            out = jax_engine.compress(data, options, billing_out=bits)
+            print(billing.format_table(bits, len(data), len(out)),
+                  file=sys.stderr)
+            return out
+        from .api import compress
+        return compress(data, options)
+    if mode == "d":
+        if engine == "golden":
+            return engine_np.decompress(data)
+        from .api import decompress
+        return decompress(data)
+    from .ir import ir_text
+    if mode == "recode":
+        _w, commands = ir_text.parse(data.decode())
+        return ir_text.recode(commands)
+    if mode == "i":
+        _w, commands = ir_text.parse(data.decode())
+        raw = ir_text.recode(commands)
+        mb = 1 << max(12, (max(1, len(raw)) - 1).bit_length())
+        import dataclasses
+        options = dataclasses.replace(options, metablock_size=min(mb, 1 << 24))
+        from .codec.engine_np import encode_metablock
+        from .container import format as fmt
+        from .container.crc32c import crc32c
+        from .codec.layout import profile_for_options, PROFILE_FLAGS
+        cmd_b, lit_b = encode_metablock(raw, commands, options)
+        return fmt.serialize([fmt.MetablockFrame(len(raw), cmd_b, lit_b)],
+                             options.window_size, options.mb_log2,
+                             crc32c(raw),
+                             flags=PROFILE_FLAGS[profile_for_options(options)])
+    if mode == "ir":
+        from .ir.matcher import build_commands
+        mb = options.metablock_size
+        lines = []
+        for off in range(0, len(data), mb):
+            lines.append(ir_text.dump(
+                build_commands(data[off:off + mb], options),
+                options.window_size))
+        return "".join(lines).encode()
+    _fail(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

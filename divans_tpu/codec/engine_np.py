@@ -654,7 +654,7 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
 
 def decompress(blob: bytes, options: DivansOptions | None = None) -> bytes:
     options = options or DivansOptions()
-    _w, _mb, frames, stored_crc = fmt.deserialize(blob)
+    _w, _mb, frames, stored_crc, _flags = fmt.deserialize(blob)
     out = bytearray()
     for f in frames:
         out += decode_metablock(f.cmd, f.lit, f.raw_len, options)

@@ -144,9 +144,9 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
         "aprior": jnp.zeros(b, jnp.int32),
         "pm_mode": jnp.full(b, 3, jnp.int32),
         "combine": jnp.zeros(b, jnp.int32),
-        "cmap_lru": jnp.tile(jnp.arange(13, jnp.int32)[None], (b, 1)),
+        "cmap_lru": jnp.tile(jnp.arange(13, dtype=jnp.int32)[None], (b, 1)),
         "lcm": jnp.zeros((b, 64), jnp.int32),
-        "dcm": jnp.tile(jnp.arange(4, jnp.int32)[None], (b, 1)),
+        "dcm": jnp.tile(jnp.arange(4, dtype=jnp.int32)[None], (b, 1)),
         "speeds": jnp.tile(jnp.asarray([[0x10, 0x2000]], jnp.int32),
                            (b, 4, 1)).reshape(b, 4, 2),
     }
@@ -268,9 +268,9 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
             jnp.where(do_mix[:, None], new_w, wsel))
         # blends (gated: no-code lanes write row 0 unchanged)
         g_inc = jnp.where(nocode, 0, inc)
+        g_lim = jnp.where(nocode, 0x4000, lim)
         g_flat = jnp.where(nocode, 0, flat)
-        rows2 = cdf16.blend(rows, v, g_inc, jnp.maximum(lim, 65),
-                            xp=jnp).astype(jnp.int16)
+        rows2 = cdf16.blend(rows, v, g_inc, g_lim, xp=jnp).astype(jnp.int16)
         model = model.at[bidx, g_flat].set(
             jnp.where(nocode[:, None], model[bidx, 0], rows2))
         cm_sp = c["speeds"][bidx, jnp.where(st == L_HI, 3, 2)]
@@ -526,12 +526,9 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
         nxt["r0"] = jnp.where(m, r0s, nxt["r0"])
         spd_done = m & (pt == 3)
         new_speed = jnp.stack([_u8_to_speed(tmpa), _u8_to_speed(r0s)], -1)
-        sp_tgt = jnp.where(spd_done, si, 4)
-        nxt["speeds"] = jnp.concatenate(
-            [c["speeds"], jnp.zeros((b, 1, 2), jnp.int32)], axis=1
-        ).at[bidx, sp_tgt].set(
-            jnp.where(spd_done[:, None], new_speed,
-                      jnp.zeros((b, 2), jnp.int32)))[:, :4]
+        sp_tgt = jnp.where(spd_done, si, 4)  # 4 = dropped
+        nxt["speeds"] = c["speeds"].at[bidx, sp_tgt].set(
+            new_speed, mode="drop")
         nxt["cnt"] = jnp.where(m, c["cnt"] + 1, nxt["cnt"])
         fin = m & (c["cnt"] == 15)
         nxt["which"] = upd(fin, c["which"], 0)
@@ -583,7 +580,7 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
         nxt["cmap_lru"] = jnp.where(do_obs[:, None], lru_obs, lruc)
         is_lit_map = do_obs & (c["which"] == 0)
         is_dst_map = do_obs & (c["which"] == 1)
-        err |= is_lit_map & ((c["cmidx"] >= 64) | (cmap_val >= p.nctx * 4 + 192 if False else cmap_val >= (p.nctx if p.lit_sel == 0 else 256)))
+        err |= is_lit_map & ((c["cmidx"] >= 64) | (cmap_val >= p.nctx))
         err |= is_dst_map & ((c["cmidx"] >= 4) | (cmap_val >= p.nd))
         lcm_tgt = jnp.where(is_lit_map & (c["cmidx"] < 64), c["cmidx"], 64)
         nxt["lcm"] = nxt["lcm"].at[bidx, lcm_tgt].set(

@@ -105,7 +105,8 @@ def _pad_traces(traces: list[np.ndarray]) -> np.ndarray:
     return out
 
 
-def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
+def compress(data: bytes, options: DivansOptions | None = None,
+             billing_out: dict | None = None) -> bytes:
     from ..ir.matcher import build_commands
     options = options or DivansOptions()
     profile = profile_for_options(options)
@@ -125,6 +126,9 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
     starts = np.asarray(starts)
     freqs = np.asarray(freqs)
+    if billing_out is not None:
+        from . import billing
+        billing_out.update(billing.bill(traces, freqs, layout))
 
     # split (start, freq) by stream into 2B rANS lanes
     b = len(blocks)
@@ -154,6 +158,52 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
                          crc32c(data), flags=PROFILE_FLAGS[profile])
 
 
+def pack_frames(frames):
+    """frames -> decode_scan inputs (states, words, raw_len, window, steps)."""
+    b = len(frames)
+    raw_len = np.array([f.raw_len for f in frames], np.int32)
+    wc = _next_pow2(max(1, max((len(f.cmd) - 4) // 2 for f in frames)))
+    wl = _next_pow2(max(1, max((len(f.lit) - 4) // 2 for f in frames)))
+    cmd_states = np.zeros(b, np.int32)
+    lit_states = np.zeros(b, np.int32)
+    cmd_words = np.zeros((b, wc), np.int32)
+    lit_words = np.zeros((b, wl), np.int32)
+    for i, f in enumerate(frames):
+        cmd_states[i], cmd_words[i], _ = kernels.bytes_to_lane(f.cmd, wc)
+        lit_states[i], lit_words[i], _ = kernels.bytes_to_lane(f.lit, wl)
+    window_size = _next_pow2(int(raw_len.max()) + 1)
+    max_steps = 8 * window_size + 16384
+    return (jnp.asarray(cmd_states), jnp.asarray(cmd_words),
+            jnp.asarray(lit_states), jnp.asarray(lit_words),
+            jnp.asarray(raw_len), window_size, max_steps)
+
+
 def decompress(blob: bytes) -> bytes:
-    raise NotImplementedError("JAX decode lands with the FSM scan; "
-                              "api.py falls back to the golden engine")
+    """Batched device decode; per-metablock golden fallback for lanes
+    outside the fast profile (the scan abstains, never mis-decodes)."""
+    from . import jax_decode
+    from . import engine_np
+    from ..options import DivansOptions
+
+    _w, mb_log2, frames, stored_crc, flags = fmt.deserialize(blob)
+    if not frames:
+        fmt.check_crc(b"", stored_crc)
+        return b""
+    profile = FLAG_PROFILES.get(flags)
+    if profile is None:
+        return engine_np.decompress(blob)
+
+    cs, cw, ls, lw, raw_len, window_size, max_steps = pack_frames(frames)
+    windows, ok, _wpos = jax_decode.decode_scan(
+        cs, cw, ls, lw, raw_len, profile, window_size, max_steps)
+    windows = np.asarray(windows)
+    ok = np.asarray(ok)
+    out = bytearray()
+    opts = DivansOptions()
+    for i, f in enumerate(frames):
+        if ok[i]:
+            out += windows[i, :f.raw_len].tobytes()
+        else:  # out-of-profile or corrupt: the golden engine decides
+            out += engine_np.decode_metablock(f.cmd, f.lit, f.raw_len, opts)
+    fmt.check_crc(bytes(out), stored_crc)
+    return bytes(out)

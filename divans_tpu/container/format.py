@@ -95,9 +95,9 @@ def serialize(frames: list[MetablockFrame], window_size: int, mb_log2: int,
     return bytes(out)
 
 
-def deserialize(data: bytes) -> tuple[int, int, list[MetablockFrame], int]:
-    """returns (window_size, mb_log2, frames, stored_crc); validates structure."""
-    window_size, mb_log2, _flags = parse_header(data)
+def deserialize(data: bytes) -> tuple[int, int, list[MetablockFrame], int, int]:
+    """returns (window_size, mb_log2, frames, stored_crc, flags)."""
+    window_size, mb_log2, flags = parse_header(data)
     pos = 16
     frames: list[MetablockFrame] = []
     while True:
@@ -124,7 +124,7 @@ def deserialize(data: bytes) -> tuple[int, int, list[MetablockFrame], int]:
     if data[pos + 4:pos + 8] != constants.TRAILER_SUFFIX:
         raise CorruptContainer("bad trailer magic")
     stored_crc = int.from_bytes(data[pos:pos + 4], "little")
-    return window_size, mb_log2, frames, stored_crc
+    return window_size, mb_log2, frames, stored_crc, flags
 
 
 def check_crc(raw: bytes, stored_crc: int) -> None:

@@ -43,7 +43,7 @@ def test_multi_metablock():
             else b"some text that repeats itself " * 1500)
     opts = DivansOptions(metablock_size=8192)
     blob = _roundtrip(data, opts)
-    _w, _mb, frames, _crc = fmt.deserialize(blob)
+    _w, _mb, frames, _crc, _flags = fmt.deserialize(blob)
     assert len(frames) == (len(data) + 8191) // 8192
 
 
