@@ -1,19 +1,21 @@
-"""Textual IR format — the debugging oracle.
+"""Textual IR format — the debugging oracle, reference-dialect compatible.
 
-Mirrors the reference CLI's IR dialect (src/bin/divans.rs:191-483,
-command_parse): one command per line, used to (a) drive the coder from a
-hand-written command stream (`-i`), (b) regenerate raw bytes from IR
-without entropy coding (`--recode`), and (c) dump the matcher's output
-(`--ir`).  Lines:
+Speaks the dialect of the reference CLI (src/bin/divans.rs:191-483
+command_parse; printing src/bin/divans.rs util), so the reference's
+checked-in `.ir` fixtures (testdata/*.ir) parse and recode directly —
+the same oracle its integration tests use (bin/integration_test.rs:76-108).
 
-    window <log2>
-    prediction <utf8|sign|lsb6|msb6> [lcontextmap b...] [dcontextmap b...]
-               [mixingvalues n...] [cmspeedinc i] [cmspeedmax m]
-               [stspeedinc i] [stspeedmax m]
-    ltype <N> [stride]   | ctype <N> | dtype <N>
-    copy <N> from <D>
-    dict <N> word <LEN>,<IDX> func <T>
-    insert <N> "<data>"    (data printf-escaped, reference util.rs)
+    window <log2> [len <total>]
+    prediction <utf8|sign|lsb6|msb6> [lcontextmap n...] [dcontextmap n...]
+        [mixingvalues n...] [cmspeedinc a [b]] [cmspeedmax a [b]]
+        [stspeedinc a [b]] [stspeedmax a [b]] [mxspeedinc ...] (mx ignored)
+    ltype <N> [stride] | ctype <N> | dtype <N>
+    copy <N> from <D> [ctx C]            (len 0 lines are dropped)
+    insert <N> <hex-bytes>
+    dict <FINAL> word <LEN>,<IDX> [hexword] func <T> [hexout] [ctx C]
+
+Extra trailing tokens (the ctx annotations the reference prints) are
+accepted and ignored, as in the reference parser.
 """
 from __future__ import annotations
 
@@ -25,42 +27,13 @@ _PM_NAMES = {"lsb6": 0, "msb6": 1, "sign": 2, "utf8": 3}
 _PM_RNAMES = {v: k for k, v in _PM_NAMES.items()}
 
 
-def _escape(data: bytes) -> str:
-    out = []
-    for b in data:
-        if b in (0x5C,):
-            out.append("\\\\")
-        elif b == 0x22:
-            out.append('\\"')
-        elif 0x20 <= b < 0x7F:
-            out.append(chr(b))
-        else:
-            out.append(f"\\x{b:02x}")
-    return "".join(out)
-
-
-def _unescape(s: str) -> bytes:
-    out = bytearray()
-    i = 0
-    while i < len(s):
-        ch = s[i]
-        if ch == "\\" and i + 1 < len(s):
-            nxt = s[i + 1]
-            if nxt == "x" and i + 3 < len(s) + 1:
-                out.append(int(s[i + 2:i + 4], 16))
-                i += 4
-                continue
-            out.append(ord(nxt))
-            i += 2
-            continue
-        out.append(ord(ch))
-        i += 1
-    return bytes(out)
-
-
-def dump(commands: list[cmds.Command], window: int) -> str:
-    """Commands -> IR text."""
-    lines = [f"window {window}"]
+def dump(commands: list[cmds.Command], window: int,
+         total_len: int | None = None) -> str:
+    """Commands -> IR text (reference print dialect)."""
+    head = f"window {window}"
+    if total_len is not None:
+        head += f" len {total_len}"
+    lines = [head]
     for c in commands:
         if isinstance(c, cmds.PredictionMode):
             parts = [f"prediction {_PM_RNAMES[c.literal_prediction_mode]}"]
@@ -74,16 +47,22 @@ def dump(commands: list[cmds.Command], window: int) -> str:
                 parts.append("mixingvalues " + " ".join(
                     str(b) for b in c.mixing_values))
             sp = c.speeds
-            parts.append(f"stspeedinc {sp[0].inc} stspeedmax {sp[0].lim}")
-            parts.append(f"cmspeedinc {sp[2].inc} cmspeedmax {sp[2].lim}")
+            parts.append(f"stspeedinc {sp[0].inc} {sp[1].inc} "
+                         f"stspeedmax {sp[0].lim} {sp[1].lim}")
+            parts.append(f"cmspeedinc {sp[2].inc} {sp[3].inc} "
+                         f"cmspeedmax {sp[2].lim} {sp[3].lim}")
             lines.append(" ".join(parts))
         elif isinstance(c, cmds.Literal):
-            lines.append(f'insert {len(c.data)} "{_escape(c.data)}"')
+            lines.append(f"insert {len(c.data)} {c.data.hex()}")
         elif isinstance(c, cmds.Copy):
             lines.append(f"copy {c.num_bytes} from {c.distance}")
         elif isinstance(c, cmds.Dict):
+            word = dictionary.load().raw_word(c.word_size, c.word_id)
+            out = dictionary.load().transform_word(
+                c.word_size, c.word_id, c.transform)
             lines.append(f"dict {c.final_size} word "
-                         f"{c.word_size},{c.word_id} func {c.transform}")
+                         f"{c.word_size},{c.word_id} {word.hex()} "
+                         f"func {c.transform} {out.hex()}")
         elif isinstance(c, cmds.BlockSwitchLiteral):
             lines.append(f"ltype {c.block_type} {c.stride}")
         elif isinstance(c, cmds.BlockSwitchCommand):
@@ -108,22 +87,26 @@ def parse(text: str) -> tuple[int, list[cmds.Command]]:
         if kind == "window":
             window = int(tok[1])
         elif kind == "prediction":
-            out.append(_parse_prediction(line, tok))
+            out.append(_parse_prediction(tok))
         elif kind == "insert":
             n = int(tok[1])
-            first = line.index('"')
-            last = line.rindex('"')
-            data = _unescape(line[first + 1:last])
+            if n == 0:
+                continue
+            data = bytes.fromhex(tok[2])
             assert len(data) == n, (len(data), n, line[:60])
             out.append(cmds.Literal(data))
         elif kind == "copy":
-            assert tok[2] == "from"
-            out.append(cmds.Copy(distance=int(tok[3]), num_bytes=int(tok[1])))
+            assert tok[2] == "from", line[:60]
+            n = int(tok[1])
+            if n == 0:
+                continue
+            out.append(cmds.Copy(distance=int(tok[3]), num_bytes=n))
         elif kind == "dict":
-            assert tok[2] == "word" and tok[4] == "func"
+            assert tok[2] == "word", line[:60]
             wlen, wid = tok[3].split(",")
+            func = tok[tok.index("func") + 1]
             out.append(cmds.Dict(word_size=int(wlen), word_id=int(wid),
-                                 transform=int(tok[5]),
+                                 transform=int(func),
                                  final_size=int(tok[1])))
         elif kind == "ltype":
             out.append(cmds.BlockSwitchLiteral(
@@ -137,47 +120,42 @@ def parse(text: str) -> tuple[int, list[cmds.Command]]:
     return window, out
 
 
-def _parse_prediction(line: str, tok: list[str]) -> cmds.PredictionMode:
+def _take_ints(tok: list[str], key: str, limit: int = 1 << 30) -> list[int]:
+    if key not in tok:
+        return []
+    vals = []
+    for t in tok[tok.index(key) + 1:]:
+        try:
+            vals.append(int(t))
+        except ValueError:
+            break
+        if len(vals) >= limit:
+            break
+    return vals
+
+
+def _parse_prediction(tok: list[str]) -> cmds.PredictionMode:
     pm = _PM_NAMES[tok[1]]
-    lcm, dcm, mv = b"", b"", b""
-    st_inc = st_lim = cm_inc = cm_lim = None
-    i = 2
-    while i < len(tok):
-        key = tok[i]
-        if key in ("lcontextmap", "dcontextmap", "mixingvalues"):
-            j = i + 1
-            vals = []
-            while j < len(tok) and tok[j].isdigit():
-                vals.append(int(tok[j]))
-                j += 1
-            if key == "lcontextmap":
-                lcm = bytes(vals)
-            elif key == "dcontextmap":
-                dcm = bytes(vals)
-            else:
-                mv = bytes(vals)
-            i = j
-        elif key in ("stspeedinc", "stspeedmax", "cmspeedinc", "cmspeedmax"):
-            v = int(tok[i + 1])
-            if key == "stspeedinc":
-                st_inc = v
-            elif key == "stspeedmax":
-                st_lim = v
-            elif key == "cmspeedinc":
-                cm_inc = v
-            else:
-                cm_lim = v
-            i += 2
-        else:
-            raise ValueError(f"unknown prediction field {key}")
+    lcm = bytes(_take_ints(tok, "lcontextmap"))
+    dcm = bytes(_take_ints(tok, "dcontextmap"))
+    mv = bytes(_take_ints(tok, "mixingvalues", 8192))
+    st_inc = _take_ints(tok, "stspeedinc", 2)
+    st_max = _take_ints(tok, "stspeedmax", 2)
+    cm_inc = _take_ints(tok, "cmspeedinc", 2)
+    cm_max = _take_ints(tok, "cmspeedmax", 2)
+
+    def _pair(incs, maxs, d_inc, d_max):
+        lo = Speed(incs[0] if incs else d_inc, maxs[0] if maxs else d_max)
+        hi = Speed(incs[1] if len(incs) > 1 else lo.inc,
+                   maxs[1] if len(maxs) > 1 else lo.lim)
+        return lo, hi
+
     d = DEFAULT_LITERAL_SPEED
-    st = Speed(st_inc if st_inc is not None else d.inc,
-               st_lim if st_lim is not None else d.lim)
-    cm = Speed(cm_inc if cm_inc is not None else 8,
-               cm_lim if cm_lim is not None else 8192)
+    st_lo, st_hi = _pair(st_inc, st_max, d.inc, d.lim)
+    cm_lo, cm_hi = _pair(cm_inc, cm_max, 8, 8192)
     return cmds.PredictionMode(
         literal_prediction_mode=pm, context_mixing=1 if lcm else 0,
-        speeds=(st, st, cm, cm),
+        speeds=(st_lo, st_hi, cm_lo, cm_hi),
         literal_context_map=lcm, distance_context_map=dcm, mixing_values=mv)
 
 
