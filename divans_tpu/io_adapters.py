@@ -1,0 +1,181 @@
+"""Streaming io adapters (reference: src/reader.rs / src/writer.rs —
+DivansBrotliHybridCompressorWriter/Reader etc., src/lib.rs:96-108).
+
+The reference exposes std::io Read/Write wrappers that pump re-entrant
+state machines.  Our format is metablock-framed, so streaming falls out
+of buffering one metablock at a time: the writer coalesces input until a
+metablock boundary, emits complete frames; the reader consumes frames as
+they complete.  Memory is bounded by one metablock either way.
+
+The file-level crc32c trailer covers the whole stream; it is computed
+incrementally (crc32c supports streaming update).
+"""
+from __future__ import annotations
+
+import io
+
+from .options import DivansOptions
+from .container import format as fmt
+from .container.crc32c import crc32c
+from .codec.layout import profile_for_options, PROFILE_FLAGS
+
+
+class CompressorWriter(io.RawIOBase):
+    """Write raw bytes; compressed container bytes flow to `sink`.
+
+    close() (or flush_final()) emits the trailing frame + checksum."""
+
+    def __init__(self, sink, options: DivansOptions | None = None,
+                 engine: str = "auto"):
+        self.sink = sink
+        self.options = options or DivansOptions()
+        self.engine = engine
+        self._buf = bytearray()
+        self._crc = 0
+        self._started = False
+        self._finished = False
+
+    def writable(self) -> bool:
+        return True
+
+    def _emit_header(self) -> None:
+        if not self._started:
+            self.sink.write(fmt.write_header(
+                self.options.window_size, self.options.mb_log2,
+                PROFILE_FLAGS[profile_for_options(self.options)]))
+            self._started = True
+
+    def _emit_block(self, raw: bytes) -> None:
+        from .codec import engine_np
+        from .ir.matcher import build_commands
+        self._emit_header()
+        commands = build_commands(raw, self.options)
+        cmd_b, lit_b = engine_np.encode_metablock(raw, commands, self.options)
+        self.sink.write(fmt.write_frame(fmt.MetablockFrame(len(raw), cmd_b,
+                                                           lit_b)))
+        self._crc = crc32c(raw, self._crc)
+
+    def write(self, data) -> int:
+        assert not self._finished, "write after close"
+        self._buf += bytes(data)
+        mb = self.options.metablock_size
+        while len(self._buf) >= mb:
+            self._emit_block(bytes(self._buf[:mb]))
+            del self._buf[:mb]
+        return len(data)
+
+    def flush_final(self) -> None:
+        if self._finished:
+            return
+        self._emit_header()
+        if self._buf:
+            self._emit_block(bytes(self._buf))
+            self._buf.clear()
+        self.sink.write(bytes([fmt.constants.FRAME_EOF]))
+        self.sink.write(self._crc.to_bytes(4, "little")
+                        + fmt.constants.TRAILER_SUFFIX)
+        self._finished = True
+
+    def close(self) -> None:
+        if not self.closed:
+            self.flush_final()
+            super().close()
+
+
+class DecompressorReader(io.RawIOBase):
+    """Read decompressed bytes from a compressed-container `source`.
+
+    With `partial=True`, running out of source bytes mid-frame is not an
+    error: read() returns what is decodable now and `needs_input` turns
+    True — push-style streaming (the C API's divans_decode loop)."""
+
+    def __init__(self, source, options: DivansOptions | None = None,
+                 partial: bool = False):
+        self.source = source
+        self.partial = partial
+        self.needs_input = False
+        self.options = options or DivansOptions()
+        self._in = bytearray()
+        self._out = bytearray()
+        self._pos = 0          # parse position inside self._in
+        self._header_done = False
+        self._eof = False
+        self._crc = 0
+        self._stored_crc = None
+
+    def readable(self) -> bool:
+        return True
+
+    def _fill(self, n: int = 1 << 16) -> bool:
+        chunk = self.source.read(n)
+        if chunk:
+            self._in += chunk
+            return True
+        return False
+
+    def _dry(self, msg: str) -> bool:
+        """Source ran dry mid-structure: suspend (partial) or fail."""
+        if self.partial:
+            self.needs_input = True
+            return False
+        raise fmt.CorruptContainer(msg)
+
+    def _step(self) -> bool:
+        """Try to decode one frame from the input buffer."""
+        from .codec import engine_np
+        data = self._in
+        if not self._header_done:
+            while len(data) < 16:
+                if not self._fill():
+                    return self._dry("truncated header")
+            fmt.parse_header(bytes(data[:16]))
+            self._pos = 16
+            self._header_done = True
+        while True:
+            if self._pos >= len(data):
+                if not self._fill():
+                    return self._dry("truncated stream")
+                continue
+            ftype = data[self._pos]
+            if ftype == fmt.constants.FRAME_EOF:
+                while len(data) < self._pos + 9:
+                    if not self._fill():
+                        return self._dry("truncated trailer")
+                if bytes(data[self._pos + 5:self._pos + 9]) != \
+                        fmt.constants.TRAILER_SUFFIX:
+                    raise fmt.CorruptContainer("bad trailer magic")
+                self._stored_crc = int.from_bytes(
+                    data[self._pos + 1:self._pos + 5], "little")
+                if self._stored_crc != self._crc:
+                    raise fmt.CorruptContainer("crc mismatch")
+                self._eof = True
+                return False
+            try:
+                raw_len, p = fmt.read_varint(data, self._pos + 1)
+                cmd_len, p = fmt.read_varint(data, p)
+                lit_len, p = fmt.read_varint(data, p)
+                if p + cmd_len + lit_len > len(data):
+                    raise fmt.CorruptContainer("partial frame")
+            except fmt.CorruptContainer:
+                if not self._fill():
+                    return self._dry("truncated frame")
+                continue
+            cmd = bytes(data[p:p + cmd_len])
+            lit = bytes(data[p + cmd_len:p + cmd_len + lit_len])
+            raw = engine_np.decode_metablock(cmd, lit, raw_len, self.options)
+            self._crc = crc32c(raw, self._crc)
+            self._out += raw
+            del self._in[:p + cmd_len + lit_len]
+            self._pos = 0
+            return True
+
+    def read(self, n: int = -1) -> bytes:
+        self.needs_input = False
+        while not self._eof and (n < 0 or len(self._out) < n):
+            if not self._step():
+                break
+        if n < 0:
+            n = len(self._out)
+        out = bytes(self._out[:n])
+        del self._out[:n]
+        return out
