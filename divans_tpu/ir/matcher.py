@@ -22,6 +22,35 @@ from .. import constants
 MIN_MATCH = 4
 _HASH_MUL = 0x1E35A7BD  # Fibonacci-style multiplicative hash (public-domain LZ idiom)
 
+_DICT_INDEX: dict | None = None
+_DICT_LENGTHS = range(4, 10)   # lengths probed at match time
+
+
+def _dict_index() -> dict:
+    """bytes -> (word_size, word_id, transform) for identity and
+    identity+space transforms of the probed lengths (static dictionary
+    matching; the reference gets this from the brotli encoder,
+    src/brotli_ir_gen.rs)."""
+    global _DICT_INDEX
+    if _DICT_INDEX is not None:
+        return _DICT_INDEX
+    from .. import dictionary
+    d = dictionary.load()
+    index: dict[bytes, tuple[int, int, int]] = {}
+    if d.available:
+        tids = {}
+        for tid, (prefix, ttype, suffix) in enumerate(d.transforms):
+            if ttype == 0 and prefix == b"" and suffix in (b"", b" "):
+                tids.setdefault(suffix, tid)
+        for wlen in _DICT_LENGTHS:
+            nwords = 1 << dictionary.DICT_BITS[wlen]
+            for wid in range(nwords):
+                w = d.raw_word(wlen, wid)
+                for suffix, tid in tids.items():
+                    index.setdefault(w + suffix, (wlen, wid, tid))
+    _DICT_INDEX = index
+    return index
+
 
 def default_prediction_mode(options: DivansOptions) -> cmds.PredictionMode:
     """The model header we emit per metablock."""
@@ -118,15 +147,57 @@ def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
     return matches
 
 
+def _dict_matches_in(raw: bytes, lo: int, hi: int) -> list[tuple[int, tuple]]:
+    """Greedy static-dictionary matches inside the literal run [lo, hi)."""
+    index = _dict_index()
+    if not index:
+        return []
+    out = []
+    i = lo
+    while i + MIN_MATCH <= hi:
+        hit = None
+        for wlen in (9, 8, 7, 6, 5, 4):
+            if i + wlen <= hi:
+                hit = index.get(raw[i:i + wlen])
+                if hit is not None:
+                    out.append((i, (wlen, *hit)))
+                    i += wlen
+                    break
+        if hit is None:
+            i += 1
+    return out
+
+
 def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
     out: list[cmds.Command] = [default_prediction_mode(options)]
     matches = find_matches(raw, options.quality)
+    # static-dictionary matching inside literal runs (quality 11 trades
+    # device-scan decode for ratio: dict commands decode via the golden
+    # fallback until the scan learns the dictionary)
+    use_dict = options.quality >= 11
+
+    def emit_literal_run(lo: int, hi: int) -> None:
+        pos = lo
+        if use_dict:
+            for (dpos, (flen, wlen, wid, tid)) in _dict_matches_in(raw, lo, hi):
+                if dpos > pos:
+                    out.append(cmds.Literal(raw[pos:dpos]))
+                out.append(cmds.Dict(word_size=wlen, word_id=wid,
+                                     transform=tid, final_size=flen))
+                pos = dpos + flen
+        if hi > pos:
+            out.append(cmds.Literal(raw[pos:hi]))
+
     pos = 0
     for (mpos, dist, mlen) in matches:
         if mpos > pos:
-            out.append(cmds.Literal(raw[pos:mpos]))
+            emit_literal_run(pos, mpos)
         out.append(cmds.Copy(distance=dist, num_bytes=mlen))
         pos = mpos + mlen
     if pos < len(raw):
-        out.append(cmds.Literal(raw[pos:]))
+        emit_literal_run(pos, len(raw))
+    if options.divans_ir_optimizer:
+        from .optimize import optimize
+        body = optimize(raw, out[1:])
+        out = out[:1] + body
     return out
