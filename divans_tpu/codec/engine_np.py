@@ -104,16 +104,24 @@ class MetablockCodec:
             literal_len = len(cmd.data)
             serialized = (literal_len - (NUM_LITERAL_LENGTH_MNEMONIC + 1)) & 0xFFFFFFFF
             shortcut = min(NUM_LITERAL_LENGTH_MNEMONIC, literal_len - 1)
+            if cmd.high_entropy:
+                # escape nibble, then the length is re-coded (literal.rs:569-583)
+                self._nib(io, bk.lit_len_priors, ("cs", ctype, 0),
+                          NUM_LITERAL_LENGTH_MNEMONIC + 1, MED)
         else:
             serialized = 0
             shortcut = 0
         # LiteralCountSmall (literal.rs:565-596)
         shortcut = self._nib(io, bk.lit_len_priors, ("cs", ctype, 0), shortcut, MED)
+        if shortcut == NUM_LITERAL_LENGTH_MNEMONIC + 1:
+            # high-entropy flag set; the length arrives in the next nibble
+            shortcut = self._nib(io, bk.lit_len_priors, ("cs", ctype, 0),
+                                 0, MED)
+            if shortcut == NUM_LITERAL_LENGTH_MNEMONIC + 1:
+                raise CorruptStream("repeated high-entropy escape")
         if shortcut < NUM_LITERAL_LENGTH_MNEMONIC:
             num_bytes = shortcut + 1
             bk.last_llen = num_bytes
-        elif shortcut == NUM_LITERAL_LENGTH_MNEMONIC + 1:
-            raise CorruptStream("high-entropy literal escape unsupported")
         else:
             # LiteralCountFirst (:597-621)
             lllen = bit_length(serialized)

@@ -304,6 +304,7 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
         ml = m & (v == 3)
         l4s = upd(ml, l4s, ((l4s >> 2) | 128) & 0xFF)
         st2 = upd(ml, st2, L_CS)
+        nxt["tmpa"] = jnp.where(ml, 0, c["tmpa"])  # high-entropy escape seen
         mc = m & (v == 1)
         l4s = upd(mc, l4s, ((l4s >> 2) | 64) & 0xFF)
         st2 = upd(mc, st2, C_CS)
@@ -324,7 +325,11 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
         llen = upd(short, llen, v + 1)
         st2 = upd(short, st2, L_HI)
         st2 = upd(m & (v == 14), st2, L_BEG)
-        err |= m & (v == 15)               # high-entropy escape unsupported
+        # high-entropy escape: length re-coded next nibble (once)
+        esc = m & (v == 15)
+        err |= esc & (c["tmpa"] != 0)
+        nxt["tmpa"] = jnp.where(esc, 1, nxt["tmpa"])
+        # (escape lanes stay in L_CS)
 
         # --- L_BEG
         m = st == L_BEG
@@ -522,7 +527,7 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
         tmpa = upd(m & (pt == 1), tmpa, tmpa | v)
         r0s = upd(m & (pt == 2), c["r0"], v << 3)
         r0s = upd(m & (pt == 3), r0s, r0s | v)
-        nxt["tmpa"] = tmpa
+        nxt["tmpa"] = jnp.where(m, tmpa, nxt["tmpa"])
         nxt["r0"] = jnp.where(m, r0s, nxt["r0"])
         spd_done = m & (pt == 3)
         new_speed = jnp.stack([_u8_to_speed(tmpa), _u8_to_speed(r0s)], -1)

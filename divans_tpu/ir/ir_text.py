@@ -53,7 +53,8 @@ def dump(commands: list[cmds.Command], window: int,
                          f"cmspeedmax {sp[2].lim} {sp[3].lim}")
             lines.append(" ".join(parts))
         elif isinstance(c, cmds.Literal):
-            lines.append(f"insert {len(c.data)} {c.data.hex()}")
+            verb = "rndins" if c.high_entropy else "insert"
+            lines.append(f"{verb} {len(c.data)} {c.data.hex()}")
         elif isinstance(c, cmds.Copy):
             lines.append(f"copy {c.num_bytes} from {c.distance}")
         elif isinstance(c, cmds.Dict):
@@ -88,13 +89,13 @@ def parse(text: str) -> tuple[int, list[cmds.Command]]:
             window = int(tok[1])
         elif kind == "prediction":
             out.append(_parse_prediction(tok))
-        elif kind == "insert":
+        elif kind in ("insert", "rndins"):
             n = int(tok[1])
             if n == 0:
                 continue
             data = bytes.fromhex(tok[2])
             assert len(data) == n, (len(data), n, line[:60])
-            out.append(cmds.Literal(data))
+            out.append(cmds.Literal(data, high_entropy=(kind == "rndins")))
         elif kind == "copy":
             assert tok[2] == "from", line[:60]
             n = int(tok[1])

@@ -144,3 +144,24 @@ def test_block_switch_roundtrip():
     cmd_b, lit_b = engine_np.encode_metablock(raw, commands, opts)
     out = engine_np.decode_metablock(cmd_b, lit_b, len(raw), opts)
     assert out == raw
+
+
+def test_high_entropy_literal_escape():
+    """rndins / high-entropy literal (reference literal.rs:569-583): the
+    escape nibble travels; content codes identically on both engines."""
+    import numpy as np
+    from divans_tpu.ir import commands as cmds
+    from divans_tpu.ir.matcher import default_prediction_mode
+    from divans_tpu.container.crc32c import crc32c
+    from divans_tpu.codec import jax_engine
+
+    rng = np.random.RandomState(1)
+    raw = bytes(rng.randint(0, 256, 2000).astype(np.uint8))
+    opts = DivansOptions()
+    commands = [default_prediction_mode(opts),
+                cmds.Literal(raw, high_entropy=True)]
+    cb, lb = engine_np.encode_metablock(raw, commands, opts)
+    blob = fmt.serialize([fmt.MetablockFrame(len(raw), cb, lb)], 22, 18,
+                         crc32c(raw))
+    assert engine_np.decompress(blob) == raw
+    assert jax_engine.decompress(blob) == raw
