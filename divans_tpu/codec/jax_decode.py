@@ -151,11 +151,15 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
                            (b, 4, 1)).reshape(b, 4, 2),
     }
 
+    UNROLL = 4  # FSM micro-steps per while iteration (PERF_NOTES.md:
+                # XLA loop iterations carry ~10us overhead; the body is
+                # a no-op for DONE/ERROR lanes so over-stepping is safe)
+
     def cond(c):
         live = (c["st"] != DONE) & (c["st"] != ERROR)
         return jnp.any(live) & (c["steps"] < max_steps)
 
-    def body(c):
+    def body_once(c):
         st = c["st"]
         wpos = c["wpos"]
         window = c["window"]
@@ -606,6 +610,11 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
                    llen=llen, clen=clen, dlen=dlen, nb=nb, dist=dist,
                    acc=acc, lrem=lrem, first=first, aprior=aprior)
         return nxt
+
+    def body(c):
+        for _ in range(UNROLL):
+            c = body_once(c)
+        return c
 
     out = jax.lax.while_loop(cond, body, init)
     ok = (out["st"] == DONE) & (out["wpos"] == raw_len)

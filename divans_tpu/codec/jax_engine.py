@@ -49,17 +49,21 @@ def _weights_init(b: int):
     return jnp.asarray(w)
 
 
+UNROLL = 8  # trace steps per scan iteration (amortizes the ~10us/iter
+            # XLA loop overhead measured in PERF_NOTES.md)
+
+
 @functools.partial(jax.jit, static_argnames=("num_rows",))
 def model_pass(trace, num_rows):
     """trace: int32[B, N, 10] (padded steps: all-zero row with lim!=0).
 
     Returns (starts int32[B, N], freqs int32[B, N])."""
-    b = trace.shape[0]
+    b, n = trace.shape[:2]
     model = _model_init(b, num_rows)
     weights = _weights_init(b)
     bidx = jnp.arange(b)
 
-    def step(carry, xs):
+    def substep(carry, xs):
         model, weights = carry
         flat, value, _stream, inc, lim, mix, which, cm_idx, cm_inc, cm_lim = \
             [xs[:, i] for i in range(10)]
@@ -85,8 +89,19 @@ def model_pass(trace, num_rows):
         model = model.at[bidx, cm_idx].set(cm2)
         return (model, weights), (start, freq)
 
-    (_, _), (starts, freqs) = jax.lax.scan(
-        step, (model, weights), jnp.swapaxes(trace, 0, 1))
+    def step(carry, xs):
+        outs = []
+        for u in range(xs.shape[0]):
+            carry, out = substep(carry, xs[u])
+            outs.append(out)
+        return carry, (jnp.stack([o[0] for o in outs]),
+                       jnp.stack([o[1] for o in outs]))
+
+    assert n % UNROLL == 0, (n, UNROLL)  # _pad_traces pads to pow2 >= 16
+    xs = jnp.swapaxes(trace, 0, 1).reshape(n // UNROLL, UNROLL, b, 10)
+    (_, _), (starts, freqs) = jax.lax.scan(step, (model, weights), xs)
+    starts = starts.reshape(n, b)
+    freqs = freqs.reshape(n, b)
     return jnp.swapaxes(starts, 0, 1), jnp.swapaxes(freqs, 0, 1)
 
 
