@@ -134,8 +134,12 @@ def compress(data: bytes, options: DivansOptions | None = None,
     blocks = [data[off:off + mb] for off in range(0, len(data), mb)]
     traces = []
     for raw in blocks:
-        commands = build_commands(raw, options)
-        traces.append(trace_mod.build_trace(raw, commands, options, layout))
+        from .. import native
+        t = native.build_trace(raw, options, layout)  # C++ fast path
+        if t is None:
+            commands = build_commands(raw, options)
+            t = trace_mod.build_trace(raw, commands, options, layout)
+        traces.append(t)
 
     trace = _pad_traces(traces)
     starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)

@@ -1,0 +1,449 @@
+// Native encode front-end: LZ matcher + trace-builder FSM.
+//
+// The reference's runtime is native (Rust); ours keeps JAX/XLA for the
+// compute path and implements the host-side encode front-end natively:
+//   dtpu_match():       hash-chain greedy+lazy matcher (ir/matcher.py's
+//                       algorithm, C++ speed)
+//   dtpu_build_trace(): the encode-side command FSM with zero CDF work,
+//                       emitting the per-nibble coding trace consumed by
+//                       the device model-pass scan (codec/trace.py is
+//                       the Python twin; tests assert identical traces)
+//
+// Scope: the fast profiles our own encoder emits (PredictionMode +
+// Literal/Copy commands, block type 0, identity context maps, constant
+// mixing mask). Dict commands / foreign shapes stay on the Python path.
+//
+// Build: make -C native  (produces libdivans_tpu_native.so; loaded via
+// ctypes by divans_tpu/native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- matcher
+
+struct Match { int32_t pos, dist, len; };
+
+static inline uint32_t hash4(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return (v * 0x1E35A7BDu) >> 17;  // 15-bit bucket
+}
+
+// Greedy+lazy hash-chain matching; mirrors ir/matcher.py find_matches.
+// out receives (pos, dist, len) triples; returns the number of matches.
+int32_t dtpu_match(const uint8_t* data, int32_t n, int32_t quality,
+                   Match* out, int32_t out_cap) {
+    const int MIN_MATCH = 4;
+    if (n < MIN_MATCH) return 0;
+    int depth = 1 << (quality > 4 ? (quality - 4 > 6 ? 6 : quality - 4) : 0);
+    bool lazy = quality >= 5;
+    // chains: per-bucket vector of positions (pruned like the Python twin)
+    static thread_local std::vector<std::vector<int32_t>> chains;
+    chains.assign(1 << 15, {});
+    int32_t count = 0;
+
+    auto best_at = [&](int32_t i, int32_t* bl, int32_t* bd) {
+        *bl = 0; *bd = 0;
+        if (i + MIN_MATCH > n) return;
+        auto& cand = chains[hash4(data + i)];
+        int32_t best_len = 0, best_dist = 0;
+        int32_t lo = (int32_t)cand.size() > depth ? (int32_t)cand.size() - depth : 0;
+        for (int32_t k = (int32_t)cand.size() - 1; k >= lo; --k) {
+            int32_t j = cand[k];
+            int32_t l = 0;
+            int32_t maxl = n - i;
+            const uint8_t* a = data + j;
+            const uint8_t* b = data + i;
+            while (l < maxl && a[l] == b[l]) ++l;
+            if (l > best_len || (l == best_len && i - j < best_dist)) {
+                best_len = l;
+                best_dist = i - j;
+                if (l >= 128) break;
+            }
+        }
+        if (best_len >= MIN_MATCH) { *bl = best_len; *bd = best_dist; }
+    };
+    auto insert = [&](int32_t i) {
+        if (i + 4 <= n) {
+            auto& lst = chains[hash4(data + i)];
+            lst.push_back(i);
+            if ((int32_t)lst.size() > 4 * depth)
+                lst.erase(lst.begin(), lst.begin() + 2 * depth);
+        }
+    };
+
+    int32_t i = 0;
+    while (i + MIN_MATCH <= n) {
+        int32_t l, d;
+        best_at(i, &l, &d);
+        if (l) {
+            if (lazy && i + 1 + MIN_MATCH <= n) {
+                insert(i);
+                int32_t l2, d2;
+                best_at(i + 1, &l2, &d2);
+                if (l2 > l + 1) { i += 1; l = l2; d = d2; }
+            }
+            if (count >= out_cap) return -1;
+            out[count++] = Match{i, d, l};
+            int32_t end = i + l;
+            if (lazy) {
+                int32_t step = (l > 64) ? (l / 8 > 1 ? l / 8 : 1) : 1;
+                for (int32_t j = i + 1; j < end; j += step) insert(j);
+            }
+            i = end;
+        } else {
+            insert(i);
+            i += 1;
+        }
+    }
+    return count;
+}
+
+// ----------------------------------------------------------- trace builder
+
+// segment offsets, indexed as passed from codec/layout.py (see
+// divans_tpu/native.py SEGS for the order)
+enum Seg {
+    SEG_CC, SEG_LL_CS, SEG_LL_BEG, SEG_LL_LAST, SEG_LL_MANT,
+    SEG_C_CCS, SEG_C_CBEG, SEG_C_CLAST, SEG_C_CMANT,
+    SEG_C_DMN, SEG_C_DBEG, SEG_C_DLAST, SEG_C_DMANT,
+    SEG_BT_STRIDE,
+    SEG_PM_ONLY, SEG_PM_DCM, SEG_PM_PD, SEG_PM_PALETTE, SEG_PM_MVMODE,
+    SEG_PM_CMN, SEG_PM_CF, SEG_PM_CS,
+    SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
+    SEG_COUNT
+};
+
+struct Speed { int32_t inc, lim; };
+static const Speed MUD{0x10, 0x2000}, SLOW{0x20, 0x1000}, MED{0x30, 0x4000},
+    FAST{0x60, 0x4000}, ROCKET{0x180, 0x4000};
+static const int32_t NOOP_LIM = 0x4000;
+
+struct TraceCtx {
+    const int32_t* seg;
+    int32_t* out;       // [cap, 10]
+    int32_t cap, nsteps;
+    bool overflow;
+    // bookkeeping
+    int32_t l4s = 3 << 4;
+    int32_t dlru[4] = {4, 11, 15, 16};
+    int32_t last_llen = 1, last_clen = 1, last_dlen = 1;
+    // literal side
+    const uint8_t* lut0;
+    const uint8_t* lut1;
+    bool combine = false;
+    bool use_cm = true;        // profile: cm (mm=0) vs stride (mm=4)
+    Speed adapt[4] = {MUD, MUD, {8, 8192}, {8, 8192}};
+    int32_t nctx;              // layout cm_second minor dim
+};
+
+static inline void rec(TraceCtx& c, int32_t flat, int32_t value,
+                       int32_t stream, Speed sp, int32_t mix = 0,
+                       int32_t which = 0, int32_t cm_idx = 0,
+                       Speed cm_sp = {0, NOOP_LIM}) {
+    if (c.nsteps >= c.cap) { c.overflow = true; return; }
+    int32_t* r = c.out + (int64_t)c.nsteps * 10;
+    r[0] = flat; r[1] = value; r[2] = stream; r[3] = sp.inc; r[4] = sp.lim;
+    r[5] = mix; r[6] = which; r[7] = cm_idx; r[8] = cm_sp.inc; r[9] = cm_sp.lim;
+    c.nsteps++;
+}
+
+static inline int32_t bitlen(uint32_t v) {
+    return v ? 32 - __builtin_clz(v) : 0;
+}
+static inline int32_t rum4(int32_t v) { return ((v - 1) | 3) + 1; }
+
+static void mantissa(TraceCtx& c, int32_t seg_rest, int32_t seg_first,
+                     int32_t value, int32_t len_rem, int32_t seed,
+                     Speed sp_rest, Speed sp_first) {
+    int32_t decoded = seed;
+    int i = 0;
+    while (len_rem > 0) {
+        int32_t next_rem = len_rem - 4;
+        int32_t nib = ((value ^ decoded) >> next_rem) & 0xF;
+        rec(c, i == 0 ? seg_first : seg_rest, nib, 0,
+            i == 0 ? sp_first : sp_rest);
+        decoded |= nib << next_rem;
+        len_rem = next_rem;
+        ++i;
+    }
+}
+
+static void code_literal_content(TraceCtx& c, const uint8_t* raw,
+                                 int32_t pos, int32_t nbytes) {
+    const int32_t* seg = c.seg;
+    for (int32_t k = 0; k < nbytes; ++k) {
+        int32_t p = pos + k;
+        int32_t prev = p >= 1 ? raw[p - 1] : 0;
+        int32_t prev2 = p >= 2 ? raw[p - 2] : 0;
+        int32_t byte = raw[p];
+        int32_t hi = byte >> 4, lo = byte & 0xF;
+        if (c.use_cm) {   // mm_opts == 0: ctx-indexed tables, sel 0
+            int32_t ctx = c.lut0[prev] | c.lut1[prev2];  // identity lcm
+            int32_t hi_flat = seg[SEG_LIT_HI] + ctx;
+            int32_t lo_flat = seg[SEG_LIT_LO] + ctx * 16 + hi;
+            if (c.combine) {
+                rec(c, hi_flat, hi, 1, c.adapt[0], 1, 1,
+                    seg[SEG_CM_FIRST] + ctx, c.adapt[3]);
+                rec(c, lo_flat, lo, 1, c.adapt[0], 1, 0,
+                    seg[SEG_CM_SECOND] + hi * c.nctx + ctx, c.adapt[2]);
+            } else {
+                rec(c, hi_flat, hi, 1, c.adapt[0]);
+                rec(c, lo_flat, lo, 1, c.adapt[0]);
+            }
+        } else {          // mm_opts == 4: stride-1 prior, sel 1, ctx 0
+            int32_t hi_flat = seg[SEG_LIT_HI] + prev;
+            int32_t lo_flat = seg[SEG_LIT_LO] + prev * 16 + hi;
+            if (c.combine) {
+                rec(c, hi_flat, hi, 1, c.adapt[0], 1, 1,
+                    seg[SEG_CM_FIRST] + 0, c.adapt[3]);
+                rec(c, lo_flat, lo, 1, c.adapt[0], 1, 0,
+                    seg[SEG_CM_SECOND] + hi * c.nctx + 0, c.adapt[2]);
+            } else {
+                rec(c, hi_flat, hi, 1, c.adapt[0]);
+                rec(c, lo_flat, lo, 1, c.adapt[0]);
+            }
+        }
+    }
+}
+
+static void code_literal(TraceCtx& c, const uint8_t* raw, int32_t pos,
+                         int32_t len) {
+    const int32_t* seg = c.seg;
+    int32_t serialized = len - 15;
+    int32_t shortcut = len - 1 < 14 ? len - 1 : 14;
+    rec(c, seg[SEG_LL_CS], shortcut, 0, MED);
+    if (shortcut < 14) {
+        c.last_llen = len;
+    } else {
+        int32_t lllen = bitlen((uint32_t)serialized);
+        int32_t beg = lllen < 15 ? lllen : 15;
+        rec(c, seg[SEG_LL_BEG], beg, 0, MUD);
+        if (beg == 15) {
+            rec(c, seg[SEG_LL_LAST], (lllen - 15) & 0xF, 0, MUD);
+            mantissa(c, seg[SEG_LL_MANT], seg[SEG_LL_MANT], serialized,
+                     rum4(lllen - 1), 1 << (lllen - 1), MUD, MUD);
+            c.last_llen = len;
+        } else if (beg <= 1) {
+            // quirk kept from the reference: last_llen not updated
+        } else {
+            mantissa(c, seg[SEG_LL_MANT], seg[SEG_LL_MANT], serialized,
+                     rum4(beg - 1), 1 << (beg - 1), MUD, MUD);
+            c.last_llen = len;
+        }
+    }
+    code_literal_content(c, raw, pos, len);
+}
+
+static bool dist_from_mnemonic(const int32_t* lru, int32_t code,
+                               int32_t* out) {
+    if (code < 4) { *out = lru[code]; return true; }
+    int32_t unsigned_v = code >> 2;
+    int32_t signed_v = (code & 1) ? -unsigned_v : unsigned_v;
+    int32_t index = (code & 2) >> 1;
+    int32_t ret = lru[index] + signed_v;
+    *out = ret;
+    return ret > 0;
+}
+
+static void code_copy(TraceCtx& c, int32_t distance, int32_t num_bytes) {
+    const int32_t* seg = c.seg;
+    // CountSmall
+    int32_t cs_index = ((c.l4s >> 4) & 3)
+        + 4 * ((c.last_llen - 1 < 3) ? c.last_llen - 1 : 3);
+    int32_t shortcut = num_bytes < 15 ? num_bytes : 15;
+    rec(c, seg[SEG_C_CCS] + cs_index, shortcut, 0, MUD);
+    if (shortcut < 15) {
+        c.last_clen = bitlen((uint32_t)num_bytes);
+    } else {
+        int32_t clen = bitlen((uint32_t)num_bytes);
+        int32_t beg = (clen - 4) < 15 ? (clen - 4) : 15;
+        rec(c, seg[SEG_C_CBEG], beg, 0, FAST);
+        if (beg == 15) {
+            rec(c, seg[SEG_C_CLAST], (clen - 19) & 0xF, 0, FAST);
+            c.last_clen = clen;
+            mantissa(c, seg[SEG_C_CMANT] + 0, seg[SEG_C_CMANT] + (c.last_clen % 4) + 1,
+                     num_bytes, rum4(clen - 1 /*last+18 = clen-1*/),
+                     1 << (clen - 1), SLOW, SLOW);
+        } else {
+            c.last_clen = beg + 4;
+            mantissa(c, seg[SEG_C_CMANT] + 0, seg[SEG_C_CMANT] + (c.last_clen % 4) + 1,
+                     num_bytes, rum4(beg + 3), 1 << (beg + 3), SLOW, SLOW);
+        }
+    }
+    // distance: identity dcm -> actual_prior = min(max(nb,2)-2,3)
+    int32_t ap = num_bytes > 2 ? num_bytes - 2 : 0;
+    if (ap > 3) ap = 3;
+    int32_t mn = 15;
+    for (int32_t code = 0; code < 15; ++code) {
+        int32_t item;
+        if (dist_from_mnemonic(c.dlru, code, &item) && item == distance) {
+            mn = code;
+            break;
+        }
+    }
+    rec(c, seg[SEG_C_DMN] + ap * 2 + (c.last_llen < 8 ? 1 : 0), mn, 0, SLOW);
+    if (mn != 15) {
+        c.last_dlen = bitlen((uint32_t)distance);
+    } else {
+        int32_t dlen = bitlen((uint32_t)distance);
+        int32_t beg = (dlen - 1) < 14 ? (dlen - 1) : 14;
+        if (c.dlru[1] - 3 == distance) beg = 15;
+        int32_t dist_index = bitlen((uint32_t)num_bytes) >> 2;
+        rec(c, seg[SEG_C_DBEG] + ap * 8 + dist_index, beg, 0, SLOW);
+        if (beg == 15) {
+            c.last_dlen = bitlen((uint32_t)(c.dlru[1] - 3));
+        } else if (beg == 14) {
+            rec(c, seg[SEG_C_DLAST] + ap, (dlen - 15) & 0xF, 0, ROCKET);
+            c.last_dlen = dlen;
+            int32_t fi = (c.last_dlen & 3) + 1;
+            Speed sp0{0x4 << ((fi & 6) << ((fi & 2) >> 1)), 0x4000};
+            mantissa(c, seg[SEG_C_DMANT] + ap * 5 + 0,
+                     seg[SEG_C_DMANT] + ap * 5 + fi,
+                     distance, rum4(dlen - 1), 1 << (dlen - 1),
+                     Speed{4, 0x4000}, sp0);
+        } else if (beg == 0) {
+            c.last_dlen = 1;
+        } else {
+            c.last_dlen = beg + 1;
+            int32_t fi = (c.last_dlen & 3) + 1;
+            Speed sp0{0x4 << ((fi & 6) << ((fi & 2) >> 1)), 0x4000};
+            mantissa(c, seg[SEG_C_DMANT] + ap * 5 + 0,
+                     seg[SEG_C_DMANT] + ap * 5 + fi,
+                     distance, rum4(beg), 1 << beg,
+                     Speed{4, 0x4000}, sp0);
+        }
+    }
+    // obs_distance LRU
+    int32_t* l = c.dlru;
+    if (distance == l[1]) {
+        int32_t t[4] = {distance, l[0], l[2], l[3]};
+        memcpy(l, t, sizeof t);
+    } else if (distance == l[2]) {
+        int32_t t[4] = {distance, l[0], l[1], l[3]};
+        memcpy(l, t, sizeof t);
+    } else if (distance != l[0]) {
+        int32_t t[4] = {distance, l[0], l[1], l[2]};
+        memcpy(l, t, sizeof t);
+    }
+}
+
+static void code_prediction_mode(TraceCtx& c, int32_t mixing,
+                                 int32_t prior_depth) {
+    const int32_t* seg = c.seg;
+    rec(c, seg[SEG_PM_ONLY], 3, 0, MED);                   // utf8
+    rec(c, seg[SEG_PM_DCM], mixing & 0xF, 0, MED);
+    rec(c, seg[SEG_PM_PD], prior_depth, 0, FAST);
+    // adaptation speeds: 4 speeds x 4 palette nibbles, f8 encoding
+    for (int si = 0; si < 4; ++si) {
+        int32_t vals[2];
+        for (int hv = 0; hv < 2; ++hv) {
+            int32_t v = hv == 0 ? c.adapt[si].inc : c.adapt[si].lim;
+            int32_t length = bitlen((uint32_t)v);
+            int32_t f8 = 0;
+            if (v != 0) {
+                int32_t rem = v - (1 << (length - 1));
+                int32_t mant = (rem << 3) >> (length - 1);
+                f8 = ((length << 3) | mant) & 0xFF;
+            }
+            vals[hv] = f8 & 0x7F;
+        }
+        rec(c, seg[SEG_PM_PALETTE] + 0, vals[0] >> 3, 0, FAST);
+        rec(c, seg[SEG_PM_PALETTE] + 1, vals[0] & 7, 0, FAST);
+        rec(c, seg[SEG_PM_PALETTE] + 2, vals[1] >> 3, 0, FAST);
+        rec(c, seg[SEG_PM_PALETTE] + 3, vals[1] & 7, 0, FAST);
+    }
+    // context maps via the 13-entry LRU mnemonic coder
+    int32_t lru[13];
+    auto reset_lru = [&]() { for (int i = 0; i < 13; ++i) lru[i] = i; };
+    auto obs = [&](int32_t val) {
+        int pos = -1;
+        for (int i = 0; i < 13; ++i) if (lru[i] == val) { pos = i; break; }
+        if (pos == 0) return;
+        if (pos > 0) {
+            for (int i = pos; i > 0; --i) lru[i] = lru[i - 1];
+        } else {
+            for (int i = 12; i > 0; --i) lru[i] = lru[i - 1];
+        }
+        lru[0] = val;
+    };
+    auto code_map = [&](int which, int nvals) {
+        for (int idx = 0; idx < nvals; ++idx) {
+            int32_t target = idx;  // identity map
+            int32_t mn = 15;
+            for (int li = 0; li < 13; ++li)
+                if (lru[li] == target) mn = li;
+            int32_t mx = lru[0];
+            for (int li = 1; li < 13; ++li) if (lru[li] > mx) mx = lru[li];
+            if (target == ((mx + 1) & 0xFF)) mn = 13;
+            rec(c, seg[SEG_PM_CMN] + which, mn, 0, MED);
+            if (mn == 15) {
+                rec(c, seg[SEG_PM_CF] + which, target >> 4, 0, MED);
+                rec(c, seg[SEG_PM_CS] + which, target & 0xF, 0, MED);
+            }
+            obs(target);
+        }
+        rec(c, seg[SEG_PM_CMN] + which, 14, 0, MED);  // eof
+    };
+    reset_lru();
+    code_map(0, c.use_cm ? 64 : 0);
+    reset_lru();
+    code_map(1, c.use_cm ? 4 : 0);
+    rec(c, seg[SEG_PM_MVMODE], c.use_cm ? 0 : 1, 0, MED);
+}
+
+// Build the full per-metablock trace. matches: triples from dtpu_match.
+// Returns n_steps, or -1 on overflow.
+int32_t dtpu_build_trace(
+        const uint8_t* raw, int32_t raw_len,
+        const Match* matches, int32_t n_matches,
+        int32_t use_cm, int32_t mixing, int32_t prior_depth,
+        const int32_t* adapt_speeds,  // [4][2] inc,lim
+        const int32_t* seg_offsets, int32_t nctx,
+        const uint8_t* lut0, const uint8_t* lut1,
+        int32_t* out, int32_t out_cap) {
+    TraceCtx c{};
+    c.seg = seg_offsets;
+    c.out = out;
+    c.cap = out_cap;
+    c.lut0 = lut0;
+    c.lut1 = lut1;
+    c.use_cm = use_cm != 0;
+    c.combine = (mixing & 3) != 0;
+    c.nctx = nctx;
+    for (int i = 0; i < 4; ++i)
+        c.adapt[i] = Speed{adapt_speeds[2 * i], adapt_speeds[2 * i + 1]};
+
+    auto cmd_type = [&](int32_t nib) {
+        rec(c, c.seg[SEG_CC] + (c.l4s >> 4), nib, 0, ROCKET);
+    };
+
+    // PredictionMode command
+    cmd_type(0x7);
+    code_prediction_mode(c, (mixing > 7 ? 7 : mixing) & 3, prior_depth);
+
+    int32_t pos = 0;
+    auto emit_literal = [&](int32_t lo, int32_t hi) {
+        if (hi <= lo) return;
+        cmd_type(0x3);
+        c.l4s = ((c.l4s >> 2) | 128) & 0xFF;
+        // NOTE: obs_literal_state happens before coding in the golden
+        // engine's _run_one_command; mirror that ordering
+        code_literal(c, raw, lo, hi - lo);
+    };
+    for (int32_t m = 0; m < n_matches; ++m) {
+        emit_literal(pos, matches[m].pos);
+        cmd_type(0x1);
+        c.l4s = ((c.l4s >> 2) | 64) & 0xFF;
+        code_copy(c, matches[m].dist, matches[m].len);
+        pos = matches[m].pos + matches[m].len;
+    }
+    emit_literal(pos, raw_len);
+    cmd_type(0xF);  // END
+    return c.overflow ? -1 : c.nsteps;
+}
+
+}  // extern "C"

@@ -1,0 +1,67 @@
+"""Native (C++) encode front-end vs the Python twin: identical traces,
+identical containers (native/trace_builder.cpp <-> ir/matcher.py +
+codec/trace.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from divans_tpu import native
+from divans_tpu.codec import trace as trace_mod, engine_np, jax_engine
+from divans_tpu.codec.layout import ModelLayout, PROFILES, profile_for_options
+from divans_tpu.ir.matcher import build_commands
+from divans_tpu.options import DivansOptions
+
+ALICE = "/root/reference/testdata/alice29"
+
+pytestmark = pytest.mark.skipif(native.load() is None,
+                                reason="no C++ toolchain")
+
+
+def _data(n=20000):
+    if os.path.exists(ALICE):
+        return open(ALICE, "rb").read()[:n]
+    return b"fallback corpus with repetition repetition " * (n // 40)
+
+
+@pytest.mark.parametrize("optkw", [
+    {}, {"dynamic_context_mixing": 0}, {"dynamic_context_mixing": 2},
+    {"use_context_map": False, "dynamic_context_mixing": 0},
+    {"quality": 5}, {"quality": 1},
+])
+def test_trace_identical_to_python(optkw):
+    opts = DivansOptions(**optkw)
+    layout = ModelLayout(PROFILES[profile_for_options(opts)])
+    data = _data()
+    nt = native.build_trace(data, opts, layout)
+    pt = trace_mod.build_trace(data, build_commands(data, opts), opts, layout)
+    assert nt is not None
+    np.testing.assert_array_equal(nt, pt)
+
+
+@pytest.mark.parametrize("data", [
+    b"", b"A" * 3, bytes(range(140)), b"@" * 5000,
+    open("/dev/urandom", "rb").read(2048),
+])
+def test_trace_identical_edge_inputs(data):
+    opts = DivansOptions()
+    layout = ModelLayout(PROFILES["cm"])
+    if not data:
+        return
+    nt = native.build_trace(data, opts, layout)
+    pt = trace_mod.build_trace(data, build_commands(data, opts), opts, layout)
+    np.testing.assert_array_equal(nt, pt)
+
+
+def test_container_identical_to_golden():
+    data = _data(16000)
+    opts = DivansOptions(metablock_size=8192)
+    assert jax_engine.compress(data, opts) == engine_np.compress(data, opts)
+
+
+def test_unsupported_options_fall_back():
+    assert not native.supports(DivansOptions(quality=11))
+    data = _data(4000)
+    opts = DivansOptions(quality=11)
+    blob = jax_engine.compress(data, opts)
+    assert engine_np.decompress(blob) == data
