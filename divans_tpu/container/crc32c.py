@@ -31,6 +31,39 @@ _T = [_TABLES[k] for k in range(8)]
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
+    native = _native_crc()
+    if native is not None:
+        import ctypes
+        buf = (ctypes.c_uint8 * max(1, len(data))).from_buffer_copy(
+            data or b"\0")
+        return native(buf, len(data), crc) & 0xFFFFFFFF
+    return _crc32c_py(data, crc)
+
+
+_NATIVE_CRC = None
+
+
+def _native_crc():
+    """dtpu_crc32c from the native library (SSE4.2 path) if buildable."""
+    global _NATIVE_CRC
+    if _NATIVE_CRC is None:
+        try:
+            from .. import native as native_mod
+            lib = native_mod.load()
+            if lib is not None:
+                import ctypes
+                lib.dtpu_crc32c.restype = ctypes.c_uint32
+                lib.dtpu_crc32c.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.c_uint32]
+                _NATIVE_CRC = lib.dtpu_crc32c
+            else:
+                _NATIVE_CRC = False
+        except Exception:
+            _NATIVE_CRC = False
+    return _NATIVE_CRC or None
+
+
+def _crc32c_py(data: bytes, crc: int = 0) -> int:
     crc = (~crc) & 0xFFFFFFFF
     buf = np.frombuffer(data, dtype=np.uint8)
     n8 = len(buf) // 8 * 8

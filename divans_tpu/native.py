@@ -51,6 +51,8 @@ def load():
         lib = ctypes.CDLL(_SO)
         lib.dtpu_match.restype = ctypes.c_int32
         lib.dtpu_build_trace.restype = ctypes.c_int32
+        lib.dtpu_encode_streams.restype = ctypes.c_int32
+        lib.dtpu_decode_metablock.restype = ctypes.c_int32
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = False
@@ -103,3 +105,118 @@ def build_trace(raw: bytes, options: DivansOptions,
         out.ctypes.data_as(ctypes.c_void_p), cap)
     assert ns >= 0, "trace buffer overflow"
     return out[:ns]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _seg_luts_cached(profile_name: str):
+    from .codec.layout import PROFILES
+    layout = ModelLayout(PROFILES[profile_name])
+    seg = np.array([layout.idx(s, *([0] * len(layout.segments[s][1])))
+                    for s in SEGS], np.int32)
+    lut0 = np.ascontiguousarray(
+        constants.literal_lut0(constants.LITERAL_PREDICTION_MODE_UTF8))
+    lut1 = np.ascontiguousarray(
+        constants.literal_lut1(constants.LITERAL_PREDICTION_MODE_UTF8))
+    nctx = layout.segments["cm_second"][1][1]
+    return seg, lut0, lut1, nctx
+
+
+def _seg_luts(layout: ModelLayout):
+    return _seg_luts_cached(layout.profile.name)
+
+
+def encode_streams(trace: np.ndarray, num_rows: int):
+    """trace int32[n,10] -> (cmd_bytes, lit_bytes) via the C++ back-end."""
+    lib = load()
+    if lib is None:
+        return None
+    n = trace.shape[0]
+    trace = np.ascontiguousarray(trace, np.int32)
+    cap = 4 * n + 1024
+    cb = np.zeros(cap, np.uint8)
+    lb = np.zeros(cap, np.uint8)
+    cl = ctypes.c_int32(cap)
+    ll = ctypes.c_int32(cap)
+    rc = lib.dtpu_encode_streams(
+        trace.ctypes.data_as(ctypes.c_void_p), n, num_rows,
+        cb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(cl),
+        lb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(ll))
+    assert rc == 0, "stream buffer overflow"
+    return cb[:cl.value].tobytes(), lb[:ll.value].tobytes()
+
+
+def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
+                     layout: ModelLayout) -> bytes | None:
+    """Native serial decode; None = out of profile (caller falls back)."""
+    lib = load()
+    if lib is None:
+        return None
+    seg, lut0, lut1, nctx = _seg_luts(layout)
+    out = np.zeros(max(1, raw_len), np.uint8)
+    cbuf = (ctypes.c_uint8 * max(1, len(cmd))).from_buffer_copy(cmd or b"\0")
+    lbuf = (ctypes.c_uint8 * max(1, len(lit))).from_buffer_copy(lit or b"\0")
+    rc = lib.dtpu_decode_metablock(
+        cbuf, len(cmd), lbuf, len(lit), raw_len,
+        1 if use_cm else 0, layout.num_rows,
+        seg.ctypes.data_as(ctypes.c_void_p), nctx,
+        lut0.ctypes.data_as(ctypes.c_void_p),
+        lut1.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out.tobytes()
+
+
+# --------------------------------------------------- host-native engine
+
+def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
+    """Fully host-native compress (byte-identical to the golden engine);
+    None if the native library or profile is unavailable."""
+    from .container import format as fmt
+    from .container.crc32c import crc32c
+    from .codec.layout import PROFILES, PROFILE_FLAGS, profile_for_options
+
+    options = options or DivansOptions()
+    if load() is None or not supports(options):
+        return None
+    profile = profile_for_options(options)
+    layout = ModelLayout(PROFILES[profile])
+    mb = options.metablock_size
+    frames = []
+    for off in range(0, max(len(data), 1), mb):
+        raw = data[off:off + mb]
+        if not raw:
+            break
+        trace = build_trace(raw, options, layout)
+        if trace is None:
+            return None
+        cmd_b, lit_b = encode_streams(trace, layout.num_rows)
+        frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
+    return fmt.serialize(frames, options.window_size, options.mb_log2,
+                         crc32c(data), flags=PROFILE_FLAGS[profile])
+
+
+def decompress(blob: bytes) -> bytes:
+    """Host-native decompress with golden fallback per metablock."""
+    from .container import format as fmt
+    from .codec.layout import PROFILES, FLAG_PROFILES
+    from .codec import engine_np
+
+    _w, _mb, frames, stored_crc, flags = fmt.deserialize(blob)
+    profile = FLAG_PROFILES.get(flags)
+    out = bytearray()
+    layout = ModelLayout(PROFILES[profile]) if profile else None
+    opts = DivansOptions()
+    for f in frames:
+        raw = None
+        if layout is not None:
+            raw = decode_metablock(f.cmd, f.lit, f.raw_len,
+                                   profile == "cm", layout)
+        if raw is None:
+            raw = engine_np.decode_metablock(f.cmd, f.lit, f.raw_len, opts)
+        out += raw
+    fmt.check_crc(bytes(out), stored_crc)
+    return bytes(out)

@@ -1,0 +1,627 @@
+// Native serial codec core: trace -> rANS streams (encode back-end) and
+// the full serial metablock decoder.
+//
+// This is the host-native twin of the device path: the same rans32 wire
+// format (divans_tpu/ans/coder_np.py), the same int32 CDF/mixer rules
+// (probability/cdf16.py, weights.py), and the same FSM semantics as the
+// golden engine (codec/engine_np.py).  Scope mirrors the device scan's
+// profiles (PM + literal/copy + high-entropy escape; identity-bounded
+// context maps); dict commands and block switches return an error and
+// the caller falls back to the Python golden engine.
+//
+// Exactness notes (all match the Python definitions):
+//   - blend: i16 wraparound, renorm (c+bias) - ((c+bias)>>2)
+//   - average: shift by max(bitlen(amax*bmax)-15, 0), +1 >> 15, i16 wrap
+//   - mixer: int32 with the (error*(n1i-p1)) >> (log_geo-15) fold and
+//     the [1, 2^30-1] clamp; norm_weight via the 8-bit reciprocal
+//   - rans32: state in [2^15, 2^31), one conditional 16-bit pull
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t LOG2_SCALE = 15;
+constexpr int32_t SCALE_MASK = (1 << LOG2_SCALE) - 1;
+constexpr int32_t STATE_LOW = 1 << 15;
+constexpr int32_t ENC_START = 1 << 15;
+constexpr int32_t WEIGHT_MAX = (1 << 30) - 1;
+
+inline int32_t wrap_i16(int32_t x) {
+    return ((x + 0x8000) & 0xFFFF) - 0x8000;
+}
+inline int32_t bitlen(uint32_t v) { return v ? 32 - __builtin_clz(v) : 0; }
+
+struct Cdf {
+    int32_t c[16];
+};
+
+const Cdf CDF_INIT = {{4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 44, 48, 52, 56,
+                       60, 64}};
+
+inline void blend(Cdf& cdf, int32_t sym, int32_t inc, int32_t lim) {
+    for (int i = sym; i < 16; ++i) cdf.c[i] = wrap_i16(cdf.c[i] + inc);
+    if (cdf.c[15] >= lim) {
+        for (int i = 0; i < 16; ++i) {
+            int32_t cb = wrap_i16(cdf.c[i] + i + 1);
+            cdf.c[i] = wrap_i16(cb - (cb >> 2));
+        }
+    }
+}
+
+inline void sym_to_start_freq(const Cdf& cdf, int32_t sym, int32_t* start,
+                              int32_t* freq) {
+    int32_t maxv = cdf.c[15];
+    int32_t r_sym = (cdf.c[sym] << LOG2_SCALE) / maxv;
+    int32_t r_prev = sym > 0 ? (cdf.c[sym - 1] << LOG2_SCALE) / maxv : 0;
+    *start = r_prev + 1;
+    *freq = r_sym - r_prev - 1;
+}
+
+inline int32_t offset_to_sym(const Cdf& cdf, int32_t off) {
+    int32_t rescaled = (off * cdf.c[15]) >> LOG2_SCALE;
+    // branchless 15-way compare (vectorizes; cdf is monotone so the sum
+    // of compares equals the first-miss index)
+    int32_t sym = 0;
+    for (int i = 0; i < 15; ++i) sym += rescaled >= cdf.c[i];
+    return sym;
+}
+
+inline Cdf average(const Cdf& a, const Cdf& b, int32_t mix_rate) {
+    int32_t amax = a.c[15], bmax = b.c[15];
+    int32_t shift = bitlen((uint32_t)(amax * bmax)) - 15;
+    if (shift < 0) shift = 0;
+    int32_t inv = (1 << 15) - mix_rate;
+    Cdf out;
+    for (int i = 0; i < 16; ++i) {
+        int32_t ra = (a.c[i] * bmax) >> shift;
+        int32_t rb = (b.c[i] * amax) >> shift;
+        // the sum can graze +/-2^31; wrap exactly like numpy int32
+        int64_t s = (int64_t)ra * mix_rate + (int64_t)rb * inv + 1;
+        int32_t s32 = (int32_t)(uint32_t)(s & 0xFFFFFFFF);
+        out.c[i] = wrap_i16(s32 >> 15);
+    }
+    return out;
+}
+
+struct Weights {
+    int32_t w0 = 1, w1 = 1, norm = 1 << 14;
+};
+
+inline int32_t norm_weight(int32_t w0, int32_t w1) {
+    int32_t total = w0 + w1;
+    int32_t sh = bitlen((uint32_t)total) - 8;
+    if (sh < 0) sh = 0;
+    int32_t total8 = total >> sh;
+    int32_t inv = 1 + (1 << 24) / total8;
+    int32_t num = (w0 >> sh) << 8;
+    int32_t hi = (inv >> 12) * num;
+    int32_t lo = (inv & 0xFFF) * num;
+    int32_t q = (hi + (lo >> 12)) >> 12;
+    int32_t q16 = ((q + 0x8000) & 0xFFFF) - 0x8000;
+    int32_t res = q16 << 7;
+    return ((res + 0x8000) & 0xFFFF) - 0x8000;
+}
+
+inline void weights_update(Weights& w, int32_t p_cm, int32_t p_nib,
+                           int32_t weighted) {
+    int32_t w0 = w.w0, w1 = w.w1;
+    if ((w0 | w1) & 0x7F000000) {
+        int32_t ilog = bitlen((uint32_t)w0);
+        int32_t il1 = bitlen((uint32_t)w1);
+        if (il1 > ilog) ilog = il1;
+        if (ilog >= 24) { w0 >>= ilog - 24; w1 >>= ilog - 24; }
+    }
+    int32_t total = 1 << 15;
+    int32_t p1 = weighted, p0 = total - p1, error = total - p1;
+    int32_t log_geo = bitlen((uint32_t)(p1 * p0));
+    int32_t probs[2] = {p_cm, p_nib};
+    int32_t ws[2] = {w0, w1};
+    for (int i = 0; i < 2; ++i) {
+        int32_t adj = (error * (probs[i] - p1)) >> (log_geo - 15);
+        int32_t s = ws[i] + adj;
+        if (s < 1) s = 1;
+        if (s > WEIGHT_MAX) s = WEIGHT_MAX;
+        ws[i] = s;
+    }
+    w.w0 = ws[0];
+    w.w1 = ws[1];
+    w.norm = norm_weight(ws[0], ws[1]);
+}
+
+// ------------------------------------------------------------------ rANS
+
+struct AnsEnc {
+    std::vector<std::pair<int32_t, int32_t>> pairs;  // chronological
+    void put(int32_t start, int32_t freq) { pairs.emplace_back(start, freq); }
+    // returns wire bytes
+    std::vector<uint8_t> flush() {
+        if (pairs.empty()) return {};
+        uint32_t state = ENC_START;
+        std::vector<uint16_t> words;
+        for (auto it = pairs.rbegin(); it != pairs.rend(); ++it) {
+            int32_t start = it->first, freq = it->second;
+            if (state >= (uint32_t)(freq << 16)) {
+                words.push_back((uint16_t)(state & 0xFFFF));
+                state >>= 16;
+            }
+            state = ((state / freq) << LOG2_SCALE) + (state % freq) + start;
+        }
+        std::vector<uint8_t> out(4);
+        memcpy(out.data(), &state, 4);  // little-endian host assumed (x86)
+        for (auto it = words.rbegin(); it != words.rend(); ++it) {
+            out.push_back((uint8_t)(*it & 0xFF));
+            out.push_back((uint8_t)(*it >> 8));
+        }
+        return out;
+    }
+};
+
+struct AnsDec {
+    const uint8_t* data;
+    int32_t len, pos = 0;
+    uint32_t state = 0;
+    void init(const uint8_t* d, int32_t n) {
+        data = d;
+        len = n;
+        if (n >= 4) { memcpy(&state, d, 4); pos = 4; }
+    }
+    int32_t peek() {
+        if (state < (uint32_t)STATE_LOW) {
+            uint16_t w = 0;
+            if (pos + 2 <= len) memcpy(&w, data + pos, 2);
+            state = (state << 16) | w;
+            pos += 2;
+        }
+        return (int32_t)(state & SCALE_MASK);
+    }
+    void advance(int32_t start, int32_t freq) {
+        state = (uint32_t)freq * (state >> LOG2_SCALE)
+            + (state & SCALE_MASK) - start;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------- encode back-end (trace)
+
+// trace: int32[n,10]; returns 0 on success. Stream bytes are written to
+// out_cmd/out_lit with lengths in *cmd_len/*lit_len (capacities in).
+int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
+                            int32_t num_rows,
+                            uint8_t* out_cmd, int32_t* cmd_len,
+                            uint8_t* out_lit, int32_t* lit_len) {
+    std::vector<Cdf> model((size_t)num_rows, CDF_INIT);
+    Weights weights[2];
+    AnsEnc enc[2];
+    for (int32_t t = 0; t < n; ++t) {
+        const int32_t* r = trace + (int64_t)t * 10;
+        int32_t flat = r[0], value = r[1], stream = r[2], inc = r[3],
+                lim = r[4], mix = r[5], which = r[6], cm_idx = r[7],
+                cm_inc = r[8], cm_lim = r[9];
+        Cdf& rows = model[flat];
+        int32_t start, freq;
+        if (mix) {
+            Cdf& cm = model[cm_idx];
+            Cdf mixed = average(cm, rows, weights[which].norm & 0xFFFF);
+            sym_to_start_freq(mixed, value, &start, &freq);
+            int32_t s_cm, p_cm, s_nib, p_nib;
+            sym_to_start_freq(cm, value, &s_cm, &p_cm);
+            sym_to_start_freq(rows, value, &s_nib, &p_nib);
+            weights_update(weights[which], p_cm, p_nib, freq);
+            blend(cm, value, cm_inc, cm_lim);
+        } else {
+            sym_to_start_freq(rows, value, &start, &freq);
+        }
+        enc[stream].put(start, freq);
+        if (inc) blend(rows, value, inc, lim);
+    }
+    auto cb = enc[0].flush();
+    auto lb = enc[1].flush();
+    if ((int32_t)cb.size() > *cmd_len || (int32_t)lb.size() > *lit_len)
+        return -1;
+    memcpy(out_cmd, cb.data(), cb.size());
+    memcpy(out_lit, lb.data(), lb.size());
+    *cmd_len = (int32_t)cb.size();
+    *lit_len = (int32_t)lb.size();
+    return 0;
+}
+
+// --------------------------------------------------------- serial decoder
+
+struct DecCtx {
+    std::vector<Cdf> model;
+    Weights weights[2];
+    AnsDec cmd, lit;
+    const int32_t* seg;
+    const uint8_t* lut0;
+    const uint8_t* lut1;
+    int32_t nctx;
+    bool use_cm;
+    bool combine = false;
+    int32_t adapt[4][2] = {{0x10, 0x2000}, {0x10, 0x2000},
+                           {0x10, 0x2000}, {0x10, 0x2000}};
+    // bookkeeping
+    int32_t l4s = 3 << 4;
+    int32_t dlru[4] = {4, 11, 15, 16};
+    int32_t last_llen = 1, last_clen = 1, last_dlen = 1;
+    uint8_t* out;
+    int32_t raw_len, wpos = 0;
+    bool err = false;
+
+    int32_t nib(int32_t flat, int32_t inc, int32_t lim, AnsDec& ans) {
+        Cdf& row = model[flat];
+        int32_t off = ans.peek();
+        int32_t sym = offset_to_sym(row, off);
+        int32_t start, freq;
+        sym_to_start_freq(row, sym, &start, &freq);
+        ans.advance(start, freq);
+        if (inc) blend(row, sym, inc, lim);
+        return sym;
+    }
+};
+
+// enum order shared with trace_builder.cpp / native.py
+enum Seg {
+    SEG_CC, SEG_LL_CS, SEG_LL_BEG, SEG_LL_LAST, SEG_LL_MANT,
+    SEG_C_CCS, SEG_C_CBEG, SEG_C_CLAST, SEG_C_CMANT,
+    SEG_C_DMN, SEG_C_DBEG, SEG_C_DLAST, SEG_C_DMANT,
+    SEG_BT_STRIDE,
+    SEG_PM_ONLY, SEG_PM_DCM, SEG_PM_PD, SEG_PM_PALETTE, SEG_PM_MVMODE,
+    SEG_PM_CMN, SEG_PM_CF, SEG_PM_CS,
+    SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
+    SEG_COUNT
+};
+
+static const int32_t sMUD[2] = {0x10, 0x2000}, sSLOW[2] = {0x20, 0x1000},
+    sMED[2] = {0x30, 0x4000}, sFAST[2] = {0x60, 0x4000},
+    sROCKET[2] = {0x180, 0x4000};
+
+static int32_t u8_to_speed(int32_t b) {
+    if (b < 8) return 0;
+    int32_t lv = (b >> 3) - 1;
+    return (1 << lv) | (((b & 7) << lv) >> 3);
+}
+
+static int32_t rum4(int32_t v) { return ((v - 1) | 3) + 1; }
+
+static int32_t mantissa_dec(DecCtx& c, int32_t seg_rest, int32_t seg_first,
+                            int32_t len_rem, int32_t seed,
+                            const int32_t* sp_rest, const int32_t* sp_first) {
+    int32_t decoded = seed;
+    int i = 0;
+    while (len_rem > 0) {
+        int32_t next_rem = len_rem - 4;
+        const int32_t* sp = i == 0 ? sp_first : sp_rest;
+        int32_t v = c.nib(i == 0 ? seg_first : seg_rest, sp[0], sp[1], c.cmd);
+        decoded |= v << next_rem;
+        len_rem = next_rem;
+        ++i;
+    }
+    return decoded;
+}
+
+static void decode_literal_content(DecCtx& c, int32_t nbytes) {
+    const int32_t* seg = c.seg;
+    for (int32_t k = 0; k < nbytes; ++k) {
+        if (c.wpos >= c.raw_len) { c.err = true; return; }
+        int32_t prev = c.wpos >= 1 ? c.out[c.wpos - 1] : 0;
+        int32_t prev2 = c.wpos >= 2 ? c.out[c.wpos - 2] : 0;
+        int32_t ctx = c.use_cm ? (c.lut0[prev] | c.lut1[prev2]) : 0;
+        int32_t hi_flat, lo_base;
+        if (c.use_cm) {
+            hi_flat = seg[SEG_LIT_HI] + ctx;
+            lo_base = seg[SEG_LIT_LO] + ctx * 16;
+        } else {
+            hi_flat = seg[SEG_LIT_HI] + prev;
+            lo_base = seg[SEG_LIT_LO] + prev * 16;
+        }
+        int32_t hi = 0, lo = 0;
+        if (c.combine) {
+            for (int half = 0; half < 2; ++half) {
+                bool is_high = half == 0;
+                int32_t nf = is_high ? hi_flat : lo_base + hi;
+                int32_t cf = is_high ? seg[SEG_CM_FIRST] + ctx
+                                     : seg[SEG_CM_SECOND] + hi * c.nctx + ctx;
+                Cdf& nrow = c.model[nf];
+                Cdf& crow = c.model[cf];
+                Weights& w = c.weights[is_high ? 1 : 0];
+                Cdf mixed = average(crow, nrow, w.norm & 0xFFFF);
+                int32_t off = (is_high ? c.lit : c.lit).peek();
+                int32_t sym = offset_to_sym(mixed, off);
+                int32_t start, freq;
+                sym_to_start_freq(mixed, sym, &start, &freq);
+                c.lit.advance(start, freq);
+                int32_t s1, p_cm, s2, p_nib;
+                sym_to_start_freq(crow, sym, &s1, &p_cm);
+                sym_to_start_freq(nrow, sym, &s2, &p_nib);
+                weights_update(w, p_cm, p_nib, freq);
+                blend(crow, sym, c.adapt[is_high ? 3 : 2][0],
+                      c.adapt[is_high ? 3 : 2][1]);
+                blend(nrow, sym, c.adapt[0][0], c.adapt[0][1]);
+                if (is_high) hi = sym; else lo = sym;
+            }
+        } else {
+            hi = c.nib(hi_flat, c.adapt[0][0], c.adapt[0][1], c.lit);
+            lo = c.nib(lo_base + hi, c.adapt[0][0], c.adapt[0][1], c.lit);
+        }
+        c.out[c.wpos++] = (uint8_t)((hi << 4) | lo);
+    }
+}
+
+static void decode_prediction_mode(DecCtx& c) {
+    const int32_t* seg = c.seg;
+    int32_t pm = c.nib(seg[SEG_PM_ONLY], sMED[0], sMED[1], c.cmd);
+    if (pm != 3) { c.err = true; return; }  // only utf8 in this profile
+    int32_t mix = c.nib(seg[SEG_PM_DCM], sMED[0], sMED[1], c.cmd);
+    c.combine = (mix & 3) != 0;
+    c.nib(seg[SEG_PM_PD], sFAST[0], sFAST[1], c.cmd);
+    for (int si = 0; si < 4; ++si) {
+        int32_t inc8 = 0, lim8 = 0;
+        for (int pt = 0; pt < 4; ++pt) {
+            int32_t v = c.nib(seg[SEG_PM_PALETTE] + pt, sFAST[0], sFAST[1],
+                              c.cmd);
+            if (pt == 0) inc8 |= v << 3;
+            else if (pt == 1) inc8 |= v;
+            else if (pt == 2) lim8 |= v << 3;
+            else lim8 |= v;
+        }
+        c.adapt[si][0] = u8_to_speed(inc8);
+        c.adapt[si][1] = u8_to_speed(lim8);
+    }
+    // context maps: identity-bounded (anything else -> python fallback)
+    for (int which = 0; which < 2; ++which) {
+        int32_t lru[13];
+        for (int i = 0; i < 13; ++i) lru[i] = i;
+        int32_t limit = which == 0 ? 64 : 4;
+        int32_t idx = 0;
+        for (;;) {
+            int32_t mn = c.nib(seg[SEG_PM_CMN] + which, sMED[0], sMED[1],
+                               c.cmd);
+            if (mn == 14) break;
+            int32_t val;
+            if (mn == 15) {
+                int32_t f = c.nib(seg[SEG_PM_CF] + which, sMED[0], sMED[1],
+                                  c.cmd);
+                int32_t s = c.nib(seg[SEG_PM_CS] + which, sMED[0], sMED[1],
+                                  c.cmd);
+                val = (f << 4) | s;
+            } else if (mn == 13) {
+                int32_t mx = lru[0];
+                for (int i = 1; i < 13; ++i) if (lru[i] > mx) mx = lru[i];
+                val = (mx + 1) & 0xFF;
+            } else {
+                val = lru[mn];
+            }
+            // identity requirement: decoded map must be the identity the
+            // fast profiles assume
+            if (idx >= limit || val != idx) { c.err = true; return; }
+            // lru move-to-front / insert
+            int pos = -1;
+            for (int i = 0; i < 13; ++i) if (lru[i] == val) { pos = i; break; }
+            if (pos != 0) {
+                int upto = pos > 0 ? pos : 12;
+                for (int i = upto; i > 0; --i) lru[i] = lru[i - 1];
+                lru[0] = val;
+            }
+            idx++;
+        }
+        if (idx != 0 && idx != limit) { c.err = true; return; }
+        if (which == 0 && idx == 0 && c.use_cm) { c.err = true; return; }
+        if (which == 0 && idx == limit && !c.use_cm) { c.err = true; return; }
+    }
+    int32_t mv = c.nib(seg[SEG_PM_MVMODE], sMED[0], sMED[1], c.cmd);
+    if (mv != (c.use_cm ? 0 : 1)) c.err = true;
+}
+
+// Serial decode of one metablock. Returns 0 ok, 1 out-of-profile/corrupt.
+int32_t dtpu_decode_metablock(
+        const uint8_t* cmd_bytes, int32_t cmd_n,
+        const uint8_t* lit_bytes, int32_t lit_n,
+        int32_t raw_len, int32_t use_cm, int32_t num_rows,
+        const int32_t* seg_offsets, int32_t nctx,
+        const uint8_t* lut0, const uint8_t* lut1,
+        uint8_t* out_raw) {
+    DecCtx c;
+    c.model.assign((size_t)num_rows, CDF_INIT);
+    c.cmd.init(cmd_bytes, cmd_n);
+    c.lit.init(lit_bytes, lit_n);
+    c.seg = seg_offsets;
+    c.lut0 = lut0;
+    c.lut1 = lut1;
+    c.nctx = nctx;
+    c.use_cm = use_cm != 0;
+    c.out = out_raw;
+    c.raw_len = raw_len;
+    const int32_t* seg = seg_offsets;
+
+    int64_t guard = 8LL * raw_len + 4096;
+    while (!c.err) {
+        if (guard-- < 0) return 1;
+        int32_t nib = c.nib(seg[SEG_CC] + (c.l4s >> 4), sROCKET[0],
+                            sROCKET[1], c.cmd);
+        if (nib == 0xF) break;
+        if (nib == 0x7) {
+            decode_prediction_mode(c);
+            continue;
+        }
+        if (nib == 0x3) {                      // literal
+            c.l4s = ((c.l4s >> 2) | 128) & 0xFF;
+            int32_t shortcut = c.nib(seg[SEG_LL_CS], sMED[0], sMED[1], c.cmd);
+            if (shortcut == 15) {              // high-entropy escape
+                shortcut = c.nib(seg[SEG_LL_CS], sMED[0], sMED[1], c.cmd);
+                if (shortcut == 15) return 1;
+            }
+            int32_t nbytes;
+            if (shortcut < 14) {
+                nbytes = shortcut + 1;
+                c.last_llen = nbytes;
+            } else {
+                int32_t beg = c.nib(seg[SEG_LL_BEG], sMUD[0], sMUD[1], c.cmd);
+                if (beg == 15) {
+                    int32_t last = c.nib(seg[SEG_LL_LAST], sMUD[0], sMUD[1],
+                                         c.cmd);
+                    if (last + 14 >= 31) return 1;
+                    nbytes = mantissa_dec(c, seg[SEG_LL_MANT], seg[SEG_LL_MANT],
+                                          rum4(last + 14), 1 << (last + 14),
+                                          sMUD, sMUD) + 15;
+                    c.last_llen = nbytes;
+                } else if (beg <= 1) {
+                    nbytes = 15 + beg;
+                } else {
+                    nbytes = mantissa_dec(c, seg[SEG_LL_MANT], seg[SEG_LL_MANT],
+                                          rum4(beg - 1), 1 << (beg - 1),
+                                          sMUD, sMUD) + 15;
+                    c.last_llen = nbytes;
+                }
+            }
+            decode_literal_content(c, nbytes);
+        } else if (nib == 0x1) {               // copy
+            c.l4s = ((c.l4s >> 2) | 64) & 0xFF;
+            int32_t cs_index = ((c.l4s >> 4) & 3)
+                + 4 * ((c.last_llen - 1 < 3) ? c.last_llen - 1 : 3);
+            int32_t shortcut = c.nib(seg[SEG_C_CCS] + cs_index, sMUD[0],
+                                     sMUD[1], c.cmd);
+            int32_t nbytes;
+            if (shortcut < 15) {
+                nbytes = shortcut;
+                c.last_clen = bitlen((uint32_t)nbytes);
+            } else {
+                int32_t beg = c.nib(seg[SEG_C_CBEG], sFAST[0], sFAST[1],
+                                    c.cmd);
+                if (beg == 15) {
+                    int32_t last = c.nib(seg[SEG_C_CLAST], sFAST[0], sFAST[1],
+                                         c.cmd);
+                    if (last + 18 >= 31) return 1;
+                    c.last_clen = last + 19;
+                    nbytes = mantissa_dec(
+                        c, seg[SEG_C_CMANT] + 0,
+                        seg[SEG_C_CMANT] + (c.last_clen % 4) + 1,
+                        rum4(last + 18), 1 << (last + 18), sSLOW, sSLOW);
+                } else {
+                    c.last_clen = beg + 4;
+                    nbytes = mantissa_dec(
+                        c, seg[SEG_C_CMANT] + 0,
+                        seg[SEG_C_CMANT] + (c.last_clen % 4) + 1,
+                        rum4(beg + 3), 1 << (beg + 3), sSLOW, sSLOW);
+                }
+            }
+            int32_t ap = nbytes > 2 ? nbytes - 2 : 0;
+            if (ap > 3) ap = 3;
+            int32_t mn = c.nib(seg[SEG_C_DMN] + ap * 2
+                               + (c.last_llen < 8 ? 1 : 0),
+                               sSLOW[0], sSLOW[1], c.cmd);
+            int32_t distance;
+            if (mn != 15) {
+                if (mn < 4) {
+                    distance = c.dlru[mn];
+                } else {
+                    int32_t unsigned_v = mn >> 2;
+                    int32_t signed_v = (mn & 1) ? -unsigned_v : unsigned_v;
+                    distance = c.dlru[(mn & 2) >> 1] + signed_v;
+                    if (distance <= 0) return 1;
+                }
+                c.last_dlen = bitlen((uint32_t)distance);
+            } else {
+                int32_t dist_index = bitlen((uint32_t)nbytes) >> 2;
+                int32_t beg = c.nib(seg[SEG_C_DBEG] + ap * 8 + dist_index,
+                                    sSLOW[0], sSLOW[1], c.cmd);
+                if (beg == 15) {
+                    distance = c.dlru[1] - 3;
+                    if (distance <= 0) return 1;
+                    c.last_dlen = bitlen((uint32_t)distance);
+                } else if (beg == 14) {
+                    int32_t last = c.nib(seg[SEG_C_DLAST] + ap, sROCKET[0],
+                                         sROCKET[1], c.cmd);
+                    if (last + 14 >= 31) return 1;
+                    c.last_dlen = last + 15;
+                    int32_t fi = (c.last_dlen & 3) + 1;
+                    int32_t sp0[2] = {0x4 << ((fi & 6) << ((fi & 2) >> 1)),
+                                      0x4000};
+                    int32_t spr[2] = {4, 0x4000};
+                    distance = mantissa_dec(c, seg[SEG_C_DMANT] + ap * 5 + 0,
+                                            seg[SEG_C_DMANT] + ap * 5 + fi,
+                                            rum4(last + 14), 1 << (last + 14),
+                                            spr, sp0);
+                } else if (beg == 0) {
+                    distance = 1;
+                    c.last_dlen = 1;
+                } else {
+                    c.last_dlen = beg + 1;
+                    int32_t fi = (c.last_dlen & 3) + 1;
+                    int32_t sp0[2] = {0x4 << ((fi & 6) << ((fi & 2) >> 1)),
+                                      0x4000};
+                    int32_t spr[2] = {4, 0x4000};
+                    distance = mantissa_dec(c, seg[SEG_C_DMANT] + ap * 5 + 0,
+                                            seg[SEG_C_DMANT] + ap * 5 + fi,
+                                            rum4(beg), 1 << beg, spr, sp0);
+                }
+            }
+            // obs + execute
+            int32_t* l = c.dlru;
+            if (distance == l[1]) {
+                int32_t t[4] = {distance, l[0], l[2], l[3]};
+                memcpy(l, t, sizeof t);
+            } else if (distance == l[2]) {
+                int32_t t[4] = {distance, l[0], l[1], l[3]};
+                memcpy(l, t, sizeof t);
+            } else if (distance != l[0]) {
+                int32_t t[4] = {distance, l[0], l[1], l[2]};
+                memcpy(l, t, sizeof t);
+            }
+            if (distance < 1 || distance > c.wpos
+                || c.wpos + nbytes > raw_len) return 1;
+            for (int32_t i = 0; i < nbytes; ++i) {
+                c.out[c.wpos] = c.out[c.wpos - distance];
+                c.wpos++;
+            }
+        } else {
+            return 1;  // dict / block switches: python fallback
+        }
+    }
+    if (c.err || c.wpos != raw_len) return 1;
+    return 0;
+}
+
+}  // extern "C"
+
+// ------------------------------------------------------------------ crc32c
+// Castagnoli CRC via SSE4.2 when available, else slicing-by-8 table.
+
+#if defined(__SSE4_2__)
+#include <nmmintrin.h>
+#endif
+
+extern "C" uint32_t dtpu_crc32c(const uint8_t* data, int64_t n,
+                                uint32_t crc_in) {
+    uint32_t crc = ~crc_in;
+#if defined(__SSE4_2__)
+    uint64_t c64 = crc;
+    int64_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t v;
+        memcpy(&v, data + i, 8);
+        c64 = _mm_crc32_u64(c64, v);
+    }
+    crc = (uint32_t)c64;
+    for (; i < n; ++i) crc = _mm_crc32_u8(crc, data[i]);
+#else
+    static uint32_t table[256];
+    static bool init = false;
+    if (!init) {
+        for (uint32_t j = 0; j < 256; ++j) {
+            uint32_t c = j;
+            for (int k = 0; k < 8; ++k)
+                c = (c >> 1) ^ ((c & 1) ? 0x82F63B78u : 0);
+            table[j] = c;
+        }
+        init = true;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        crc = (crc >> 8) ^ table[(crc ^ data[i]) & 0xFF];
+#endif
+    return ~crc;
+}

@@ -65,3 +65,29 @@ def test_unsupported_options_fall_back():
     opts = DivansOptions(quality=11)
     blob = jax_engine.compress(data, opts)
     assert engine_np.decompress(blob) == data
+
+
+def test_native_engine_full_path():
+    """native.compress/decompress: byte-identical containers, line-speed
+    serial decode, golden fallback for out-of-profile metablocks."""
+    data = _data(30000)
+    opts = DivansOptions(metablock_size=8192)
+    blob = native.compress(data, opts)
+    assert blob == engine_np.compress(data, opts)
+    assert native.decompress(blob) == data
+    # q11 (dict commands) is out of native profile: compress returns None,
+    # golden-encoded streams still decode via the per-metablock fallback
+    opts11 = DivansOptions(quality=11)
+    assert native.compress(data, opts11) is None
+    blob11 = engine_np.compress(data[:6000], opts11)
+    assert native.decompress(blob11) == data[:6000]
+
+
+def test_api_engine_selector():
+    from divans_tpu import compress, decompress
+    data = _data(12000)
+    blobs = {e: compress(data, DivansOptions(), engine=e)
+             for e in ("golden", "native", "auto")}
+    assert blobs["golden"] == blobs["native"] == blobs["auto"]
+    for e in ("golden", "native", "auto"):
+        assert decompress(blobs["golden"], engine=e) == data
