@@ -595,6 +595,11 @@ def decode_metablock(cmd_stream: bytes, lit_stream: bytes, raw_len: int,
     io_cmd = DecIO(cmd_stream)
     io_lit = DecIO(lit_stream)
     codec = MetablockCodec(io_cmd, io_lit, options)
+    return _decode_loop(codec, raw_len)
+
+
+def _decode_loop(codec: MetablockCodec, raw_len: int) -> bytes:
+    """The decode-side command pump, shared with the deferred codec."""
     bk, lbk = codec.bk, codec.lbk
     guard = 0
     while True:
@@ -647,24 +652,37 @@ def decode_metablock(cmd_stream: bytes, lit_stream: bytes, raw_len: int,
 def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     from ..ir.matcher import build_commands
     from .layout import profile_for_options, PROFILE_FLAGS
+    from . import deferred
     options = options or DivansOptions()
     mb = options.metablock_size
+    chunk = options.chunk_nibbles
     frames = []
     for off in range(0, len(data), mb):
         raw = data[off:off + mb]
         commands = build_commands(raw, options)
-        cmd_b, lit_b = encode_metablock(raw, commands, options)
+        if chunk:
+            cmd_b, lit_b = deferred.encode_metablock(raw, commands, options,
+                                                     chunk)
+        else:
+            cmd_b, lit_b = encode_metablock(raw, commands, options)
         frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
+    flags = (PROFILE_FLAGS[profile_for_options(options)]
+             | deferred.chunk_to_flags(chunk))
     return fmt.serialize(frames, options.window_size, options.mb_log2,
-                         crc32c(data),
-                         flags=PROFILE_FLAGS[profile_for_options(options)])
+                         crc32c(data), flags=flags)
 
 
 def decompress(blob: bytes, options: DivansOptions | None = None) -> bytes:
+    from . import deferred
     options = options or DivansOptions()
-    _w, _mb, frames, stored_crc, _flags = fmt.deserialize(blob)
+    _w, _mb, frames, stored_crc, flags = fmt.deserialize(blob)
+    chunk = deferred.flags_to_chunk(flags)
     out = bytearray()
     for f in frames:
-        out += decode_metablock(f.cmd, f.lit, f.raw_len, options)
+        if chunk:
+            out += deferred.decode_metablock(f.cmd, f.lit, f.raw_len,
+                                             options, chunk)
+        else:
+            out += decode_metablock(f.cmd, f.lit, f.raw_len, options)
     fmt.check_crc(bytes(out), stored_crc)
     return bytes(out)

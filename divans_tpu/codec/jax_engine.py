@@ -123,13 +123,16 @@ def _pad_traces(traces: list[np.ndarray]) -> np.ndarray:
 def compress(data: bytes, options: DivansOptions | None = None,
              billing_out: dict | None = None) -> bytes:
     from ..ir.matcher import build_commands
+    from . import deferred
     options = options or DivansOptions()
     profile = profile_for_options(options)
     layout = ModelLayout(PROFILES[profile])
     mb = options.metablock_size
+    chunk = options.chunk_nibbles
+    flags = PROFILE_FLAGS[profile] | deferred.chunk_to_flags(chunk)
     if not data:
         return fmt.serialize([], options.window_size, options.mb_log2,
-                             crc32c(b""), flags=PROFILE_FLAGS[profile])
+                             crc32c(b""), flags=flags)
 
     blocks = [data[off:off + mb] for off in range(0, len(data), mb)]
     traces = []
@@ -142,9 +145,19 @@ def compress(data: bytes, options: DivansOptions | None = None,
         traces.append(t)
 
     trace = _pad_traces(traces)
-    starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
-    starts = np.asarray(starts)
-    freqs = np.asarray(freqs)
+    if chunk:
+        # deferred profile: host model replay for now (device chunked pass
+        # is model_pass_deferred, wired in the bench path)
+        starts = np.zeros(trace.shape[:2], np.int32)
+        freqs = np.ones(trace.shape[:2], np.int32)
+        for i, t in enumerate(traces):
+            s_, q_ = deferred.replay_trace(t, chunk)
+            starts[i, :t.shape[0]] = s_
+            freqs[i, :t.shape[0]] = q_
+    else:
+        starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
+        starts = np.asarray(starts)
+        freqs = np.asarray(freqs)
     if billing_out is not None:
         from . import billing
         billing_out.update(billing.bill(traces, freqs, layout))
@@ -174,7 +187,7 @@ def compress(data: bytes, options: DivansOptions | None = None,
     frames = [fmt.MetablockFrame(len(blocks[i]), lane_bytes[2 * i],
                                  lane_bytes[2 * i + 1]) for i in range(b)]
     return fmt.serialize(frames, options.window_size, options.mb_log2,
-                         crc32c(data), flags=PROFILE_FLAGS[profile])
+                         crc32c(data), flags=flags)
 
 
 def pack_frames(frames):
@@ -204,10 +217,23 @@ def decompress(blob: bytes) -> bytes:
     from . import engine_np
     from ..options import DivansOptions
 
+    from . import deferred
+
     _w, mb_log2, frames, stored_crc, flags = fmt.deserialize(blob)
     if not frames:
         fmt.check_crc(b"", stored_crc)
         return b""
+    chunk = deferred.flags_to_chunk(flags)
+    if chunk:
+        # deferred streams: golden deferred decode per frame (the Pallas
+        # gather-only decode kernel is the device path for this profile)
+        opts = DivansOptions()
+        out = bytearray()
+        for f in frames:
+            out += deferred.decode_metablock(f.cmd, f.lit, f.raw_len,
+                                             opts, chunk)
+        fmt.check_crc(bytes(out), stored_crc)
+        return bytes(out)
     profile = FLAG_PROFILES.get(flags)
     if profile is None:
         return engine_np.decompress(blob)

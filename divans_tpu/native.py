@@ -64,7 +64,8 @@ def supports(options: DivansOptions) -> bool:
     return (options.quality < 11                # dict matching is Python-side
             and options.force_stride_value == 0
             and options.prior_bitmask_detection == 0
-            and options.prior_depth == 0)
+            and options.prior_depth == 0
+            and options.chunk_nibbles == 0)     # deferred is a device profile
 
 
 def build_trace(raw: bytes, options: DivansOptions,
@@ -205,7 +206,11 @@ def decompress(blob: bytes) -> bytes:
     from .codec.layout import PROFILES, FLAG_PROFILES
     from .codec import engine_np
 
+    from .codec.deferred import flags_to_chunk
     _w, _mb, frames, stored_crc, flags = fmt.deserialize(blob)
+    if flags_to_chunk(flags):
+        from .codec import jax_engine
+        return jax_engine.decompress(blob)      # deferred is a device profile
     profile = FLAG_PROFILES.get(flags)
     out = bytearray()
     layout = ModelLayout(PROFILES[profile]) if profile else None

@@ -32,12 +32,19 @@ class DivansOptions:
     # --- TPU-native knobs ---
     metablock_size: int = 1 << 18         # bytes per independent model domain
     num_streams: int = 2                  # cmd + literal ANS streams per metablock
+    chunk_nibbles: int = 0                # 0 = per-nibble adaptation; else a
+                                          # power of two in [16, 1024]: the
+                                          # deferred-adaptation chunk size
+                                          # (codec/deferred.py; ~+0.8% ratio
+                                          # at 256, unlocks device-speed paths)
 
     def __post_init__(self):
         assert 10 <= self.window_size <= 24
         assert 0 <= self.dynamic_context_mixing <= 14
         assert 1 <= self.quality <= 11
         assert 4096 <= self.metablock_size <= (1 << 24)
+        c = self.chunk_nibbles
+        assert c == 0 or (c & (c - 1) == 0 and 16 <= c <= 1024), c
 
     @property
     def mb_log2(self) -> int:
