@@ -105,12 +105,127 @@ def model_pass(trace, num_rows):
     return jnp.swapaxes(starts, 0, 1), jnp.swapaxes(freqs, 0, 1)
 
 
+@functools.partial(jax.jit, static_argnames=("num_rows", "chunk"))
+def model_pass_deferred(trace, num_rows, chunk):
+    """Chunk-deferred model pass (codec/deferred.py rules), device-batched.
+
+    trace: int32[B, N, 10] with N a multiple of `chunk` (padded steps have
+    inc == 0 / mix == 0 and record nothing).  Whole chunks vectorize:
+    coding reads frozen snapshots, so each scan iteration is gathers +
+    vector math + one f32 histogram matmul (exact: every accumulated
+    product is < 2^24 by 7-bit hi/lo splitting).  Returns (starts, freqs)
+    int32[B, N], byte-identical to deferred.replay_trace per lane.
+    """
+    from ..probability import weights as weights_mod
+    from .deferred import ADJ_CLAMP, MAX_RENORM_PASSES, WEIGHT_MAX
+
+    b, n = trace.shape[:2]
+    assert n % chunk == 0, (n, chunk)
+    r = num_rows
+    bidx = jnp.arange(b)[:, None]
+    idx16 = jnp.arange(16)[None, None, :]
+
+    committed0 = jnp.broadcast_to(
+        jnp.asarray(np.asarray(cdf16.CDF_INIT, np.int32)), (b, r, 16))
+    weights0 = _weights_init(b)
+    pend0 = {
+        "add": jnp.zeros((b, r, 16), jnp.int32),
+        "limsum": jnp.zeros((b, r), jnp.int32),
+        "cnt": jnp.zeros((b, r), jnp.int32),
+        "wadj": jnp.zeros((b, 2, 2), jnp.int32),
+    }
+
+    def step(carry, xs):
+        committed, weights, pend = carry
+        # xs: [B, S, 10]
+        flat, value, _stream, inc, lim, mix, which, cm_idx, cm_inc, cm_lim = \
+            [xs[:, :, i] for i in range(10)]
+        s = flat.shape[1]
+
+        # ---- code the chunk against the frozen snapshot
+        rows = jnp.take_along_axis(committed, flat[:, :, None], axis=1)
+        cm_rows = jnp.take_along_axis(committed, cm_idx[:, :, None], axis=1)
+        nw = jnp.take_along_axis(weights[:, :, 2], which, axis=1)
+        mixed = cdf16.average(cm_rows, rows, nw & MIX_RATE_MASK, xp=jnp)
+        do_mix = mix != 0
+        coded = jnp.where(do_mix[:, :, None], mixed, rows)
+        start, freq = cdf16.sym_to_start_freq(coded, value, xp=jnp)
+
+        # ---- mixer adjustments (w-independent; deferred.weight_adjustments)
+        _, p_cm = cdf16.sym_to_start_freq(cm_rows, value, xp=jnp)
+        _, p_nib = cdf16.sym_to_start_freq(rows, value, xp=jnp)
+        p1 = freq
+        error = (1 << 15) - p1
+        log_geo = cdf16._bit_length_pos(p1 * error, jnp)
+        shift = jnp.maximum(log_geo - 15, 0)
+        adj = [jnp.clip((error * (n1i - p1)) >> shift, -ADJ_CLAMP, ADJ_CLAMP)
+               for n1i in (p_cm, p_nib)]
+        sel = [do_mix & (which == 0), do_mix & (which == 1)]
+        wadj = jnp.stack(
+            [jnp.stack([jnp.sum(jnp.where(sel[w_], adj[i], 0), axis=1)
+                        for i in (0, 1)], -1) for w_ in (0, 1)], 1)
+
+        # ---- chunk histogram: nib + cm hits, f32 matmul, hi/lo exact split
+        cm_hit = do_mix & (cm_inc != 0)
+        flat2 = jnp.concatenate([flat, cm_idx], axis=1)          # [B, 2S]
+        inc2 = jnp.concatenate([inc, jnp.where(cm_hit, cm_inc, 0)], axis=1)
+        lim2 = jnp.concatenate([lim, jnp.where(cm_hit, cm_lim, 0)], axis=1)
+        sym2 = jnp.concatenate([value, value], axis=1)
+        hit = inc2 != 0
+        ge = (idx16 >= sym2[:, :, None]) & hit[:, :, None]       # [B, 2S, 16]
+        contrib = jnp.concatenate([
+            ((inc2[:, :, None] >> 7) * ge).astype(jnp.float32),
+            ((inc2[:, :, None] & 127) * ge).astype(jnp.float32),
+            ((lim2 >> 7) * hit).astype(jnp.float32)[:, :, None],
+            ((lim2 & 127) * hit).astype(jnp.float32)[:, :, None],
+            hit.astype(jnp.float32)[:, :, None],
+        ], axis=2)                                               # [B, 2S, 35]
+        onehot = (flat2[:, :, None] ==
+                  jnp.arange(r)[None, None, :]) & hit[:, :, None]
+        upd = jax.lax.dot_general(
+            onehot.astype(jnp.float32), contrib,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(jnp.int32)  # [B, R, 35]
+        new_pend = {
+            "add": (upd[:, :, 0:16] << 7) + upd[:, :, 16:32],
+            "limsum": (upd[:, :, 32] << 7) + upd[:, :, 33],
+            "cnt": upd[:, :, 34],
+            "wadj": wadj,
+        }
+
+        # ---- apply the previous chunk's updates (one-chunk commit lag)
+        committed = committed + pend["add"]
+        has = pend["cnt"] > 0
+        lim_eff = jnp.where(has, pend["limsum"] // jnp.maximum(pend["cnt"], 1),
+                            0x8000)
+        bias = jnp.arange(1, 17)[None, None, :]
+        for _ in range(MAX_RENORM_PASSES):
+            over = committed[:, :, 15] >= lim_eff
+            cb = committed + bias
+            committed = jnp.where(over[:, :, None], cb - (cb >> 2), committed)
+        w01 = weights[:, :, :2] + pend["wadj"]
+        w01 = jnp.clip(w01, 1, WEIGHT_MAX)
+        w0f, w1f = weights_mod._fix_weights(w01[:, :, 0], w01[:, :, 1], jnp)
+        nw2 = weights_mod.norm_weight(w0f, w1f, jnp)
+        weights = jnp.stack([w0f, w1f, nw2], axis=-1)
+        return (committed, weights, new_pend), (start, freq)
+
+    xs = jnp.swapaxes(trace, 0, 1).reshape(n // chunk, chunk, b, 10)
+    xs = jnp.swapaxes(xs, 1, 2)                                  # [C, B, S, 10]
+    _, (starts, freqs) = jax.lax.scan(step, (committed0, weights0, pend0), xs)
+    starts = jnp.swapaxes(starts, 0, 1).reshape(b, n)
+    freqs = jnp.swapaxes(freqs, 0, 1).reshape(b, n)
+    return starts, freqs
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(4, (n - 1).bit_length())
 
 
-def _pad_traces(traces: list[np.ndarray]) -> np.ndarray:
+def _pad_traces(traces: list[np.ndarray], multiple: int = 1) -> np.ndarray:
     n = _next_pow2(max(t.shape[0] for t in traces))
+    n = max(n, multiple)
+    assert n % multiple == 0, (n, multiple)
     out = np.zeros((len(traces), n, trace_mod.NCOLS), np.int32)
     out[:, :, 9] = trace_mod.NOOP_LIM  # padded steps must not renorm row 0
     out[:, :, 4] = trace_mod.NOOP_LIM
@@ -144,20 +259,14 @@ def compress(data: bytes, options: DivansOptions | None = None,
             t = trace_mod.build_trace(raw, commands, options, layout)
         traces.append(t)
 
-    trace = _pad_traces(traces)
+    trace = _pad_traces(traces, multiple=max(chunk, 1))
     if chunk:
-        # deferred profile: host model replay for now (device chunked pass
-        # is model_pass_deferred, wired in the bench path)
-        starts = np.zeros(trace.shape[:2], np.int32)
-        freqs = np.ones(trace.shape[:2], np.int32)
-        for i, t in enumerate(traces):
-            s_, q_ = deferred.replay_trace(t, chunk)
-            starts[i, :t.shape[0]] = s_
-            freqs[i, :t.shape[0]] = q_
+        starts, freqs = model_pass_deferred(jnp.asarray(trace),
+                                            layout.num_rows, chunk)
     else:
         starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
-        starts = np.asarray(starts)
-        freqs = np.asarray(freqs)
+    starts = np.asarray(starts)
+    freqs = np.asarray(freqs)
     if billing_out is not None:
         from . import billing
         billing_out.update(billing.bill(traces, freqs, layout))

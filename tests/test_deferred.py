@@ -95,6 +95,25 @@ def test_jax_engine_deferred_matches_golden():
     assert jax_engine.compress(data, opts) == engine_np.compress(data, opts)
 
 
+@pytest.mark.parametrize("chunk", [64, 256])
+def test_model_pass_deferred_matches_replay(chunk):
+    from divans_tpu.codec import jax_engine
+    data = _alice(20480)
+    opts = DivansOptions(chunk_nibbles=chunk, metablock_size=4096)
+    layout = ModelLayout(PROFILES["cm"])
+    blocks = [data[o:o + 4096] for o in range(0, len(data), 4096)]
+    traces = [trace_mod.build_trace(r, build_commands(r, opts), opts, layout)
+              for r in blocks]
+    padded = jax_engine._pad_traces(traces, multiple=chunk)
+    s_d, f_d = jax_engine.model_pass_deferred(padded, layout.num_rows, chunk)
+    s_d, f_d = np.asarray(s_d), np.asarray(f_d)
+    for i, t in enumerate(traces):
+        s_h, f_h = deferred.replay_trace(t, chunk)
+        n = t.shape[0]
+        assert np.array_equal(s_d[i, :n], s_h)
+        assert np.array_equal(f_d[i, :n], f_h)
+
+
 def test_api_auto_roundtrip_deferred():
     import divans_tpu
     data = _alice(8192) + bytes(range(256)) * 8
