@@ -33,7 +33,12 @@ def compress(data: bytes, options: DivansOptions | None = None,
     return engine_np.compress(data, options)
 
 
-def decompress(data: bytes, engine: str = "auto") -> bytes:
+def decompress(data: bytes, engine: str = "auto",
+               options: DivansOptions | None = None) -> bytes:
+    if options is not None and options.external_probs is not None:
+        # ECDF streams need the caller-supplied probabilities (host path)
+        from .codec import engine_np
+        return engine_np.decompress(data, options)
     if engine in ("auto", "native"):
         # native decodes in-profile metablocks at line speed and falls
         # back to the golden engine per metablock (works lib-less too)

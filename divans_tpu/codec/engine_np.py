@@ -149,15 +149,28 @@ class MetablockCodec:
                 bk.last_llen = num_bytes
         # content nibbles against the LIT stream (literal.rs:260-394)
         data = cmd.data if io.is_encoder else None
+        ext = self.options.external_probs
         out = bytearray()
         for i in range(num_bytes):
             b = data[i] if data is not None else 0
-            h = self._literal_nibble(True, b >> 4, 0)
-            l = self._literal_nibble(False, b & 0xF, h)
+            pos = len(self.output) + i
+            if ext is not None and 8 * pos + 8 <= len(ext):
+                # external-probability path (literal.rs:662-698): both
+                # nibbles code against one-shot ECDFs; no model adaptation
+                h = self._ecdf_nibble(b >> 4, ext[8 * pos + 4:8 * pos + 8])
+                l = self._ecdf_nibble(b & 0xF, ext[8 * pos:8 * pos + 4])
+            else:
+                h = self._literal_nibble(True, b >> 4, 0)
+                l = self._literal_nibble(False, b & 0xF, h)
             byte = (h << 4) | l
             self.lbk.push_literal_byte(byte)
             out.append(byte)
         return bytes(out)
+
+    def _ecdf_nibble(self, value: int, probs4: bytes) -> int:
+        from ..probability.external_cdf import external_prob_cdf
+        cdf = external_prob_cdf(probs4)
+        return self.io_lit.code(cdf, value)
 
     def _literal_nibble(self, is_high: bool, value: int, cur_byte_prior: int) -> int:
         """The literal hot path (codec/literal.rs:153-259): compute the
@@ -659,17 +672,28 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     frames = []
     for off in range(0, len(data), mb):
         raw = data[off:off + mb]
-        commands = build_commands(raw, options)
+        mb_opts = _slice_external_probs(options, off, mb)
+        commands = build_commands(raw, mb_opts)
         if chunk:
-            cmd_b, lit_b = deferred.encode_metablock(raw, commands, options,
+            cmd_b, lit_b = deferred.encode_metablock(raw, commands, mb_opts,
                                                      chunk)
         else:
-            cmd_b, lit_b = encode_metablock(raw, commands, options)
+            cmd_b, lit_b = encode_metablock(raw, commands, mb_opts)
         frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
     flags = (PROFILE_FLAGS[profile_for_options(options)]
              | deferred.chunk_to_flags(chunk))
     return fmt.serialize(frames, options.window_size, options.mb_log2,
                          crc32c(data), flags=flags)
+
+
+def _slice_external_probs(options: DivansOptions, off: int,
+                          mb: int) -> DivansOptions:
+    """Per-metablock view of the global external-probability stream."""
+    if options.external_probs is None:
+        return options
+    import dataclasses
+    return dataclasses.replace(
+        options, external_probs=options.external_probs[8 * off:8 * (off + mb)])
 
 
 def decompress(blob: bytes, options: DivansOptions | None = None) -> bytes:
@@ -678,11 +702,14 @@ def decompress(blob: bytes, options: DivansOptions | None = None) -> bytes:
     _w, _mb, frames, stored_crc, flags = fmt.deserialize(blob)
     chunk = deferred.flags_to_chunk(flags)
     out = bytearray()
+    off = 0
     for f in frames:
+        mb_opts = _slice_external_probs(options, off, f.raw_len)
         if chunk:
             out += deferred.decode_metablock(f.cmd, f.lit, f.raw_len,
-                                             options, chunk)
+                                             mb_opts, chunk)
         else:
-            out += decode_metablock(f.cmd, f.lit, f.raw_len, options)
+            out += decode_metablock(f.cmd, f.lit, f.raw_len, mb_opts)
+        off += f.raw_len
     fmt.check_crc(bytes(out), stored_crc)
     return bytes(out)

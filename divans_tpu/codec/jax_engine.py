@@ -240,6 +240,9 @@ def compress(data: bytes, options: DivansOptions | None = None,
     from ..ir.matcher import build_commands
     from . import deferred
     options = options or DivansOptions()
+    if options.external_probs is not None:
+        from . import engine_np
+        return engine_np.compress(data, options)  # ECDF path is host-serial
     profile = profile_for_options(options)
     layout = ModelLayout(PROFILES[profile])
     mb = options.metablock_size

@@ -65,7 +65,8 @@ def supports(options: DivansOptions) -> bool:
             and options.force_stride_value == 0
             and options.prior_bitmask_detection == 0
             and options.prior_depth == 0
-            and options.chunk_nibbles == 0)     # deferred is a device profile
+            and options.chunk_nibbles == 0      # deferred is a device profile
+            and options.external_probs is None)
 
 
 def build_trace(raw: bytes, options: DivansOptions,

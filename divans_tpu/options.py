@@ -29,6 +29,10 @@ class DivansOptions:
     speed_detection_quality: int = 0
     prior_bitmask_detection: int = 0      # 0 = mixing mask all-zero profile
     divans_ir_optimizer: int = 0
+    external_probs: Optional[bytes] = None  # per-bit literal probabilities
+                                          # (8 bytes per raw byte, reference
+                                          # feature external-literal-probability;
+                                          # decoder must supply the same bytes)
     # --- TPU-native knobs ---
     metablock_size: int = 1 << 18         # bytes per independent model domain
     num_streams: int = 2                  # cmd + literal ANS streams per metablock
