@@ -20,16 +20,26 @@ sys.path.insert(0, "/root/repo")
 BASELINE_MBPS = 18.75
 
 
-def _device_healthy(timeout_s: int = 60) -> bool:
-    """The axon tunnel can wedge (PERF_NOTES.md); probe it in a child so
-    a hang cannot take the bench down with it."""
-    code = "import jax; print(int(jax.numpy.arange(4).sum()))"
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return r.returncode == 0 and r.stdout.strip().endswith("6")
-    except subprocess.TimeoutExpired:
-        return False
+def _device_healthy(timeout_s: int = 150) -> bool:
+    """The axon tunnel can wedge (PERF_NOTES.md); probe it in a daemon
+    thread with a deadline.  (A grandchild-process probe is NOT reliable:
+    nested python->python jax inits hang on the tunnel even when a direct
+    child works.)  On timeout the caller execve()s the CPU fallback,
+    which replaces the process and discards the hung thread."""
+    import threading
+    result = []
+
+    def probe():
+        try:
+            import jax
+            result.append(int(jax.numpy.arange(4).sum()) == 6)
+        except Exception:
+            result.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(result and result[0])
 
 
 def main():
@@ -52,30 +62,49 @@ def main():
     from divans_tpu.ans import kernels
     from divans_tpu.parallel import dist
 
+    from divans_tpu.ans import pallas_kernels as pk
+
+    CHUNK = 256  # deferred profile (codec/deferred.py): the device path
     data = open("/root/reference/testdata/alice29", "rb").read()
-    opts = DivansOptions(metablock_size=1 << 16)
+    opts = DivansOptions(metablock_size=1 << 16, chunk_nibbles=CHUNK)
     layout = ModelLayout(PROFILES["cm"])
     mb = opts.metablock_size
     blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
     traces = [trace_mod.build_trace(b, build_commands(b, opts), opts, layout)
               for b in blocks]
 
-    reps = 8  # replicate blocks into a wider batch
+    reps = 11  # replicate blocks into a wider batch (33 metablocks, ~5 MB)
     traces = traces * reps
     raw_bytes = sum(len(b) for b in blocks) * reps
-    trace = jnp.asarray(jax_engine._pad_traces(traces))
+    trace = jnp.asarray(jax_engine._pad_traces(traces, multiple=CHUNK))
+
+    interpret = jax.default_backend() != "tpu"
 
     @jax.jit
     def step(trace):
-        starts, freqs = jax_engine.model_pass(trace, layout.num_rows)
+        starts, freqs = jax_engine.model_pass_deferred(trace,
+                                                       layout.num_rows, CHUNK)
         (cs, cf, cc), (ls, lf, lc) = dist.split_lanes(trace, starts, freqs)
-        cmd = jax.vmap(kernels._encode_lane)(cs, cf, cc)
-        lit = jax.vmap(kernels._encode_lane)(ls, lf, lc)
+        # assemble the 2B rANS lanes into the Pallas [N, G, 128] layout
+        st = jnp.concatenate([cs, ls], axis=0)
+        fr = jnp.concatenate([cf, lf], axis=0)
+        cnt = jnp.concatenate([cc, lc], axis=0)
+        nlanes, n = st.shape
+        g = -(-nlanes // 128)
+        lpad = g * 128 - nlanes
+        npad = -(-n // pk.BLOCK_T) * pk.BLOCK_T - n
+        st = jnp.pad(st, ((0, lpad), (0, npad)))
+        fr = jnp.pad(fr, ((0, lpad), (0, npad)), constant_values=1)
+        cnt = jnp.pad(cnt, ((0, lpad),))
+        st = jnp.swapaxes(st, 0, 1).reshape(-1, g, 128)
+        fr = jnp.swapaxes(fr, 0, 1).reshape(-1, g, 128)
+        words, flags, states = pk.encode_lanes_pallas(
+            st, fr, cnt.reshape(g, 128), interpret=interpret)
         # sync via a scalar: block_until_ready under-reports on the axon
         # tunnel and full-array transfer pollutes with tunnel bandwidth
         # (PERF_NOTES.md)
-        return (jnp.sum(cmd[0]) + jnp.sum(cmd[2]) + jnp.sum(lit[0])
-                + jnp.sum(lit[2]))
+        return (jnp.sum(states) + jnp.sum(flags.astype(jnp.int32))
+                + jnp.sum(words.astype(jnp.int32)))
 
     int(step(trace))  # compile + warm
     n_iter = 3

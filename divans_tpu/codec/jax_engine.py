@@ -105,6 +105,23 @@ def model_pass(trace, num_rows):
     return jnp.swapaxes(starts, 0, 1), jnp.swapaxes(freqs, 0, 1)
 
 
+def _onehot_mm_b(oh_bf16, table_i32):
+    """Batched exact onehot matmul: [B, T, R] x [B, R, K] -> int32 [B, T, K].
+
+    table values are < 2^15 and split into 7-bit halves so both bf16
+    operands are exact integers < 2^8; f32 accumulation keeps every sum
+    (< 2^24) exact.  Single-pass bf16 MXU work instead of f32 passes, and
+    far cheaper than XLA's ~140ns-per-row dynamic gather (PERF_NOTES)."""
+    hi = (table_i32 >> 7).astype(jnp.bfloat16)
+    lo = (table_i32 & 127).astype(jnp.bfloat16)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    out_hi = jax.lax.dot_general(oh_bf16, hi, dn,
+                                 preferred_element_type=jnp.float32)
+    out_lo = jax.lax.dot_general(oh_bf16, lo, dn,
+                                 preferred_element_type=jnp.float32)
+    return (out_hi.astype(jnp.int32) << 7) + out_lo.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("num_rows", "chunk"))
 def model_pass_deferred(trace, num_rows, chunk):
     """Chunk-deferred model pass (codec/deferred.py rules), device-batched.
@@ -142,9 +159,12 @@ def model_pass_deferred(trace, num_rows, chunk):
             [xs[:, :, i] for i in range(10)]
         s = flat.shape[1]
 
-        # ---- code the chunk against the frozen snapshot
-        rows = jnp.take_along_axis(committed, flat[:, :, None], axis=1)
-        cm_rows = jnp.take_along_axis(committed, cm_idx[:, :, None], axis=1)
+        # ---- code the chunk against the frozen snapshot (MXU row fetch)
+        row_iota = jnp.arange(r, dtype=jnp.int32)[None, None, :]
+        oh_rows = (row_iota == flat[:, :, None]).astype(jnp.bfloat16)
+        oh_cm = (row_iota == cm_idx[:, :, None]).astype(jnp.bfloat16)
+        rows = _onehot_mm_b(oh_rows, committed)
+        cm_rows = _onehot_mm_b(oh_cm, committed)
         nw = jnp.take_along_axis(weights[:, :, 2], which, axis=1)
         mixed = cdf16.average(cm_rows, rows, nw & MIX_RATE_MASK, xp=jnp)
         do_mix = mix != 0
@@ -174,16 +194,18 @@ def model_pass_deferred(trace, num_rows, chunk):
         hit = inc2 != 0
         ge = (idx16 >= sym2[:, :, None]) & hit[:, :, None]       # [B, 2S, 16]
         contrib = jnp.concatenate([
-            ((inc2[:, :, None] >> 7) * ge).astype(jnp.float32),
-            ((inc2[:, :, None] & 127) * ge).astype(jnp.float32),
-            ((lim2 >> 7) * hit).astype(jnp.float32)[:, :, None],
-            ((lim2 & 127) * hit).astype(jnp.float32)[:, :, None],
-            hit.astype(jnp.float32)[:, :, None],
+            ((inc2[:, :, None] >> 7) * ge).astype(jnp.bfloat16),
+            ((inc2[:, :, None] & 127) * ge).astype(jnp.bfloat16),
+            ((lim2 >> 7) * hit).astype(jnp.bfloat16)[:, :, None],
+            ((lim2 & 127) * hit).astype(jnp.bfloat16)[:, :, None],
+            hit.astype(jnp.bfloat16)[:, :, None],
         ], axis=2)                                               # [B, 2S, 35]
         onehot = (flat2[:, :, None] ==
                   jnp.arange(r)[None, None, :]) & hit[:, :, None]
+        # all operands are exact bf16 integers < 2^8; f32 accumulation
+        # keeps every sum < 2^24 exact (same argument as _onehot_mm_b)
         upd = jax.lax.dot_general(
-            onehot.astype(jnp.float32), contrib,
+            onehot.astype(jnp.bfloat16), contrib,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(jnp.int32)  # [B, R, 35]
         new_pend = {
@@ -199,10 +221,19 @@ def model_pass_deferred(trace, num_rows, chunk):
         lim_eff = jnp.where(has, pend["limsum"] // jnp.maximum(pend["cnt"], 1),
                             0x8000)
         bias = jnp.arange(1, 17)[None, None, :]
-        for _ in range(MAX_RENORM_PASSES):
-            over = committed[:, :, 15] >= lim_eff
-            cb = committed + bias
-            committed = jnp.where(over[:, :, None], cb - (cb >> 2), committed)
+
+        def _ren_cond(c):
+            i, arr = c
+            return (i < MAX_RENORM_PASSES) & jnp.any(arr[:, :, 15] >= lim_eff)
+
+        def _ren_body(c):
+            i, arr = c
+            over = arr[:, :, 15] >= lim_eff
+            cb = arr + bias
+            return i + 1, jnp.where(over[:, :, None], cb - (cb >> 2), arr)
+
+        _, committed = jax.lax.while_loop(_ren_cond, _ren_body,
+                                          (jnp.int32(0), committed))
         w01 = weights[:, :, :2] + pend["wadj"]
         w01 = jnp.clip(w01, 1, WEIGHT_MAX)
         w0f, w1f = weights_mod._fix_weights(w01[:, :, 0], w01[:, :, 1], jnp)

@@ -8,21 +8,29 @@ VPU/MXU rate instead of XLA's ~140ns-per-row gather/scatter floor.
 Layout (L = 8 metablock lanes per call):
   * model scratch  int32[L*R, 128]: lane l's dense model occupies sublanes
     [l*R, (l+1)*R), columns 0..15 (the 16 cumulative counts; cols >= 16
-    stay zero).  Row fetch for a whole chunk is ONE tpu.dynamic_gather on
-    the [R, 128] lane slice (index tile = the chunk's flat rows).
+    stay zero).  Row fetch is an MXU onehot matmul per lane
+    (tpu.dynamic_gather cannot span multiple source vregs, so big-table
+    sublane gather does not lower — measured, PERF_NOTES.md).
   * per-chunk coding math runs on [S, 128] tiles per lane: column c of
     row t holds cdf entry c of the row coding step t; per-row scalars
     (max, cdf[sym], ...) are lane-axis masked reductions.
-  * boundary histogram: one f32 MXU matmul per lane per chunk,
+  * boundary histogram: bf16 MXU matmuls per lane per chunk,
     onehot[2S, R] (iota==row compare) x contrib[2S, 128] (cols 0..15
-    inc-ge masks, col 16 lim, col 17 hit) -> upd[R, 128]; every
-    accumulated product < 2^24 so f32 is exact (deferred.py bounds).
+    inc-ge masks, col 16 lim, col 17 hit) -> upd[R, 128].  All matmul
+    operands are 7-bit-split exact bf16 integers with f32 accumulation,
+    so results are bit-exact regardless of MXU pass selection.
   * integer division (the 15-bit rescale and lim_eff) uses the f32
     reciprocal + refine + fixup trick (exact for a < 2^31).
 
 Grid step k: phase A codes chunk k against the committed snapshot and
 stashes its mixer-adjustment sums (parity double-buffer); phase B then
 applies chunk k-1's updates — the one-chunk commit lag of the format.
+
+Status: bit-exact on-chip vs deferred.replay_trace; at L=8 lanes the
+per-lane full-R matmuls make it SLOWER than the batched XLA
+model_pass_deferred (which amortizes over B=32+ metablocks), so the XLA
+pass remains the production encode path.  Kept as the starting point for
+the r2 packed-lane kernel (see PERF_NOTES.md kernel roadmap).
 """
 from __future__ import annotations
 
@@ -70,6 +78,25 @@ def _lane_reduce(x, mask):
     return jnp.sum(jnp.where(mask, x, 0), axis=1, keepdims=True)
 
 
+def _onehot_mm(oh, b):
+    """Exact onehot-weighted integer matmul at native MXU rate.
+
+    oh: bf16 [M, K] of exact 0/1; b: int32 [K, N] with 0 <= b < 2^15.
+    b is split into 7-bit halves so every operand is an integer < 2^8 —
+    exactly representable in bf16 — making single-pass bf16 matmuls with
+    f32 accumulation bit-exact (all sums < 2^24 by the deferred.py
+    bounds).  This is ~6x cheaper than f32 Precision.HIGHEST passes.
+    """
+    hi = (b >> 7).astype(jnp.bfloat16)
+    lo = (b & 127).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    out_hi = jax.lax.dot_general(oh, hi, dn,
+                                 preferred_element_type=jnp.float32)
+    out_lo = jax.lax.dot_general(oh, lo, dn,
+                                 preferred_element_type=jnp.float32)
+    return (out_hi.astype(jnp.int32) << 7) + out_lo.astype(jnp.int32)
+
+
 def _kernel(*refs, r, s, c_total):
     # refs: 10 cur blocks, 10 prev blocks, starts, freqs, model, wstate, adj
     cur = refs[:NFIELD]
@@ -85,7 +112,7 @@ def _kernel(*refs, r, s, c_total):
     @pl.when(k == 0)
     def _():
         sub = jax.lax.broadcasted_iota(jnp.int32, (LANES * r, 128), 1)
-        model_ref[:] = jnp.where(sub < 16, (sub + 1) * 4, 0).astype(jnp.float32)
+        model_ref[:] = jnp.where(sub < 16, (sub + 1) * 4, 0)
         # wstate rows: 0..2 = w0,w1,nw for which=0; 3..5 for which=1
         row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         wstate_ref[:] = jnp.where((row == 2) | (row == 5), 1 << 14,
@@ -114,19 +141,12 @@ def _kernel(*refs, r, s, c_total):
         cm_idx = cur[7][:, ln:ln + 1]
 
         # row fetch via MXU: tpu.dynamic_gather only spans one vreg of
-        # sublanes, so big-table gather is a onehot matmul (exact in f32:
-        # one nonzero 0/1 weight per output, table values < 2^15)
+        # sublanes, so big-table gather is a onehot matmul (_onehot_mm)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (s, r), 1)
-        oh_nib = (row_iota == flat).astype(jnp.float32)
-        oh_cm = (row_iota == cm_idx).astype(jnp.float32)
-        rows = jax.lax.dot_general(
-            oh_nib, tab, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        cm_rows = jax.lax.dot_general(
-            oh_cm, tab, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+        oh_nib = (row_iota == flat).astype(jnp.bfloat16)
+        oh_cm = (row_iota == cm_idx).astype(jnp.bfloat16)
+        rows = _onehot_mm(oh_nib, tab)
+        cm_rows = _onehot_mm(oh_cm, tab)
 
         # mixed = average(cm_rows, rows, nw) — frequentist_cdf.rs:56-72
         nw0 = wstate_ref[2:3, ln:ln + 1]
@@ -198,17 +218,22 @@ def _kernel(*refs, r, s, c_total):
             hit = inc2 != 0
 
             oh = ((jax.lax.broadcasted_iota(jnp.int32, (2 * s, r), 1)
-                   == rows_idx) & hit).astype(jnp.float32)
+                   == rows_idx) & hit).astype(jnp.bfloat16)
             ent2 = jax.lax.broadcasted_iota(jnp.int32, (2 * s, 128), 1)
             contrib = jnp.where(
                 ent2 < 16, jnp.where(ent2 >= sym2, inc2, 0),
                 jnp.where(ent2 == 16, jnp.where(hit, lim2, 0),
-                          jnp.where(ent2 == 17, hit.astype(jnp.int32), 0))
-            ).astype(jnp.float32)
-            upd = jax.lax.dot_general(
-                oh, contrib, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32).astype(jnp.int32)
+                          jnp.where(ent2 == 17, hit.astype(jnp.int32), 0)))
+            # transpose the contraction via dimension numbers: contract
+            # over the hit axis (axis 0 of both operands)
+            c_hi = (contrib >> 7).astype(jnp.bfloat16)
+            c_lo = (contrib & 127).astype(jnp.bfloat16)
+            dn = (((0,), (0,)), ((), ()))
+            u_hi = jax.lax.dot_general(oh, c_hi, dn,
+                                       preferred_element_type=jnp.float32)
+            u_lo = jax.lax.dot_general(oh, c_lo, dn,
+                                       preferred_element_type=jnp.float32)
+            upd = (u_hi.astype(jnp.int32) << 7) + u_lo.astype(jnp.int32)
 
             add = jnp.where(ent_r < 16, upd, 0)
             limsum = _lane_reduce(upd, ent_r == 16)
@@ -216,8 +241,7 @@ def _kernel(*refs, r, s, c_total):
             lim_eff = jnp.where(cnt > 0,
                                 _exact_div(limsum, jnp.maximum(cnt, 1)),
                                 0x8000)
-            committed = (model_ref[ln * r:(ln + 1) * r, :].astype(jnp.int32)
-                         + add)
+            committed = model_ref[ln * r:(ln + 1) * r, :] + add
 
             def cond(c):
                 i, arr = c
@@ -233,7 +257,7 @@ def _kernel(*refs, r, s, c_total):
 
             _, committed = jax.lax.while_loop(cond, body, (0, committed))
             model_ref[ln * r:(ln + 1) * r, :] = jnp.where(
-                ent_r < 16, committed, 0).astype(jnp.float32)
+                ent_r < 16, committed, 0)
 
         # mixer commit from the OTHER parity slot (chunk k-1's sums)
         slot0 = adj_ref[0:4, :]
@@ -308,8 +332,7 @@ def model_pass_deferred_pallas(trace, num_rows, chunk, interpret=False):
         out_shape=(jax.ShapeDtypeStruct((n, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((n, LANES), jnp.int32)),
         scratch_shapes=[
-            pltpu.VMEM((LANES * r, 128), jnp.float32),  # model (f32-
-            # stored exact ints < 2^15: it is both matmul operand and state)
+            pltpu.VMEM((LANES * r, 128), jnp.int32),   # model
             pltpu.VMEM((8, 128), jnp.int32),           # weights
             pltpu.VMEM((8, 128), jnp.int32),           # adj parity buffer
         ],
