@@ -78,9 +78,19 @@ def build_trace(raw: bytes, commands: list[cmds.Command],
 
     Also replays commands into the ring buffer and asserts it reproduces
     `raw` (same invariant as the golden encoder)."""
+    return build_trace_with_bounds(raw, commands, options, layout)[0]
+
+
+def build_trace_with_bounds(raw: bytes, commands: list[cmds.Command],
+                            options: DivansOptions, layout: ModelLayout):
+    """build_trace plus per-command trace-row spans [(start, end), ...]
+    (used by the measured-cost IR optimizer, ir/optimize.py)."""
     codec = TraceCodec(options, layout)
+    bounds = []
     for cmd in commands:
+        a = len(codec.rows)
         _run_one_command(codec, cmd)
+        bounds.append((a, len(codec.rows)))
     codec.code_command_type(cmds.END_NIBBLE)
     assert bytes(codec.output) == raw, "trace ring-buffer replay mismatch"
-    return np.array(codec.rows, dtype=np.int32).reshape(-1, NCOLS)
+    return np.array(codec.rows, dtype=np.int32).reshape(-1, NCOLS), bounds

@@ -196,8 +196,10 @@ def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
         pos = mpos + mlen
     if pos < len(raw):
         emit_literal_run(pos, len(raw))
-    if options.divans_ir_optimizer:
+    if options.divans_ir_optimizer >= 2:
+        from .optimize import optimize_measured
+        out = out[:1] + optimize_measured(raw, out[1:], options)
+    elif options.divans_ir_optimizer:
         from .optimize import optimize
-        body = optimize(raw, out[1:])
-        out = out[:1] + body
+        out = out[:1] + optimize(raw, out[1:])
     return out

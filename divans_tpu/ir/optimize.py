@@ -52,6 +52,86 @@ def _copy_cost_bits(num_bytes: int, distance: int, lru: list[int]) -> float:
     return cost
 
 
+def optimize_measured(raw: bytes, commands: list[cmds.Command],
+                      options, layout=None) -> list[cmds.Command]:
+    """Measured-cost actuary (divans_ir_optimizer >= 2).
+
+    The reference probes each merge candidate against a shadow codec
+    (TallyingArithmeticEncoder).  Our two-pass structure gives the same
+    information in one batch: trace the command stream, replay the model
+    (chunk-deferred replay — within ~1% of the adaptive costs), and read
+    off each command's *exact* coded bits.  A copy is demoted to literal
+    bytes when its measured bits exceed the locally-measured literal
+    rate times its length (plus the saved length-header bits when it
+    merges into an adjacent literal).
+    """
+    import math
+
+    from ..codec import deferred as deferred_mod
+    from ..codec import trace as trace_mod
+    from ..codec.layout import ModelLayout, PROFILES, profile_for_options
+
+    if layout is None:
+        layout = ModelLayout(PROFILES[profile_for_options(options)])
+    try:
+        tr, bounds = trace_mod.build_trace_with_bounds(
+            raw, commands, options, layout)
+    except (KeyError, AssertionError):
+        return optimize(raw, commands)        # out of profile: heuristic
+    if tr.shape[0] == 0:
+        return commands
+    _, freqs = deferred_mod.replay_trace(tr, 256)
+    bits = -np.log2(np.maximum(freqs, 1) / 32768.0)
+
+    # measured literal content rate (bits/byte), global + per-command
+    is_lit_row = tr[:, 2] == 1
+    cmd_cost = [float(bits[a:b].sum()) for a, b in bounds]
+    lit_rates = []
+    for (a, b), c in zip(bounds, commands):
+        if isinstance(c, cmds.Literal) and len(c.data) >= 8:
+            content = bits[a:b][is_lit_row[a:b]].sum()
+            lit_rates.append((a, content / len(c.data)))
+    if not lit_rates:
+        return commands
+    global_rate = float(np.mean([r for _, r in lit_rates]))
+
+    def local_rate(row):
+        best, bd = global_rate, 1 << 30
+        for a, r in lit_rates:
+            d = abs(a - row)
+            if d < bd:
+                bd, best = d, r
+        return 0.5 * (best + global_rate)
+
+    out: list[cmds.Command] = []
+    pos = 0
+    for i, ((a, b), c) in enumerate(zip(bounds, commands)):
+        if isinstance(c, cmds.Copy):
+            as_literal = c.num_bytes * local_rate(a)
+            if out and isinstance(out[-1], cmds.Literal):
+                as_literal -= 4.0             # merged length header
+            if c.num_bytes <= 32 and as_literal < cmd_cost[i]:
+                data = raw[pos:pos + c.num_bytes]
+                if out and isinstance(out[-1], cmds.Literal):
+                    out[-1] = cmds.Literal(out[-1].data + data)
+                else:
+                    out.append(cmds.Literal(data))
+            else:
+                out.append(c)
+            pos += c.num_bytes
+        elif isinstance(c, cmds.Literal):
+            if out and isinstance(out[-1], cmds.Literal):
+                out[-1] = cmds.Literal(out[-1].data + c.data)
+            else:
+                out.append(c)
+            pos += len(c.data)
+        else:
+            if isinstance(c, cmds.Dict):
+                pos += c.final_size
+            out.append(c)
+    return out
+
+
 def optimize(raw: bytes, commands: list[cmds.Command]) -> list[cmds.Command]:
     """Demote copies that cost more than literal-coding their bytes,
     then re-merge adjacent literals."""

@@ -1,0 +1,41 @@
+"""IR optimizer (component 27): heuristic and measured-cost actuary."""
+import numpy as np
+
+from divans_tpu.options import DivansOptions
+from divans_tpu.codec import engine_np
+from divans_tpu.ir import commands as cmds
+from divans_tpu.ir.optimize import optimize_measured
+
+
+def _alice(n):
+    with open("/root/reference/testdata/alice29", "rb") as f:
+        return f.read()[:n]
+
+
+def test_measured_roundtrip_and_not_worse():
+    data = _alice(24576)
+    base = engine_np.compress(data, DivansOptions())
+    opt = engine_np.compress(data, DivansOptions(divans_ir_optimizer=2))
+    assert engine_np.decompress(opt) == data
+    assert len(opt) <= len(base) * 1.005, (len(opt), len(base))
+
+
+def test_measured_demotes_degenerate_copies():
+    # force a command stream with an obviously-bad copy: 4 random bytes
+    # copied from far away inside compressible text
+    from divans_tpu.ir.matcher import default_prediction_mode
+    data = _alice(4096)
+    opts = DivansOptions()
+    raw = bytearray(data)
+    raw[2048:2052] = raw[48:52]    # make the crafted copy reproduce raw
+    raw = bytes(raw)
+    commands = [default_prediction_mode(opts),
+                cmds.Literal(raw[:2048]),
+                cmds.Copy(distance=2000, num_bytes=4),
+                cmds.Literal(raw[2052:])]
+    out = optimize_measured(raw, commands, opts)
+    # whatever the verdict, the stream must still replay to raw
+    from divans_tpu.codec.trace import build_trace
+    from divans_tpu.codec.layout import ModelLayout, PROFILES
+    build_trace(raw, out, opts, ModelLayout(PROFILES["cm"]))  # asserts replay
+    assert sum(1 for c in out if isinstance(c, cmds.Copy)) <= 1
