@@ -48,17 +48,22 @@ def split_lanes(trace, starts, freqs):
     return lanes
 
 
-def sharded_encode_step(mesh: Mesh, num_rows: int):
+def sharded_encode_step(mesh: Mesh, num_rows: int, chunk: int = 0):
     """Build the jitted multi-chip encode step: trace batch -> lane words.
 
     The trace is sharded along the metablock batch axis; every op inside
     is batch-parallel, so XLA partitions it with no collectives on the
-    hot path."""
+    hot path.  chunk > 0 selects the deferred-profile model pass (the
+    fast device path); 0 the per-nibble adaptive scan."""
     batch = NamedSharding(mesh, P("data"))
 
     @functools.partial(jax.jit, in_shardings=(batch,))
     def step(trace):
-        starts, freqs = jax_engine.model_pass(trace, num_rows)
+        if chunk:
+            starts, freqs = jax_engine.model_pass_deferred(trace, num_rows,
+                                                           chunk)
+        else:
+            starts, freqs = jax_engine.model_pass(trace, num_rows)
         (cs, cf, cc), (ls, lf, lc) = split_lanes(trace, starts, freqs)
         cmd = jax.vmap(kernels._encode_lane)(cs, cf, cc)
         lit = jax.vmap(kernels._encode_lane)(ls, lf, lc)
