@@ -65,7 +65,6 @@ def supports(options: DivansOptions) -> bool:
             and options.force_stride_value == 0
             and options.prior_bitmask_detection == 0
             and options.prior_depth == 0
-            and options.chunk_nibbles == 0      # deferred is a device profile
             and options.external_probs is None)
 
 
@@ -130,8 +129,10 @@ def _seg_luts(layout: ModelLayout):
     return _seg_luts_cached(layout.profile.name)
 
 
-def encode_streams(trace: np.ndarray, num_rows: int):
-    """trace int32[n,10] -> (cmd_bytes, lit_bytes) via the C++ back-end."""
+def encode_streams(trace: np.ndarray, num_rows: int, chunk: int = 0):
+    """trace int32[n,10] -> (cmd_bytes, lit_bytes) via the C++ back-end.
+
+    chunk > 0 selects the deferred-adaptation profile (codec/deferred.py)."""
     lib = load()
     if lib is None:
         return None
@@ -143,7 +144,7 @@ def encode_streams(trace: np.ndarray, num_rows: int):
     cl = ctypes.c_int32(cap)
     ll = ctypes.c_int32(cap)
     rc = lib.dtpu_encode_streams(
-        trace.ctypes.data_as(ctypes.c_void_p), n, num_rows,
+        trace.ctypes.data_as(ctypes.c_void_p), n, num_rows, chunk,
         cb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(cl),
         lb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(ll))
     assert rc == 0, "stream buffer overflow"
@@ -151,7 +152,7 @@ def encode_streams(trace: np.ndarray, num_rows: int):
 
 
 def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
-                     layout: ModelLayout) -> bytes | None:
+                     layout: ModelLayout, chunk: int = 0) -> bytes | None:
     """Native serial decode; None = out of profile (caller falls back)."""
     lib = load()
     if lib is None:
@@ -162,7 +163,7 @@ def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
     lbuf = (ctypes.c_uint8 * max(1, len(lit))).from_buffer_copy(lit or b"\0")
     rc = lib.dtpu_decode_metablock(
         cbuf, len(cmd), lbuf, len(lit), raw_len,
-        1 if use_cm else 0, layout.num_rows,
+        1 if use_cm else 0, layout.num_rows, chunk,
         seg.ctypes.data_as(ctypes.c_void_p), nctx,
         lut0.ctypes.data_as(ctypes.c_void_p),
         lut1.ctypes.data_as(ctypes.c_void_p),
@@ -181,12 +182,15 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     from .container.crc32c import crc32c
     from .codec.layout import PROFILES, PROFILE_FLAGS, profile_for_options
 
+    from .codec.deferred import chunk_to_flags
+
     options = options or DivansOptions()
     if load() is None or not supports(options):
         return None
     profile = profile_for_options(options)
     layout = ModelLayout(PROFILES[profile])
     mb = options.metablock_size
+    chunk = options.chunk_nibbles
     frames = []
     for off in range(0, max(len(data), 1), mb):
         raw = data[off:off + mb]
@@ -195,10 +199,11 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
         trace = build_trace(raw, options, layout)
         if trace is None:
             return None
-        cmd_b, lit_b = encode_streams(trace, layout.num_rows)
+        cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk)
         frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
     return fmt.serialize(frames, options.window_size, options.mb_log2,
-                         crc32c(data), flags=PROFILE_FLAGS[profile])
+                         crc32c(data),
+                         flags=PROFILE_FLAGS[profile] | chunk_to_flags(chunk))
 
 
 def decompress(blob: bytes) -> bytes:
@@ -208,11 +213,10 @@ def decompress(blob: bytes) -> bytes:
     from .codec import engine_np
 
     from .codec.deferred import flags_to_chunk
+    from .codec import deferred as deferred_mod
     _w, _mb, frames, stored_crc, flags = fmt.deserialize(blob)
-    if flags_to_chunk(flags):
-        from .codec import jax_engine
-        return jax_engine.decompress(blob)      # deferred is a device profile
-    profile = FLAG_PROFILES.get(flags)
+    chunk = flags_to_chunk(flags)
+    profile = FLAG_PROFILES.get(flags & 0b11)
     out = bytearray()
     layout = ModelLayout(PROFILES[profile]) if profile else None
     opts = DivansOptions()
@@ -220,9 +224,13 @@ def decompress(blob: bytes) -> bytes:
         raw = None
         if layout is not None:
             raw = decode_metablock(f.cmd, f.lit, f.raw_len,
-                                   profile == "cm", layout)
+                                   profile == "cm", layout, chunk)
         if raw is None:
-            raw = engine_np.decode_metablock(f.cmd, f.lit, f.raw_len, opts)
+            if chunk:
+                raw = deferred_mod.decode_metablock(f.cmd, f.lit, f.raw_len,
+                                                    opts, chunk)
+            else:
+                raw = engine_np.decode_metablock(f.cmd, f.lit, f.raw_len, opts)
         out += raw
     fmt.check_crc(bytes(out), stored_crc)
     return bytes(out)

@@ -18,6 +18,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -130,6 +133,104 @@ inline void weights_update(Weights& w, int32_t p_cm, int32_t p_nib,
     w.norm = norm_weight(ws[0], ws[1]);
 }
 
+// ----------------------------------------------- deferred adaptation
+// The chunk-deferred profile (divans_tpu/codec/deferred.py): coding reads
+// a committed snapshot; per-chunk updates apply in batch with the
+// normative histogram + capped-renorm CDF rule and the clamped
+// summed-adjustment mixer rule, one chunk behind (commit lag 1).
+
+inline void weight_adjustments(int32_t p_cm, int32_t p_nib, int32_t weighted,
+                               int32_t* a0, int32_t* a1) {
+    constexpr int32_t ADJ_CLAMP = 1 << 21;
+    int32_t p1 = weighted, error = (1 << 15) - p1;
+    int32_t log_geo = bitlen((uint32_t)(p1 * error));
+    int32_t sh = log_geo - 15;
+    if (sh < 0) sh = 0;
+    int32_t out[2];
+    const int32_t n1[2] = {p_cm, p_nib};
+    for (int i = 0; i < 2; ++i) {
+        int32_t adj = (int32_t)(((int64_t)error * (n1[i] - p1)) >> sh);
+        if (adj > ADJ_CLAMP) adj = ADJ_CLAMP;
+        if (adj < -ADJ_CLAMP) adj = -ADJ_CLAMP;
+        out[i] = adj;
+    }
+    *a0 = out[0];
+    *a1 = out[1];
+}
+
+struct DeferredState {
+    static constexpr int32_t LAG = 1;
+    static constexpr int32_t MAX_RENORM = 24;
+    int32_t chunk = 0;               // 0 = per-nibble adaptive mode
+    int64_t t = 0;
+    std::vector<Cdf>* committed = nullptr;
+    Weights cw[2];
+
+    struct Upd {
+        int32_t add[16] = {0};
+        int32_t limsum = 0, cnt = 0;
+    };
+    struct ChunkUpd {
+        std::unordered_map<int32_t, Upd> rows;
+        uint32_t wadj[2][2] = {{0, 0}, {0, 0}};
+    };
+    ChunkUpd cur;
+    std::deque<ChunkUpd> queue;
+
+    void record_blend(int32_t flat, int32_t sym, int32_t inc, int32_t lim) {
+        if (!inc) return;
+        Upd& u = cur.rows[flat];
+        for (int i = sym; i < 16; ++i) u.add[i] += inc;
+        u.limsum += lim;
+        u.cnt += 1;
+    }
+    void record_wadj(int which, int32_t a0, int32_t a1) {
+        cur.wadj[which][0] += (uint32_t)a0;  // mod-2^32 accumulation
+        cur.wadj[which][1] += (uint32_t)a1;
+    }
+    void tick() {
+        if (++t % chunk) return;
+        queue.emplace_back(std::move(cur));
+        cur = ChunkUpd();
+        if ((int32_t)queue.size() > LAG) {
+            apply(queue.front());
+            queue.pop_front();
+        }
+    }
+    void apply(const ChunkUpd& u) {
+        for (const auto& kv : u.rows) {
+            Cdf& row = (*committed)[kv.first];
+            const Upd& up = kv.second;
+            int32_t r[16];
+            for (int i = 0; i < 16; ++i) r[i] = row.c[i] + up.add[i];
+            int32_t lim = up.limsum / up.cnt;
+            for (int pass = 0; pass < MAX_RENORM && r[15] >= lim; ++pass)
+                for (int i = 0; i < 16; ++i) {
+                    int32_t cb = r[i] + i + 1;
+                    r[i] = cb - (cb >> 2);
+                }
+            for (int i = 0; i < 16; ++i) row.c[i] = r[i];
+        }
+        for (int which = 0; which < 2; ++which) {
+            Weights& w = cw[which];
+            int32_t w0 = (int32_t)((uint32_t)w.w0 + u.wadj[which][0]);
+            int32_t w1 = (int32_t)((uint32_t)w.w1 + u.wadj[which][1]);
+            if (w0 < 1) w0 = 1;
+            if (w0 > WEIGHT_MAX) w0 = WEIGHT_MAX;
+            if (w1 < 1) w1 = 1;
+            if (w1 > WEIGHT_MAX) w1 = WEIGHT_MAX;
+            if ((w0 | w1) & 0x7F000000) {
+                int32_t il = bitlen((uint32_t)w0), il1 = bitlen((uint32_t)w1);
+                if (il1 > il) il = il1;
+                if (il >= 24) { w0 >>= il - 24; w1 >>= il - 24; }
+            }
+            w.w0 = w0;
+            w.w1 = w1;
+            w.norm = norm_weight(w0, w1);
+        }
+    }
+};
+
 // ------------------------------------------------------------------ rANS
 
 struct AnsEnc {
@@ -191,12 +292,15 @@ extern "C" {
 // trace: int32[n,10]; returns 0 on success. Stream bytes are written to
 // out_cmd/out_lit with lengths in *cmd_len/*lit_len (capacities in).
 int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
-                            int32_t num_rows,
+                            int32_t num_rows, int32_t chunk,
                             uint8_t* out_cmd, int32_t* cmd_len,
                             uint8_t* out_lit, int32_t* lit_len) {
     std::vector<Cdf> model((size_t)num_rows, CDF_INIT);
     Weights weights[2];
     AnsEnc enc[2];
+    DeferredState ds;
+    ds.chunk = chunk;
+    ds.committed = &model;
     for (int32_t t = 0; t < n; ++t) {
         const int32_t* r = trace + (int64_t)t * 10;
         int32_t flat = r[0], value = r[1], stream = r[2], inc = r[3],
@@ -204,20 +308,33 @@ int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
                 cm_inc = r[8], cm_lim = r[9];
         Cdf& rows = model[flat];
         int32_t start, freq;
+        Weights& w = chunk ? ds.cw[which] : weights[which];
         if (mix) {
             Cdf& cm = model[cm_idx];
-            Cdf mixed = average(cm, rows, weights[which].norm & 0xFFFF);
+            Cdf mixed = average(cm, rows, w.norm & 0xFFFF);
             sym_to_start_freq(mixed, value, &start, &freq);
             int32_t s_cm, p_cm, s_nib, p_nib;
             sym_to_start_freq(cm, value, &s_cm, &p_cm);
             sym_to_start_freq(rows, value, &s_nib, &p_nib);
-            weights_update(weights[which], p_cm, p_nib, freq);
-            blend(cm, value, cm_inc, cm_lim);
+            if (chunk) {
+                int32_t a0, a1;
+                weight_adjustments(p_cm, p_nib, freq, &a0, &a1);
+                ds.record_wadj(which, a0, a1);
+                ds.record_blend(cm_idx, value, cm_inc, cm_lim);
+            } else {
+                weights_update(weights[which], p_cm, p_nib, freq);
+                blend(cm, value, cm_inc, cm_lim);
+            }
         } else {
             sym_to_start_freq(rows, value, &start, &freq);
         }
         enc[stream].put(start, freq);
-        if (inc) blend(rows, value, inc, lim);
+        if (chunk) {
+            ds.record_blend(flat, value, inc, lim);
+            ds.tick();
+        } else if (inc) {
+            blend(rows, value, inc, lim);
+        }
     }
     auto cb = enc[0].flush();
     auto lb = enc[1].flush();
@@ -251,15 +368,21 @@ struct DecCtx {
     uint8_t* out;
     int32_t raw_len, wpos = 0;
     bool err = false;
+    DeferredState ds;  // ds.chunk > 0 = deferred profile
 
     int32_t nib(int32_t flat, int32_t inc, int32_t lim, AnsDec& ans) {
-        Cdf& row = model[flat];
+        Cdf& row = model[flat];  // committed snapshot in deferred mode
         int32_t off = ans.peek();
         int32_t sym = offset_to_sym(row, off);
         int32_t start, freq;
         sym_to_start_freq(row, sym, &start, &freq);
         ans.advance(start, freq);
-        if (inc) blend(row, sym, inc, lim);
+        if (ds.chunk) {
+            ds.record_blend(flat, sym, inc, lim);
+            ds.tick();
+        } else if (inc) {
+            blend(row, sym, inc, lim);
+        }
         return sym;
     }
 };
@@ -328,7 +451,8 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
                                      : seg[SEG_CM_SECOND] + hi * c.nctx + ctx;
                 Cdf& nrow = c.model[nf];
                 Cdf& crow = c.model[cf];
-                Weights& w = c.weights[is_high ? 1 : 0];
+                int which = is_high ? 1 : 0;
+                Weights& w = c.ds.chunk ? c.ds.cw[which] : c.weights[which];
                 Cdf mixed = average(crow, nrow, w.norm & 0xFFFF);
                 int32_t off = (is_high ? c.lit : c.lit).peek();
                 int32_t sym = offset_to_sym(mixed, off);
@@ -338,10 +462,20 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
                 int32_t s1, p_cm, s2, p_nib;
                 sym_to_start_freq(crow, sym, &s1, &p_cm);
                 sym_to_start_freq(nrow, sym, &s2, &p_nib);
-                weights_update(w, p_cm, p_nib, freq);
-                blend(crow, sym, c.adapt[is_high ? 3 : 2][0],
-                      c.adapt[is_high ? 3 : 2][1]);
-                blend(nrow, sym, c.adapt[0][0], c.adapt[0][1]);
+                if (c.ds.chunk) {
+                    int32_t a0, a1;
+                    weight_adjustments(p_cm, p_nib, freq, &a0, &a1);
+                    c.ds.record_wadj(which, a0, a1);
+                    c.ds.record_blend(cf, sym, c.adapt[is_high ? 3 : 2][0],
+                                      c.adapt[is_high ? 3 : 2][1]);
+                    c.ds.record_blend(nf, sym, c.adapt[0][0], c.adapt[0][1]);
+                    c.ds.tick();
+                } else {
+                    weights_update(w, p_cm, p_nib, freq);
+                    blend(crow, sym, c.adapt[is_high ? 3 : 2][0],
+                          c.adapt[is_high ? 3 : 2][1]);
+                    blend(nrow, sym, c.adapt[0][0], c.adapt[0][1]);
+                }
                 if (is_high) hi = sym; else lo = sym;
             }
         } else {
@@ -421,12 +555,14 @@ static void decode_prediction_mode(DecCtx& c) {
 int32_t dtpu_decode_metablock(
         const uint8_t* cmd_bytes, int32_t cmd_n,
         const uint8_t* lit_bytes, int32_t lit_n,
-        int32_t raw_len, int32_t use_cm, int32_t num_rows,
+        int32_t raw_len, int32_t use_cm, int32_t num_rows, int32_t chunk,
         const int32_t* seg_offsets, int32_t nctx,
         const uint8_t* lut0, const uint8_t* lut1,
         uint8_t* out_raw) {
     DecCtx c;
     c.model.assign((size_t)num_rows, CDF_INIT);
+    c.ds.chunk = chunk;
+    c.ds.committed = &c.model;
     c.cmd.init(cmd_bytes, cmd_n);
     c.lit.init(lit_bytes, lit_n);
     c.seg = seg_offsets;

@@ -91,3 +91,28 @@ def test_api_engine_selector():
     assert blobs["golden"] == blobs["native"] == blobs["auto"]
     for e in ("golden", "native", "auto"):
         assert decompress(blobs["golden"], engine=e) == data
+
+
+def test_native_deferred_profile():
+    """Deferred streams: native encode/decode byte-identical to golden."""
+    data = _data(20000)
+    opts = DivansOptions(chunk_nibbles=256, metablock_size=8192)
+    blob = native.compress(data, opts)
+    assert blob is not None
+    assert blob == engine_np.compress(data, opts)
+    assert native.decompress(blob) == data
+    # stride profile (context map off) under deferral
+    opts2 = DivansOptions(chunk_nibbles=128, use_context_map=False,
+                          metablock_size=8192)
+    blob2 = native.compress(data, opts2)
+    assert blob2 == engine_np.compress(data, opts2)
+    assert native.decompress(blob2) == data
+
+
+def test_api_auto_deferred_uses_native():
+    from divans_tpu import compress, decompress
+    data = _data(9000)
+    opts = DivansOptions(chunk_nibbles=256)
+    blob = compress(data, opts, engine="auto")
+    assert blob == compress(data, opts, engine="golden")
+    assert decompress(blob, engine="auto") == data
