@@ -16,6 +16,8 @@ Flags (a subset of the reference's ~40, same spellings where they exist):
   -cm / -nocm   enable/disable the literal context map
   -mixing=<N>   dynamic context mixing level 0..14
   -speed=<inc>,<lim>  literal adaptation speed
+  -deferred[=N] chunk-deferred adaptation profile (device-speed path;
+                N = chunk nibbles, default 256; ~+0.4% ratio)
   -serial       force the golden serial engine (no device batching)
   -v            print per-file ratio to stderr
   -version      print version
@@ -61,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
             inc, lim = a.split("=")[1].split(",")
             sp = Speed(int(inc), int(lim))
             opts["literal_adaptation"] = (sp, sp, sp, sp)
+        elif a.startswith("-deferred"):
+            # -deferred[=N]: chunk-deferred adaptation (codec/deferred.py);
+            # N = chunk nibbles (power of two in [16, 1024]; default 256)
+            opts["chunk_nibbles"] = int(a.split("=")[1]) if "=" in a else 256
         elif a == "-serial":
             engine = "golden"
         elif a == "-bill":

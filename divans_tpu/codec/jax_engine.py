@@ -368,13 +368,24 @@ def decompress(blob: bytes) -> bytes:
         return b""
     chunk = deferred.flags_to_chunk(flags)
     if chunk:
-        # deferred streams: golden deferred decode per frame (the Pallas
-        # gather-only decode kernel is the device path for this profile)
+        # deferred streams: native serial decode (line speed), golden
+        # deferred fallback per frame (a gather-only Pallas decode kernel
+        # is the r2 device path for this profile)
+        from .. import native
+        from .layout import FLAG_PROFILES as _FP
+        profile = _FP.get(flags & 0b11)
+        layout = ModelLayout(PROFILES[profile]) if profile else None
         opts = DivansOptions()
         out = bytearray()
         for f in frames:
-            out += deferred.decode_metablock(f.cmd, f.lit, f.raw_len,
-                                             opts, chunk)
+            raw = None
+            if layout is not None:
+                raw = native.decode_metablock(f.cmd, f.lit, f.raw_len,
+                                              profile == "cm", layout, chunk)
+            if raw is None:
+                raw = deferred.decode_metablock(f.cmd, f.lit, f.raw_len,
+                                                opts, chunk)
+            out += raw
         fmt.check_crc(bytes(out), stored_crc)
         return bytes(out)
     profile = FLAG_PROFILES.get(flags)
