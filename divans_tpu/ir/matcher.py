@@ -85,14 +85,126 @@ def _match_len(data: bytes, a: int, b: int, limit: int) -> int:
     return n
 
 
+def find_matches_optimal(data: bytes, quality: int):
+    """Cost-model optimal parse (native DP, quality 11) or None.
+
+    The reference reaches its q11 ratio through brotli's optimal parse
+    (backward references chosen by a shortest-path cost model); this is
+    the equivalent front-end, implemented in native/trace_builder.cpp
+    (dtpu_match_optimal) with billing-calibrated integer costs."""
+    import ctypes
+
+    import numpy as np
+
+    from .. import native
+    from .optimize import order1_bits_per_byte
+
+    lib = native.load()
+    if lib is None or len(data) < MIN_MATCH:
+        return None
+    lib.dtpu_match_optimal.restype = ctypes.c_int32
+    n = len(data)
+    depth = max(1, min(64, 1 << max(0, quality - 4)))
+    lit16 = max(8, int(order1_bits_per_byte(data) * 0.92 * 16))
+    dist16 = np.array([64 + 9 * bl for bl in range(33)], np.int32)
+    buf = (ctypes.c_uint8 * n).from_buffer_copy(data)
+    out = np.zeros((n // 4 + 8, 3), np.int32)
+
+    def parse(lit16_, dist16_):
+        nm = lib.dtpu_match_optimal(
+            buf, n, depth, lit16_,
+            np.ascontiguousarray(dist16_).ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p), out.shape[0])
+        if nm < 0:
+            return None
+        return [tuple(int(x) for x in row) for row in out[:nm]]
+
+    return parse(lit16, dist16)
+    # NOTE: a Zopfli-style second iteration with costs measured from a
+    # replay of the first parse (_measured_costs below) was tried and is
+    # ratio-neutral-to-slightly-negative here: the adaptive distance
+    # model's costs are self-fulfilling (they adapt to whatever parse is
+    # chosen), so re-costing moves near-ties both ways.  Kept for
+    # experimentation via research scripts.
+
+
+def _measured_costs(data, matches, lit16, dist16):
+    """Zopfli-style refinement: replay the first parse and measure the
+    actual literal rate and per-bitlen distance costs under the real
+    adaptive model (chunk-deferred replay ~= adaptive within 1%)."""
+    import numpy as np
+
+    from ..codec import deferred as deferred_mod
+    from ..codec import trace as trace_mod
+    from ..codec.layout import ModelLayout, PROFILES
+    from ..options import DivansOptions
+
+    try:
+        opts = DivansOptions()
+        layout = ModelLayout(PROFILES["cm"])
+        commands = _commands_from_matches(data, matches, opts)
+        tr, bounds = trace_mod.build_trace_with_bounds(
+            data, commands, opts, layout)
+        if tr.shape[0] == 0:
+            return None
+        _, freqs = deferred_mod.replay_trace(tr, 256)
+        bits16 = (-np.log2(np.maximum(freqs, 1) / 32768.0) * 16)
+        # classify rows: distance segments vs literal-content rows
+        is_dist = np.zeros(layout.num_rows, bool)
+        for s in ("c_dmn", "c_dbeg", "c_dlast", "c_dmant"):
+            off, shape = layout.segments[s]
+            is_dist[off:off + int(np.prod(shape))] = True
+        lit_bits = bits16[tr[:, 2] == 1].sum()
+        lit_bytes = sum(len(c.data) for c in commands
+                        if isinstance(c, cmds.Literal))
+        new_lit16 = int(lit_bits / lit_bytes) if lit_bytes >= 64 else lit16
+        # per-copy distance bits grouped by bitlen(distance)
+        sums = np.zeros(33)
+        cnts = np.zeros(33)
+        ci = 0
+        for (a, b), c in zip(bounds, commands):
+            if isinstance(c, cmds.Copy):
+                rows = tr[a:b, 0]
+                dbits = bits16[a:b][is_dist[rows]].sum()
+                bl = c.distance.bit_length()
+                sums[bl] += dbits
+                cnts[bl] += 1
+                ci += 1
+        new_dist16 = np.array(dist16)
+        for bl in range(33):
+            if cnts[bl] >= 8:
+                new_dist16[bl] = int(sums[bl] / cnts[bl])
+        return max(new_lit16, 8), new_dist16
+    except (KeyError, AssertionError):
+        return None
+
+
+def _commands_from_matches(data, matches, options):
+    """matches -> [PredictionMode, Literal/Copy...] (no dict pass)."""
+    out = [default_prediction_mode(options)]
+    pos = 0
+    for (mpos, dist, mlen) in matches:
+        if mpos > pos:
+            out.append(cmds.Literal(data[pos:mpos]))
+        out.append(cmds.Copy(distance=dist, num_bytes=mlen))
+        pos = mpos + mlen
+    if pos < len(data):
+        out.append(cmds.Literal(data[pos:]))
+    return out
+
+
 def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
-    """Greedy+lazy hash-chain matching.
+    """Greedy+lazy hash-chain matching; cost-model optimal parse at q11.
 
     Returns [(position, distance, length)] sorted by position, non-overlapping.
     """
     n = len(data)
     if n < MIN_MATCH:
         return []
+    if quality >= 11:
+        opt = find_matches_optimal(data, quality)
+        if opt is not None:
+            return opt
     chains: dict[int, list[int]] = {}
     depth = max(1, min(64, 1 << max(0, quality - 4)))
     lazy = quality >= 5

@@ -24,6 +24,20 @@ extern "C" {
 
 // ---------------------------------------------------------------- matcher
 
+// Cost-model optimal parse (quality 11): Zopfli-style shortest-path DP
+// over literal/copy edges with billing-calibrated integer costs (1/16
+// bit units, deterministic).  The reference reaches its q11 ratio through
+// brotli's optimal parse; this is the TPU build's equivalent front-end.
+// Candidates come from the same hash chains as the greedy matcher.
+
+struct Match;  // fwd (defined below)
+
+extern "C" int32_t dtpu_match_optimal(const uint8_t* data, int32_t n,
+                                      int32_t depth, int32_t lit_cost16,
+                                      const int32_t* dist_cost16,
+                                      Match* out, int32_t out_cap);
+
+
 struct Match { int32_t pos, dist, len; };
 
 static inline uint32_t hash4(const uint8_t* p) {
@@ -116,6 +130,108 @@ enum Seg {
     SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
     SEG_COUNT
 };
+
+
+// --------------------------------------------- optimal parse (quality 11)
+
+static inline int32_t bitlen_u32(uint32_t v) {
+    return v ? 32 - __builtin_clz(v) : 0;
+}
+
+static inline int32_t copy_cost16(int32_t len, int32_t dist,
+                                  const int32_t* dist_cost16) {
+    // cmd nibble ~1.6 bits + length mnemonic/mantissas + a per-bitlen
+    // distance cost table (default calibrated from billing; the second
+    // parse iteration passes costs measured from a replay of the first)
+    int32_t c = 26;
+    if (len < 15) c += 40;
+    else c += 64 + 11 * ((bitlen_u32((uint32_t)len) - 4) & ~3);
+    c += dist_cost16[bitlen_u32((uint32_t)dist)];
+    return c;
+}
+
+int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
+                           int32_t lit_cost16, const int32_t* dist_cost16,
+                           Match* out, int32_t out_cap) {
+    const int MIN_MATCH = 4;
+    if (n < MIN_MATCH) return 0;
+    if (depth < 1) depth = 1;
+    static thread_local std::vector<std::vector<int32_t>> chains;
+    chains.assign(1 << 15, {});
+
+    // per-position best candidate (longest match; ties -> nearest)
+    std::vector<int32_t> cand_len((size_t)n, 0), cand_dist((size_t)n, 0);
+    for (int32_t i = 0; i + MIN_MATCH <= n; ++i) {
+        uint32_t v;
+        memcpy(&v, data + i, 4);
+        uint32_t h = (v * 0x1E35A7BDu) >> 17;
+        auto& lst = chains[h];
+        int32_t best_len = 0, best_dist = 0;
+        int32_t lo = (int32_t)lst.size() > depth ? (int32_t)lst.size() - depth
+                                                 : 0;
+        for (int32_t k = (int32_t)lst.size() - 1; k >= lo; --k) {
+            int32_t j = lst[k];
+            int32_t l = 0, maxl = n - i;
+            const uint8_t* a = data + j;
+            const uint8_t* b = data + i;
+            while (l < maxl && a[l] == b[l]) ++l;
+            if (l > best_len || (l == best_len && i - j < best_dist)) {
+                best_len = l;
+                best_dist = i - j;
+                if (l >= 256) break;
+            }
+        }
+        if (best_len >= MIN_MATCH) {
+            cand_len[i] = best_len;
+            cand_dist[i] = best_dist;
+        }
+        lst.push_back(i);
+        if ((int32_t)lst.size() > 4 * depth)
+            lst.erase(lst.begin(), lst.begin() + 2 * depth);
+    }
+
+    // backward DP: cost[i] = cheapest coding of data[i:]
+    std::vector<int64_t> cost((size_t)n + 1, 0);
+    std::vector<int32_t> take_len((size_t)n, 0), take_dist((size_t)n, 0);
+    for (int32_t i = n - 1; i >= 0; --i) {
+        int64_t best = lit_cost16 + cost[i + 1];
+        int32_t bl = 0, bd = 0;
+        int32_t L = cand_len[i];
+        if (L >= MIN_MATCH) {
+            int32_t d = cand_dist[i];
+            // the longest length, plus all short lengths (a prefix of a
+            // match is a valid match at the same distance)
+            int32_t hi_short = L < 20 ? L : 20;
+            for (int32_t l = MIN_MATCH; l <= hi_short; ++l) {
+                int64_t c = copy_cost16(l, d, dist_cost16) + cost[i + l];
+                if (c < best) { best = c; bl = l; bd = d; }
+            }
+            if (L > hi_short) {
+                int64_t c = copy_cost16(L, d, dist_cost16) + cost[i + L];
+                if (c < best) { best = c; bl = L; bd = d; }
+            }
+        }
+        cost[i] = best;
+        take_len[i] = bl;
+        take_dist[i] = bd;
+    }
+
+    // forward reconstruction
+    int32_t count = 0;
+    for (int32_t i = 0; i < n;) {
+        if (take_len[i]) {
+            if (count >= out_cap) return -1;
+            out[count].pos = i;
+            out[count].dist = take_dist[i];
+            out[count].len = take_len[i];
+            ++count;
+            i += take_len[i];
+        } else {
+            ++i;
+        }
+    }
+    return count;
+}
 
 struct Speed { int32_t inc, lim; };
 static const Speed MUD{0x10, 0x2000}, SLOW{0x20, 0x1000}, MED{0x30, 0x4000},
