@@ -119,13 +119,45 @@ def find_matches_optimal(data: bytes, quality: int):
             return None
         return [tuple(int(x) for x in row) for row in out[:nm]]
 
-    return parse(lit16, dist16)
+    matches = parse(lit16, dist16)
+    if matches is not None:
+        matches = _prefer_repeat_distances(data, matches)
+    return matches
     # NOTE: a Zopfli-style second iteration with costs measured from a
     # replay of the first parse (_measured_costs below) was tried and is
     # ratio-neutral-to-slightly-negative here: the adaptive distance
     # model's costs are self-fulfilling (they adapt to whatever parse is
     # chosen), so re-costing moves near-ties both ways.  Kept for
     # experimentation via research scripts.
+
+
+def _prefer_repeat_distances(data, matches):
+    """Swap a copy's distance for a distance-LRU hit when the same bytes
+    are available there — an LRU mnemonic costs ~3 bits vs 4+0.55*log2(d)
+    for an explicit distance (codec/copy.rs mnemonics).  The LRU is
+    simulated exactly as the codec maintains it (codec/model.py)."""
+    out = []
+    lru = [4, 11, 15, 16]
+    for (pos, dist, length) in matches:
+        best = dist
+        if dist not in lru:
+            threshold_gain = 16 + 9 * dist.bit_length() - 48  # vs mnemonic
+            if threshold_gain > 0:
+                for d in lru:
+                    if d != dist and d <= pos \
+                            and data[pos - d:pos - d + length] \
+                            == data[pos:pos + length]:
+                        best = d
+                        break
+        out.append((pos, best, length))
+        if best != lru[0]:
+            if best == lru[1]:
+                lru[:2] = [best, lru[0]]
+            elif best == lru[2]:
+                lru[0], lru[1], lru[2] = best, lru[0], lru[1]
+            else:
+                lru[:] = [best] + lru[:3]
+    return out
 
 
 def _measured_costs(data, matches, lit16, dist16):
@@ -196,6 +228,11 @@ def _commands_from_matches(data, matches, options):
 def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
     """Greedy+lazy hash-chain matching; cost-model optimal parse at q11.
 
+    At q11 both parses are measured (exact model replay) and the cheaper
+    wins: the DP dominates on text, greedy on ultra-repetitive data where
+    the adaptive model rewards max-length matches beyond the static cost
+    model's horizon.
+
     Returns [(position, distance, length)] sorted by position, non-overlapping.
     """
     n = len(data)
@@ -204,7 +241,37 @@ def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
     if quality >= 11:
         opt = find_matches_optimal(data, quality)
         if opt is not None:
-            return opt
+            greedy = _find_matches_greedy(data, quality)
+            bo = _measured_total_bits(data, opt)
+            bg = _measured_total_bits(data, greedy)
+            if bo is not None and (bg is None or bo <= bg):
+                return opt
+            return greedy
+    return _find_matches_greedy(data, quality)
+
+
+def _measured_total_bits(data, matches):
+    """Exact model bits of a parse (chunk-deferred replay)."""
+    import numpy as np
+
+    from ..codec import deferred as deferred_mod
+    from ..codec import trace as trace_mod
+    from ..codec.layout import ModelLayout, PROFILES
+    from ..options import DivansOptions
+
+    try:
+        opts = DivansOptions()
+        layout = ModelLayout(PROFILES["cm"])
+        commands = _commands_from_matches(data, matches, opts)
+        tr = trace_mod.build_trace(data, commands, opts, layout)
+        _, freqs = deferred_mod.replay_trace(tr, 256)
+        return float(-np.log2(np.maximum(freqs, 1) / 32768.0).sum())
+    except (KeyError, AssertionError):
+        return None
+
+
+def _find_matches_greedy(data: bytes, quality: int):
+    n = len(data)
     chains: dict[int, list[int]] = {}
     depth = max(1, min(64, 1 << max(0, quality - 4)))
     lazy = quality >= 5
