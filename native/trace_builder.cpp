@@ -159,14 +159,16 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     static thread_local std::vector<std::vector<int32_t>> chains;
     chains.assign(1 << 15, {});
 
-    // per-position best candidate (longest match; ties -> nearest)
+    // per-position candidates: the longest match, and the nearest
+    // occurrence (short distance = cheap explicit coding) when distinct
     std::vector<int32_t> cand_len((size_t)n, 0), cand_dist((size_t)n, 0);
+    std::vector<int32_t> near_len((size_t)n, 0), near_dist((size_t)n, 0);
     for (int32_t i = 0; i + MIN_MATCH <= n; ++i) {
         uint32_t v;
         memcpy(&v, data + i, 4);
         uint32_t h = (v * 0x1E35A7BDu) >> 17;
         auto& lst = chains[h];
-        int32_t best_len = 0, best_dist = 0;
+        int32_t best_len = 0, best_dist = 0, nl = 0, nd = 0;
         int32_t lo = (int32_t)lst.size() > depth ? (int32_t)lst.size() - depth
                                                  : 0;
         for (int32_t k = (int32_t)lst.size() - 1; k >= lo; --k) {
@@ -175,6 +177,7 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
             const uint8_t* a = data + j;
             const uint8_t* b = data + i;
             while (l < maxl && a[l] == b[l]) ++l;
+            if (l >= MIN_MATCH && nl == 0) { nl = l; nd = i - j; }
             if (l > best_len || (l == best_len && i - j < best_dist)) {
                 best_len = l;
                 best_dist = i - j;
@@ -184,6 +187,7 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         if (best_len >= MIN_MATCH) {
             cand_len[i] = best_len;
             cand_dist[i] = best_dist;
+            if (nd != best_dist) { near_len[i] = nl; near_dist[i] = nd; }
         }
         lst.push_back(i);
         if ((int32_t)lst.size() > 4 * depth)
@@ -193,6 +197,23 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     // backward DP: cost[i] = cheapest coding of data[i:]
     std::vector<int64_t> cost((size_t)n + 1, 0);
     std::vector<int32_t> take_len((size_t)n, 0), take_dist((size_t)n, 0);
+    // next_take[i]: position of the first copy taken at or after i
+    std::vector<int32_t> next_take((size_t)n + 1, n);
+    auto rep_bonus = [&](int32_t i_end, int32_t d) -> int64_t {
+        // a later copy at the same distance hits the distance-LRU
+        // mnemonic (~3 bits) instead of its explicit cost; credit the
+        // pair on this edge (total cost is a sum, so the transfer is
+        // exact for adjacent same-distance takes)
+        int32_t j = next_take[i_end];
+        for (int k = 0; k < 2 && j < n; ++k) {
+            if (take_dist[j] == d) {
+                int32_t full = dist_cost16[bitlen_u32((uint32_t)d)];
+                return full > 48 ? full - 48 : 0;
+            }
+            j = next_take[j + take_len[j]];
+        }
+        return 0;
+    };
     for (int32_t i = n - 1; i >= 0; --i) {
         int64_t best = lit_cost16 + cost[i + 1];
         int32_t bl = 0, bd = 0;
@@ -203,17 +224,34 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
             // match is a valid match at the same distance)
             int32_t hi_short = L < 20 ? L : 20;
             for (int32_t l = MIN_MATCH; l <= hi_short; ++l) {
-                int64_t c = copy_cost16(l, d, dist_cost16) + cost[i + l];
+                int64_t c = copy_cost16(l, d, dist_cost16) + cost[i + l]
+                    - rep_bonus(i + l, d);
                 if (c < best) { best = c; bl = l; bd = d; }
             }
             if (L > hi_short) {
-                int64_t c = copy_cost16(L, d, dist_cost16) + cost[i + L];
+                int64_t c = copy_cost16(L, d, dist_cost16) + cost[i + L]
+                    - rep_bonus(i + L, d);
                 if (c < best) { best = c; bl = L; bd = d; }
+            }
+        }
+        if (near_len[i] >= MIN_MATCH) {
+            int32_t L2 = near_len[i], d2 = near_dist[i];
+            int32_t hi2 = L2 < 20 ? L2 : 20;
+            for (int32_t l = MIN_MATCH; l <= hi2; ++l) {
+                int64_t c = copy_cost16(l, d2, dist_cost16) + cost[i + l]
+                    - rep_bonus(i + l, d2);
+                if (c < best) { best = c; bl = l; bd = d2; }
+            }
+            if (L2 > hi2) {
+                int64_t c = copy_cost16(L2, d2, dist_cost16) + cost[i + L2]
+                    - rep_bonus(i + L2, d2);
+                if (c < best) { best = c; bl = L2; bd = d2; }
             }
         }
         cost[i] = best;
         take_len[i] = bl;
         take_dist[i] = bd;
+        next_take[i] = bl ? i : next_take[i + 1];
     }
 
     // forward reconstruction
