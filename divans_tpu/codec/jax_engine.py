@@ -159,12 +159,15 @@ def model_pass_deferred(trace, num_rows, chunk):
             [xs[:, :, i] for i in range(10)]
         s = flat.shape[1]
 
-        # ---- code the chunk against the frozen snapshot (MXU row fetch)
+        # ---- code the chunk against the frozen snapshot (MXU row fetch).
+        # ONE onehot over [flat; cm_idx] serves both the row fetch and the
+        # boundary histogram below (whose masking lives in `contrib`).
         row_iota = jnp.arange(r, dtype=jnp.int32)[None, None, :]
-        oh_rows = (row_iota == flat[:, :, None]).astype(jnp.bfloat16)
-        oh_cm = (row_iota == cm_idx[:, :, None]).astype(jnp.bfloat16)
-        rows = _onehot_mm_b(oh_rows, committed)
-        cm_rows = _onehot_mm_b(oh_cm, committed)
+        flat2 = jnp.concatenate([flat, cm_idx], axis=1)          # [B, 2S]
+        oh_full = (row_iota == flat2[:, :, None]).astype(jnp.bfloat16)
+        fetched = _onehot_mm_b(oh_full, committed)               # [B, 2S, 16]
+        rows = fetched[:, :s]
+        cm_rows = fetched[:, s:]
         nw = jnp.take_along_axis(weights[:, :, 2], which, axis=1)
         mixed = cdf16.average(cm_rows, rows, nw & MIX_RATE_MASK, xp=jnp)
         do_mix = mix != 0
@@ -187,7 +190,6 @@ def model_pass_deferred(trace, num_rows, chunk):
 
         # ---- chunk histogram: nib + cm hits, f32 matmul, hi/lo exact split
         cm_hit = do_mix & (cm_inc != 0)
-        flat2 = jnp.concatenate([flat, cm_idx], axis=1)          # [B, 2S]
         inc2 = jnp.concatenate([inc, jnp.where(cm_hit, cm_inc, 0)], axis=1)
         lim2 = jnp.concatenate([lim, jnp.where(cm_hit, cm_lim, 0)], axis=1)
         sym2 = jnp.concatenate([value, value], axis=1)
@@ -200,12 +202,12 @@ def model_pass_deferred(trace, num_rows, chunk):
             ((lim2 & 127) * hit).astype(jnp.bfloat16)[:, :, None],
             hit.astype(jnp.bfloat16)[:, :, None],
         ], axis=2)                                               # [B, 2S, 35]
-        onehot = (flat2[:, :, None] ==
-                  jnp.arange(r)[None, None, :]) & hit[:, :, None]
         # all operands are exact bf16 integers < 2^8; f32 accumulation
-        # keeps every sum < 2^24 exact (same argument as _onehot_mm_b)
+        # keeps every sum < 2^24 exact (same argument as _onehot_mm_b);
+        # non-hit rows contribute zero because every contrib column
+        # carries the hit mask
         upd = jax.lax.dot_general(
-            onehot.astype(jnp.bfloat16), contrib,
+            oh_full, contrib,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(jnp.int32)  # [B, R, 35]
         new_pend = {
