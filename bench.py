@@ -43,7 +43,13 @@ def _device_healthy(timeout_s: int = 150) -> bool:
 
 
 def main():
-    if os.environ.get("DIVANS_BENCH_CHILD") != "1" and not _device_healthy():
+    healthy = True
+    if os.environ.get("DIVANS_BENCH_CHILD") != "1":
+        healthy = _device_healthy()
+        if not healthy:
+            time.sleep(60)              # the tunnel wedges transiently
+            healthy = _device_healthy(60)
+    if os.environ.get("DIVANS_BENCH_CHILD") != "1" and not healthy:
         # TPU unreachable: rerun ourselves on CPU and tag the metric
         env = dict(os.environ, DIVANS_BENCH_CHILD="1",
                    DIVANS_BENCH_CPU_FALLBACK="1")
