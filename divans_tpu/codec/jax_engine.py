@@ -318,16 +318,24 @@ def compress(data: bytes, options: DivansOptions | None = None,
             lane_starts.append(starts[i, :n][m])
             lane_freqs.append(freqs[i, :n][m])
             lane_counts.append(int(m.sum()))
-    lmax = _next_pow2(max(1, max(lane_counts)))
-    ls = np.zeros((2 * b, lmax), np.int32)
-    lf = np.ones((2 * b, lmax), np.int32)
-    for i, (s, f) in enumerate(zip(lane_starts, lane_freqs)):
-        ls[i, :s.shape[0]] = s
-        lf[i, :f.shape[0]] = f
-    words, nwords, states = kernels.encode_lanes(
-        jnp.asarray(ls), jnp.asarray(lf),
-        jnp.asarray(np.array(lane_counts, np.int32)))
-    lane_bytes = kernels.lanes_to_bytes(words, nwords, states)
+    if jax.default_backend() == "tpu":
+        # the Pallas wide-rANS kernel (~22 Gsym/s; ans/pallas_kernels.py)
+        from ..ans import pallas_kernels as pk
+        pls, plf, plc = pk.pack_lanes(lane_starts, lane_freqs, lane_counts)
+        w, fl, st = pk.encode_lanes_pallas(
+            jnp.asarray(pls), jnp.asarray(plf), jnp.asarray(plc))
+        lane_bytes = pk.assemble_lane_bytes(w, fl, st, lane_counts)
+    else:
+        lmax = _next_pow2(max(1, max(lane_counts)))
+        ls = np.zeros((2 * b, lmax), np.int32)
+        lf = np.ones((2 * b, lmax), np.int32)
+        for i, (s, f) in enumerate(zip(lane_starts, lane_freqs)):
+            ls[i, :s.shape[0]] = s
+            lf[i, :f.shape[0]] = f
+        words, nwords, states = kernels.encode_lanes(
+            jnp.asarray(ls), jnp.asarray(lf),
+            jnp.asarray(np.array(lane_counts, np.int32)))
+        lane_bytes = kernels.lanes_to_bytes(words, nwords, states)
 
     frames = [fmt.MetablockFrame(len(blocks[i]), lane_bytes[2 * i],
                                  lane_bytes[2 * i + 1]) for i in range(b)]
