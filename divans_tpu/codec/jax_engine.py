@@ -1,12 +1,14 @@
 """Batched JAX codec engine — the TPU compute path.
 
 Encode (two-pass, DESIGN.md §2):
-  1. host: matcher -> commands -> per-nibble trace (codec/trace.py);
-  2. device: `model_pass` — one lax.scan over trace steps, batched over
-     metablocks, carrying the dense [B, R, 16] int16 model and the
-     [B, 2, 3] mixer weights; emits (start, freq) per nibble;
-  3. device: wide rANS reverse encode (ans/kernels.encode_lanes) over
-     2B lanes (cmd + lit stream per metablock);
+  1. host: matcher -> commands -> per-nibble trace (codec/trace.py,
+     native C++ fast path);
+  2. device: the model pass — `model_pass` (per-nibble adaptive scan) or
+     `model_pass_deferred` (chunk-deferred profile: whole chunks as MXU
+     onehot matmuls, the fast path) — emits (start, freq) per nibble;
+  3. device: wide rANS reverse encode — the Pallas kernel on TPU
+     (ans/pallas_kernels.py), the XLA scan elsewhere — over 2B lanes
+     (cmd + lit stream per metablock);
   4. host: container assembly.
 
 Bitstreams are identical to the golden serial engine's by construction
