@@ -1,0 +1,76 @@
+"""Corruption handling: truncations and bit flips must raise typed errors
+(CorruptContainer / CorruptStream), never crash, hang, or return wrong
+bytes silently (reference: magic/window checks, per-command bounds, CRC
+trailer; ends_with_truncated_dictionary fixture, buffer_size=1 feeding).
+"""
+import pytest
+
+import divans_tpu
+from divans_tpu.options import DivansOptions
+from divans_tpu.codec import engine_np
+from divans_tpu.container.format import CorruptContainer
+from divans_tpu.codec.model import CorruptStream
+
+
+def _blob(chunk=0):
+    data = open("/root/reference/testdata/alice29", "rb").read()[:20000]
+    return data, engine_np.compress(data, DivansOptions(chunk_nibbles=chunk))
+
+
+@pytest.mark.parametrize("chunk", [0, 256])
+def test_truncations_raise(chunk):
+    data, blob = _blob(chunk)
+    for cut in (0, 3, 4, 15, 16, 40, len(blob) // 2, len(blob) - 9,
+                len(blob) - 1):
+        with pytest.raises((CorruptContainer, CorruptStream)):
+            engine_np.decompress(blob[:cut])
+
+
+def test_bit_flips_detected():
+    data, blob = _blob()
+    flipped = 0
+    for pos in range(20, len(blob) - 10, max(1, len(blob) // 40)):
+        bad = bytearray(blob)
+        bad[pos] ^= 0x40
+        try:
+            out = engine_np.decompress(bytes(bad))
+            # a flip that decodes must still fail the CRC to count as
+            # detected; reaching here silently with wrong bytes is a bug
+            assert out == data, f"undetected corruption at byte {pos}"
+        except (CorruptContainer, CorruptStream):
+            flipped += 1
+    assert flipped > 0
+
+
+def test_magic_and_trailer_checks():
+    data, blob = _blob()
+    bad = b"\x00" + blob[1:]
+    with pytest.raises(CorruptContainer):
+        engine_np.decompress(bad)
+    bad = blob[:-4] + b"XXXX"          # trailer suffix
+    with pytest.raises(CorruptContainer):
+        engine_np.decompress(bad)
+    bad = blob[:-8] + b"\xff\xff\xff\xff" + blob[-4:]  # stored crc
+    with pytest.raises(CorruptContainer):
+        engine_np.decompress(bad)
+
+
+def test_native_decoder_rejects_corrupt():
+    from divans_tpu import native
+    if native.load() is None:
+        pytest.skip("native lib unavailable")
+    data, blob = _blob()
+    for pos in (20, 60, 200):
+        bad = bytearray(blob)
+        bad[pos] ^= 0x10
+        try:
+            out = native.decompress(bytes(bad))
+            assert out == data, f"undetected corruption at byte {pos}"
+        except (CorruptContainer, CorruptStream):
+            pass
+
+
+def test_api_decompress_corrupt():
+    data, blob = _blob(256)
+    with pytest.raises((CorruptContainer, CorruptStream)):
+        divans_tpu.decompress(blob[:30])
