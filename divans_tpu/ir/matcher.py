@@ -107,6 +107,7 @@ def find_matches_optimal(data: bytes, quality: int):
     depth = max(1, min(64, 1 << max(0, quality - 4)))
     lit16 = max(8, int(order1_bits_per_byte(data) * 0.92 * 16))
     dist16 = np.array([64 + 9 * bl for bl in range(33)], np.int32)
+    dlen, dcost = _dict_candidate_arrays(data)
     buf = (ctypes.c_uint8 * n).from_buffer_copy(data)
     out = np.zeros((n // 4 + 8, 3), np.int32)
 
@@ -114,6 +115,8 @@ def find_matches_optimal(data: bytes, quality: int):
         nm = lib.dtpu_match_optimal(
             buf, n, depth, lit16_,
             np.ascontiguousarray(dist16_).ctypes.data_as(ctypes.c_void_p),
+            dlen.ctypes.data_as(ctypes.c_void_p),
+            dcost.ctypes.data_as(ctypes.c_void_p),
             out.ctypes.data_as(ctypes.c_void_p), out.shape[0])
         if nm < 0:
             return None
@@ -131,6 +134,47 @@ def find_matches_optimal(data: bytes, quality: int):
     # experimentation via research scripts.
 
 
+def _dict_candidate_arrays(data):
+    """Per-position static-dictionary edge (final length + estimated cost
+    in 1/16 bits) for the DP; 0 length = no candidate."""
+    import numpy as np
+
+    from .. import dictionary
+
+    n = len(data)
+    dlen = np.zeros(n, np.int32)
+    dcost = np.zeros(n, np.int32)
+    index = _dict_index()
+    if index:
+        for i in range(n):
+            for wl in (9, 8, 7, 6, 5, 4):
+                if i + wl <= n:
+                    hit = index.get(data[i:i + wl])
+                    if hit is not None:
+                        wlen = hit[0]
+                        dlen[i] = wl
+                        # cmd nibble + size/transform overhead + word-id
+                        # mantissa at ~0.63 bits/bit: swept against the
+                        # corpus — the adaptive dict priors make word ids
+                        # far cheaper than their raw bit count
+                        dcost[i] = 80 + 10 * dictionary.DICT_BITS[wlen]
+                        break
+    return dlen, dcost
+
+
+def _dict_command_at(data, pos):
+    """The dict candidate the DP chose at `pos` (same probe order)."""
+    index = _dict_index()
+    for wl in (9, 8, 7, 6, 5, 4):
+        if pos + wl <= len(data):
+            hit = index.get(data[pos:pos + wl])
+            if hit is not None:
+                wlen, wid, tid = hit
+                return cmds.Dict(word_size=wlen, word_id=wid,
+                                 transform=tid, final_size=wl)
+    raise AssertionError(f"no dict candidate at {pos}")
+
+
 def _prefer_repeat_distances(data, matches):
     """Swap a copy's distance for a distance-LRU hit when the same bytes
     are available there — an LRU mnemonic costs ~3 bits vs 4+0.55*log2(d)
@@ -140,6 +184,9 @@ def _prefer_repeat_distances(data, matches):
     lru = [4, 11, 15, 16]
     for (pos, dist, length) in matches:
         best = dist
+        if dist == 0:                 # dict edge marker, not a copy
+            out.append((pos, dist, length))
+            continue
         if dist not in lru:
             threshold_gain = 16 + 9 * dist.bit_length() - 48  # vs mnemonic
             if threshold_gain > 0:
@@ -218,7 +265,10 @@ def _commands_from_matches(data, matches, options):
     for (mpos, dist, mlen) in matches:
         if mpos > pos:
             out.append(cmds.Literal(data[pos:mpos]))
-        out.append(cmds.Copy(distance=dist, num_bytes=mlen))
+        if dist == 0:
+            out.append(_dict_command_at(data, mpos))
+        else:
+            out.append(cmds.Copy(distance=dist, num_bytes=mlen))
         pos = mpos + mlen
     if pos < len(data):
         out.append(cmds.Literal(data[pos:]))
@@ -371,7 +421,10 @@ def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
     for (mpos, dist, mlen) in matches:
         if mpos > pos:
             emit_literal_run(pos, mpos)
-        out.append(cmds.Copy(distance=dist, num_bytes=mlen))
+        if dist == 0:                 # dict edge chosen by the q11 DP
+            out.append(_dict_command_at(raw, mpos))
+        else:
+            out.append(cmds.Copy(distance=dist, num_bytes=mlen))
         pos = mpos + mlen
     if pos < len(raw):
         emit_literal_run(pos, len(raw))

@@ -35,6 +35,8 @@ struct Match;  // fwd (defined below)
 extern "C" int32_t dtpu_match_optimal(const uint8_t* data, int32_t n,
                                       int32_t depth, int32_t lit_cost16,
                                       const int32_t* dist_cost16,
+                                      const int32_t* dict_len,
+                                      const int32_t* dict_cost16,
                                       Match* out, int32_t out_cap);
 
 
@@ -152,6 +154,8 @@ static inline int32_t copy_cost16(int32_t len, int32_t dist,
 
 int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
                            int32_t lit_cost16, const int32_t* dist_cost16,
+                           const int32_t* dict_len,
+                           const int32_t* dict_cost16,
                            Match* out, int32_t out_cap) {
     const int MIN_MATCH = 4;
     if (n < MIN_MATCH) return 0;
@@ -247,6 +251,11 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
                     - rep_bonus(i + L2, d2);
                 if (c < best) { best = c; bl = L2; bd = d2; }
             }
+        }
+        if (dict_len && dict_len[i] > 0) {
+            // static-dictionary edge; dist 0 marks it for the caller
+            int64_t c = dict_cost16[i] + cost[i + dict_len[i]];
+            if (c < best) { best = c; bl = dict_len[i]; bd = 0; }
         }
         cost[i] = best;
         take_len[i] = bl;
