@@ -79,7 +79,7 @@ def main():
     traces = [trace_mod.build_trace(b, build_commands(b, opts), opts, layout)
               for b in blocks]
 
-    reps = 11  # replicate blocks into a wider batch (33 metablocks, ~5 MB)
+    reps = 22  # replicate blocks into a wider batch (66 metablocks, ~10 MB)
     traces = traces * reps
     raw_bytes = sum(len(b) for b in blocks) * reps
     trace = jnp.asarray(jax_engine._pad_traces(traces, multiple=CHUNK))
