@@ -65,7 +65,8 @@ def supports(options: DivansOptions) -> bool:
             and options.force_stride_value == 0
             and options.prior_bitmask_detection == 0
             and options.prior_depth == 0
-            and options.external_probs is None)
+            and options.external_probs is None
+            and options.divans_ir_optimizer == 0)  # actuary is Python-side
 
 
 def build_trace(raw: bytes, options: DivansOptions,
