@@ -57,3 +57,38 @@ def test_dryrun_multichip_entrypoint():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out[0].shape == args[0].shape[:2]
+
+
+def test_sharded_e2e_container_roundtrip(mesh8):
+    """Full pipeline on the mesh: sharded deferred encode -> host frame
+    assembly in file order (the mux analog) -> serial decode -> bytes
+    equal.  This is the 'decode on a different assignment than encode'
+    verify pass of DESIGN.md's dist section, on 8 virtual chips."""
+    from divans_tpu.container import format as fmt
+    from divans_tpu.container.crc32c import crc32c
+    from divans_tpu.codec import engine_np
+    from divans_tpu.codec.deferred import chunk_to_flags
+
+    layout = ModelLayout(PROFILES["cm"])
+    chunk = 64
+    opts = DivansOptions(metablock_size=4096, chunk_nibbles=chunk)
+    data = open("/root/reference/testdata/alice29", "rb").read()[:32768]
+    mb = opts.metablock_size
+    blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
+    traces = [trace_mod.build_trace(b, build_commands(b, opts), opts, layout)
+              for b in blocks]
+    trace = jnp.asarray(jax_engine._pad_traces(traces, multiple=chunk))
+
+    step = dist.sharded_encode_step(mesh8, layout.num_rows, chunk=chunk)
+    (cw, cn, cs), (lw, ln, ls) = step(trace)
+
+    frames = []
+    for i in range(len(blocks)):
+        cmd = kernels.lanes_to_bytes(cw[i:i + 1], cn[i:i + 1], cs[i:i + 1])[0]
+        lit = kernels.lanes_to_bytes(lw[i:i + 1], ln[i:i + 1], ls[i:i + 1])[0]
+        frames.append(fmt.MetablockFrame(len(blocks[i]), cmd, lit))
+    blob = fmt.serialize(frames, opts.window_size, opts.mb_log2,
+                         crc32c(data), flags=chunk_to_flags(chunk))
+    assert engine_np.decompress(blob) == data
+    # and the container equals the single-process engine's
+    assert blob == engine_np.compress(data, opts)
