@@ -26,7 +26,10 @@ def compress(data: bytes, options: DivansOptions | None = None,
         try:
             from .codec import jax_engine
             return jax_engine.compress(data, options)
-        except (ImportError, NotImplementedError):
+        except (ImportError, NotImplementedError, RuntimeError):
+            # RuntimeError covers an unreachable accelerator backend (the
+            # axon plugin raises at init when its tunnel is down); "auto"
+            # must keep working on the host engines
             if engine == "jax":
                 raise
     from .codec import engine_np
