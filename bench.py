@@ -1,13 +1,20 @@
-"""Benchmark: device encode throughput (model-pass scan + wide rANS).
+"""Benchmark: device encode + decode throughput (deferred profile).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's ~150 Mbit/s (18.75 MB/s) line speed
 (/root/reference/README.md:6, BASELINE.md).
 
-Measures the device portion of encode (adaptive-model scan + rANS
-lanes) on real traces from alice29, batched over metablocks — the
-TPU-resident part of the pipeline.  Host trace building is excluded
-(its native implementation is tracked separately).
+Measures the device portion of the codec on real alice29 streams,
+batched over metablocks.  Every successful on-chip measurement is
+persisted to BENCH_HISTORY.jsonl; if the axon tunnel is wedged at the
+moment the driver runs this script (it wedges for an hour+ after heavy
+use, PERF_NOTES.md), the last recorded on-chip result is reported with
+metric suffix `_cached` rather than emitting a meaningless CPU number.
+
+Methodology (PERF_NOTES.md "Bench methodology rules"): warm the jit
+cache, sync via a device-side scalar pull, keep each timed region small
+enough (<30 s) to finish inside a flaky-tunnel window, amortize the
+~28 ms dispatch.
 """
 import json
 import os
@@ -15,17 +22,19 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 BASELINE_MBPS = 18.75
+HISTORY = os.path.join(REPO, "BENCH_HISTORY.jsonl")
 
 
 def _device_healthy(timeout_s: int = 150) -> bool:
-    """The axon tunnel can wedge (PERF_NOTES.md); probe it in a daemon
-    thread with a deadline.  (A grandchild-process probe is NOT reliable:
-    nested python->python jax inits hang on the tunnel even when a direct
-    child works.)  On timeout the caller execve()s the CPU fallback,
-    which replaces the process and discards the hung thread."""
+    """Probe the axon tunnel in a daemon thread with a deadline.  (A
+    grandchild-process probe is NOT reliable: nested python->python jax
+    inits hang on the tunnel even when a direct child works.)  On timeout
+    the caller gives up on this process (the hung thread holds the jax
+    runtime lock), so the probe is only run before any other jax use."""
     import threading
     result = []
 
@@ -42,33 +51,80 @@ def _device_healthy(timeout_s: int = 150) -> bool:
     return bool(result and result[0])
 
 
+def _last_recorded():
+    """Most recent persisted on-chip result, or None."""
+    try:
+        with open(HISTORY) as f:
+            lines = [json.loads(x) for x in f if x.strip()]
+    except OSError:
+        return None
+    lines = [x for x in lines if x.get("on_chip")]
+    return lines[-1] if lines else None
+
+
+def _record(entry: dict) -> None:
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def _report_cached_or_fail() -> None:
+    last = _last_recorded()
+    if last is not None:
+        print(json.dumps({
+            "metric": last["metric"] + "_cached",
+            "value": last["value"],
+            "unit": last["unit"],
+            "vs_baseline": last["vs_baseline"],
+        }))
+    else:
+        print(json.dumps({
+            "metric": "device_unreachable",
+            "value": 0.0,
+            "unit": "MB/s",
+            "vs_baseline": 0.0,
+        }))
+    sys.exit(0)
+
+
 def main():
-    healthy = True
-    if os.environ.get("DIVANS_BENCH_CHILD") != "1":
-        healthy = _device_healthy()
-        if not healthy:
-            time.sleep(60)              # the tunnel wedges transiently
-            healthy = _device_healthy(60)
-    if os.environ.get("DIVANS_BENCH_CHILD") != "1" and not healthy:
-        # TPU unreachable: rerun ourselves on CPU and tag the metric
-        env = dict(os.environ, DIVANS_BENCH_CHILD="1",
-                   DIVANS_BENCH_CPU_FALLBACK="1")
-        env["JAX_PLATFORMS"] = "cpu"
-        os.execve(sys.executable, [sys.executable, __file__], env)
+    # The tunnel wedges transiently; retry the health probe over ~6 min
+    # before falling back to the last persisted on-chip number.
+    deadline = time.time() + 360
+    healthy = _device_healthy(150)
+    while not healthy and time.time() < deadline:
+        time.sleep(45)
+        # the hung probe thread poisons this process's jax runtime: probe
+        # again from a fresh direct child (direct children work; only
+        # nested grandchildren hang)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(int(jax.numpy.arange(4).sum()))"],
+                capture_output=True, timeout=120, text=True)
+            healthy = r.stdout.strip().endswith("6")
+        except Exception:
+            healthy = False
+        if healthy and os.environ.get("DIVANS_BENCH_REEXEC") != "1":
+            # this process's runtime may be poisoned by the first probe:
+            # re-exec clean and skip straight to measurement
+            env = dict(os.environ, DIVANS_BENCH_REEXEC="1")
+            os.execve(sys.executable, [sys.executable, __file__], env)
+    if not healthy:
+        _report_cached_or_fail()
+
     import numpy as np
     import jax
-    if os.environ.get("DIVANS_BENCH_CPU_FALLBACK") == "1":
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from divans_tpu.options import DivansOptions
     from divans_tpu.codec import jax_engine, trace as trace_mod
     from divans_tpu.codec.layout import ModelLayout, PROFILES
     from divans_tpu.ir.matcher import build_commands
-    from divans_tpu.ans import kernels
     from divans_tpu.parallel import dist
-
     from divans_tpu.ans import pallas_kernels as pk
+
+    on_chip = jax.default_backend() == "tpu"
+    interpret = not on_chip
 
     CHUNK = 256  # deferred profile (codec/deferred.py): the device path
     data = open("/root/reference/testdata/alice29", "rb").read()
@@ -84,10 +140,8 @@ def main():
     raw_bytes = sum(len(b) for b in blocks) * reps
     trace = jnp.asarray(jax_engine._pad_traces(traces, multiple=CHUNK))
 
-    interpret = jax.default_backend() != "tpu"
-
     @jax.jit
-    def step(trace):
+    def encode_step(trace):
         starts, freqs = jax_engine.model_pass_deferred(trace,
                                                        layout.num_rows, CHUNK)
         (cs, cf, cc), (ls, lf, lc) = dist.split_lanes(trace, starts, freqs)
@@ -108,20 +162,44 @@ def main():
             st, fr, cnt.reshape(g, 128), interpret=interpret)
         # sync via a scalar: block_until_ready under-reports on the axon
         # tunnel and full-array transfer pollutes with tunnel bandwidth
-        # (PERF_NOTES.md)
         return (jnp.sum(states) + jnp.sum(flags.astype(jnp.int32))
                 + jnp.sum(words.astype(jnp.int32)))
 
-    int(step(trace))  # compile + warm
-    n_iter = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        int(step(trace))
-    dt = (time.perf_counter() - t0) / n_iter
-    mbps = raw_bytes / dt / 1e6
-    metric = "device_encode_throughput"
-    if os.environ.get("DIVANS_BENCH_CPU_FALLBACK") == "1":
-        metric += "_cpu_fallback"  # TPU tunnel was unreachable
+    def timed(fn, *args, n_iter=3):
+        int(fn(*args))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            int(fn(*args))
+        return (time.perf_counter() - t0) / n_iter
+
+    results = []
+    dt = timed(encode_step, trace)
+    enc_mbps = raw_bytes / dt / 1e6
+    results.append(("device_encode_throughput", enc_mbps))
+
+    # ---- device decode (deferred profile), if the kernel is available
+    dec_mbps = None
+    try:
+        from divans_tpu.codec import pallas_decode
+    except ImportError:
+        pallas_decode = None
+    if pallas_decode is not None and getattr(pallas_decode, "READY", False):
+        blob = jax_engine.compress(data, opts)
+        dec_mbps = pallas_decode.bench_decode(blob, reps=reps, timed=timed)
+        if dec_mbps is not None:
+            results.append(("device_decode_throughput", dec_mbps))
+
+    now = time.strftime("%Y-%m-%dT%H:%M:%S")
+    for metric, mbps in results:
+        _record({"ts": now, "metric": metric, "value": round(mbps, 3),
+                 "unit": "MB/s", "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+                 "on_chip": on_chip})
+
+    # headline: decode once it exists (the reference's 18.75 MB/s line
+    # speed is a decode number), encode until then
+    metric, mbps = results[-1] if dec_mbps is not None else results[0]
+    if not on_chip:
+        metric += "_cpu"
     print(json.dumps({
         "metric": metric,
         "value": round(mbps, 3),
