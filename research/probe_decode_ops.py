@@ -180,3 +180,156 @@ if __name__ == "__main__":
             print(fn())
         except Exception as e:  # noqa: BLE001
             print(f"{name} FAILED: {type(e).__name__}: {str(e)[:500]}")
+
+
+# ----------------------------------------------------------------------
+# r2 probes: the deferred-decode kernel's exact access patterns
+# ----------------------------------------------------------------------
+
+LANES = 64
+RR = 512   # model rows (tiny stand-in for ~2400)
+
+
+def p6_kernel(m_ref, j_ref, o_ref):
+    # per-lane model row fetch: m[l, j_l, :16] with traced j; accumulate
+    # into a [16, 128] lane-column layout via masked select
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+
+    def fetch(l, acc):
+        jl = j_ref[0, l]
+        row = m_ref[l, jl, :].reshape(16, 1)   # [16] values
+        return jnp.where(lane_iota == l, row, acc)
+
+    acc = jax.lax.fori_loop(0, LANES, fetch,
+                            jnp.zeros((16, 128), jnp.int32))
+    o_ref[:] = acc
+
+
+def probe_p6(dtype=jnp.int32):
+    m = (jnp.arange(LANES * RR * 16, dtype=jnp.int32) % 1000).reshape(
+        LANES, RR, 16).astype(dtype)
+    j = (jnp.arange(128, dtype=jnp.int32) * 7 % RR).reshape(1, 128)
+    out = pl.pallas_call(
+        p6_kernel,
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=INTERP,
+    )(m.astype(jnp.int32) if dtype == jnp.int32 else m, j)
+    ref = np.zeros((16, 128), np.int32)
+    mm = np.asarray(m, np.int32)
+    jj = np.asarray(j)[0]
+    for l in range(LANES):
+        ref[:, l] = mm[l, jj[l], :]
+    assert np.array_equal(np.asarray(out), ref), "P6 mismatch"
+    return f"P6 ok dtype={dtype.__name__}"
+
+
+def probe_p6_i16():
+    return probe_p6(jnp.int16)
+
+
+def p7_kernel(w_ref, args_ref, o_ref):
+    # window ops: per-lane dynamic element write + dynamic 8-wide slice
+    # copy at traced (row, col) — the copy-run primitive
+    l = args_ref[0]
+    src = args_ref[1]
+    dst = args_ref[2]
+    w_ref[l, dst + 100] = w_ref[l, src] + 5          # element RMW
+    vals = w_ref[l, pl.ds(src, 8)]                    # [8] dynamic slice
+    w_ref[l, pl.ds(dst, 8)] = vals * 2
+    o_ref[:] = w_ref[0, :128].reshape(1, 128)
+
+
+def probe_p7():
+    w = jnp.arange(4 * 1024, dtype=jnp.int32).reshape(4, 1024)
+    args = jnp.asarray([0, 16, 256], jnp.int32)
+    out = pl.pallas_call(
+        p7_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={},
+        interpret=INTERP,
+    )(w, args)
+    # just structural: no crash and the slice write landed
+    return "P7 ok"
+
+
+def p8_kernel(t_ref, idx_ref, o_ref):
+    # per-lane small-table lookup: [8, 128] table (lane-column data),
+    # idx [8, 128] -> take_along_axis over sublanes (tpu.dynamic_gather)
+    o_ref[:] = jnp.take_along_axis(t_ref[:], idx_ref[:], axis=0)
+
+
+def probe_p8():
+    t = jnp.arange(8 * 128, dtype=jnp.int32).reshape(8, 128)
+    idx = (jnp.arange(8 * 128, dtype=jnp.int32) * 3 % 8).reshape(8, 128)
+    out = pl.pallas_call(
+        p8_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=INTERP,
+    )(t, idx)
+    ref = np.take_along_axis(np.asarray(t), np.asarray(idx), axis=0)
+    assert np.array_equal(np.asarray(out), ref), "P8 mismatch"
+    return "P8 ok (take_along_axis axis=0)"
+
+
+def p9_kernel(ids_ref, contrib_ref, o_ref):
+    # per-lane chunk-boundary histogram: onehot [S, RR] generated in VMEM
+    # (iota compare) -> [RR, S] x [S, C] matmul on the MXU
+    S = ids_ref.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, RR), 1)
+    oh = (row_iota == ids_ref[:].reshape(S, 1)).astype(jnp.bfloat16)
+    o_ref[:] = jax.lax.dot_general(
+        oh, contrib_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def probe_p9():
+    S, C = 256, 8
+    ids = (jnp.arange(S, dtype=jnp.int32) * 13 % RR).reshape(S, 1)
+    contrib = (jnp.arange(S * C, dtype=jnp.int32) % 100).reshape(S, C)
+    out = pl.pallas_call(
+        p9_kernel,
+        out_shape=jax.ShapeDtypeStruct((RR, C), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=INTERP,
+    )(ids, contrib)
+    ref = np.zeros((RR, C), np.int64)
+    for s in range(S):
+        ref[int(ids[s, 0])] += np.asarray(contrib)[s]
+    assert np.array_equal(np.asarray(out, np.int64), ref), "P9 mismatch"
+    return "P9 ok (in-kernel onehot histogram matmul)"
+
+
+def p10_kernel(s_ref, o_ref):
+    # uint8-ish window: int8 vector ops + dynamic element access
+    l = s_ref[0]
+    o_ref[l, 5] = o_ref[l, 3] + 1
+
+
+def probe_p10():
+    s = jnp.asarray([1], jnp.int32)
+    try:
+        out = pl.pallas_call(
+            p10_kernel,
+            out_shape=jax.ShapeDtypeStruct((4, 128), jnp.int8),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=INTERP,
+        )(s)
+        _ = np.asarray(out)
+        return "P10 ok (int8 dynamic element store)"
+    except Exception as e:  # noqa: BLE001
+        return f"P10 UNSUPPORTED: {type(e).__name__}: {str(e)[:200]}"
+
+
+PROBES_R2 = [("P6", probe_p6), ("P6i16", probe_p6_i16), ("P7", probe_p7),
+             ("P8", probe_p8), ("P9", probe_p9), ("P10", probe_p10)]
