@@ -182,8 +182,10 @@ def make_deferred_codec(io_cmd, io_lit, options, chunk: int, lag: int = LAG):
 
     class _DeferredCodec(MetablockCodec):
         def __init__(self):
+            from .layout import LO_BUCKET_SHIFT
             super().__init__(io_cmd, io_lit, options)
             self.policy = DeferredPolicy(chunk, lag)
+            self.lo_shift = LO_BUCKET_SHIFT  # deferred format buckets lo ctx
 
         def _nib(self, io, table, key, value, speed: Speed) -> int:
             pol = self.policy

@@ -80,6 +80,10 @@ class MetablockCodec:
         self.bk.desired_do_context_map = options.use_context_map
         self.output = bytearray()
         self.dict = dictionary.load()
+        # Deferred (chunked) streams bucket the lo-nibble context dim
+        # 64 -> 8 (layout.LO_BUCKET_SHIFT); adaptive streams keep full
+        # resolution.  Set by the deferred codec / trace builder.
+        self.lo_shift = 0
 
     # ------------------------------------------------------------------ util
     def _nib(self, io, table, key: tuple, value: int, speed: Speed) -> int:
@@ -180,7 +184,7 @@ class MetablockCodec:
         l8 = lbk.last_8_literals
         prev_byte = (l8 >> 0x38) & 0xFF
         prev_prev = (l8 >> 0x30) & 0xFF
-        selected = lbk.literal_lut0[prev_byte] | lbk.literal_lut1[prev_prev]
+        selected = int(lbk.literal_lut0[prev_byte] | lbk.literal_lut1[prev_prev])
         cmap_index = selected + (lbk.btype_last << 6)
         actual_context = lbk.literal_context_map[cmap_index]
         if is_high:
@@ -197,13 +201,22 @@ class MetablockCodec:
             index_b = stride_byte & mm & (~opt1 & 0xFF)
             index_c = actual_context
         else:
-            index_b = (mm & stride_byte) | ((~mm & 0xFF) & actual_context)
+            # deferred-profile format departure from the reference's
+            # 3x256x256 table (src/codec/priors.rs:35-47): chunked streams
+            # bucket the LO nibble's context-map dimension 64 -> 8
+            # (lo_shift = 3; adaptive streams keep lo_shift = 0).
+            # Measured cost +0.25% (research/deferred_v2_study.py);
+            # shrinks lit_lo + cm_second 8x, which the TPU decode
+            # kernel's select-scan fetch and the encode onehot matmul
+            # both need.
+            index_b = (mm & stride_byte) \
+                | ((~mm & 0xFF) & (actual_context >> self.lo_shift))
             index_c = (cur_byte_prior & fast_cm) | ((actual_context & opt1) << 4)
         sel = (mm >> 7) ^ (opt1 >> 2)
         nib_key = (sel, index_b, index_c)
         if lbk.combine_literal_predictions:
             cm_key = (0, actual_context) if is_high \
-                else (1, cur_byte_prior, actual_context)
+                else (1, cur_byte_prior, actual_context >> self.lo_shift)
         else:
             cm_key = None
         return self._code_lit_nibble(is_high, nib_key, cm_key, value, mm_opts)

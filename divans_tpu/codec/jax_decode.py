@@ -176,16 +176,17 @@ def decode_scan(cmd_states, cmd_words, lit_states, lit_words, raw_len,
         selected = (jnp.take(lut0.reshape(-1), c["pm_mode"] * 256 + prev_byte)
                     | jnp.take(lut1.reshape(-1), c["pm_mode"] * 256 + prev_prev))
         ctx = c["lcm"][bidx, selected & 63]
-        if p.lit_sel == 0:      # cm profile
+        if p.lit_sel == 0:      # cm profile (deferred layouts bucket lo ctx)
+            ctx_lo = ctx >> lay.lo_shift
             hi_flat = seg("lit_hi") + ctx
-            lo_flat = seg("lit_lo") + ctx * 16 + c["r0"]
+            lo_flat = seg("lit_lo") + ctx_lo * 16 + c["r0"]
             cm_hi = seg("cm_first") + ctx
-            cm_lo = seg("cm_second") + c["r0"] * p.nctx + ctx
+            cm_lo = seg("cm_second") + c["r0"] * lay.nctx_lo + ctx_lo
         else:                   # stride profile (ctx is always 0)
             hi_flat = seg("lit_hi") + prev_byte
             lo_flat = seg("lit_lo") + prev_byte * 16 + c["r0"]
             cm_hi = seg("cm_first") + ctx
-            cm_lo = seg("cm_second") + c["r0"] * p.nctx + ctx
+            cm_lo = seg("cm_second") + c["r0"] * lay.nctx_lo + ctx
 
         # ---- per-state cmd-table row
         cs_index = ((c["l4s"] >> 4) & 3) + 4 * jnp.minimum(c["llen"] - 1, 3)

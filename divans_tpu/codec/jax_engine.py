@@ -279,9 +279,9 @@ def compress(data: bytes, options: DivansOptions | None = None,
         from . import engine_np
         return engine_np.compress(data, options)  # ECDF path is host-serial
     profile = profile_for_options(options)
-    layout = ModelLayout(PROFILES[profile])
     mb = options.metablock_size
     chunk = options.chunk_nibbles
+    layout = ModelLayout(PROFILES[profile], lo_bucketed=chunk > 0)
     flags = PROFILE_FLAGS[profile] | deferred.chunk_to_flags(chunk)
     if not data:
         return fmt.serialize([], options.window_size, options.mb_log2,
@@ -386,7 +386,8 @@ def decompress(blob: bytes) -> bytes:
         from .. import native
         from .layout import FLAG_PROFILES as _FP
         profile = _FP.get(flags & 0b11)
-        layout = ModelLayout(PROFILES[profile]) if profile else None
+        layout = (ModelLayout(PROFILES[profile], lo_bucketed=True)
+                  if profile else None)
         opts = DivansOptions()
         out = bytearray()
         for f in frames:

@@ -43,6 +43,14 @@ PROFILE_CM = Profile("cm", nb=1, nd=4, nctx=64, lit_sel=0,
 PROFILE_STRIDE = Profile("stride", nb=1, nd=4, nctx=1, lit_sel=1,
                          hi_shape=(256, 1), lo_shape=(256, 16))
 
+# Deferred (chunked) streams bucket the lo-nibble context dimension
+# 64 -> 8 (ctx >> LO_BUCKET_SHIFT): measured +0.25% ratio
+# (research/deferred_v2_study.py) for an 8x smaller lit_lo/cm_second —
+# which keeps the decode kernel's select-scan fetch and the encode
+# onehot matmul MXU/VMEM-sized.  The adaptive profile (chunk == 0, the
+# max-ratio q11 path) keeps full 64-way resolution.
+LO_BUCKET_SHIFT = 3
+
 PROFILES = {p.name: p for p in (PROFILE_CM, PROFILE_STRIDE)}
 PROFILE_FLAGS = {"cm": 0, "stride": 1}
 FLAG_PROFILES = {v: k for k, v in PROFILE_FLAGS.items()}
@@ -54,11 +62,25 @@ def profile_for_options(options) -> str:
 
 
 class ModelLayout:
-    """Segment table for one profile; `idx` works on ints and traced arrays."""
+    """Segment table for one profile; `idx` works on ints and traced arrays.
 
-    def __init__(self, profile: Profile):
+    `lo_bucketed=True` is the deferred-profile variant: lit_lo/cm_second
+    context dims shrink 64 -> 8; literal keys arrive pre-bucketed from
+    the engines (engine_np lo_shift)."""
+
+    def __init__(self, profile: Profile, lo_bucketed: bool = False):
         self.profile = profile
+        self.lo_bucketed = lo_bucketed
         p = profile
+        lo_shape = p.lo_shape
+        nctx_lo = p.nctx
+        self.lo_shift = 0
+        if lo_bucketed and p.lit_sel == 0:
+            lo_shape = (p.lo_shape[0] >> LO_BUCKET_SHIFT, p.lo_shape[1])
+            nctx_lo = p.nctx >> LO_BUCKET_SHIFT
+            self.lo_shift = LO_BUCKET_SHIFT
+        self.lo_shape = lo_shape
+        self.nctx_lo = nctx_lo
         self.segments: dict[str, tuple[int, tuple[int, ...]]] = {}
         off = 1  # row 0 = frozen CDF_INIT
         for name, shape in [
@@ -77,8 +99,8 @@ class ModelLayout:
             ("pm_palette", (4,)), ("pm_mvmode", (1,)), ("pm_mix", (17,)),
             ("pm_cmn", (2,)), ("pm_cf", (2,)), ("pm_cs", (2,)),
             # --- literal stream ---
-            ("lit_hi", p.hi_shape), ("lit_lo", p.lo_shape),
-            ("cm_first", (p.nctx,)), ("cm_second", (16, p.nctx)),
+            ("lit_hi", p.hi_shape), ("lit_lo", lo_shape),
+            ("cm_first", (p.nctx,)), ("cm_second", (16, nctx_lo)),
         ]:
             self.segments[name] = (off, shape)
             off += int(np.prod(shape))
@@ -160,10 +182,12 @@ class ModelLayout:
             sel, b, c = key
             if sel != p.lit_sel:
                 raise KeyError(f"lit sel {sel} outside profile {p.name}")
-            shape = p.hi_shape if table == "lit_hi" else p.lo_shape
+            shape = p.hi_shape if table == "lit_hi" else self.lo_shape
             return self.idx(table, _chk(b, shape[0]), _chk(c, shape[1]))
         if table == "cm":
             if key[0] == 0:
                 return self.idx("cm_first", _chk(key[1], p.nctx))
-            return self.idx("cm_second", _chk(key[1], 16), _chk(key[2], p.nctx))
+            # key[2] arrives pre-bucketed (engine_np._literal_nibble)
+            return self.idx("cm_second", _chk(key[1], 16),
+                            _chk(key[2], self.nctx_lo))
         raise KeyError((table, key))

@@ -45,6 +45,7 @@ class TraceCodec(MetablockCodec):
     def __init__(self, options: DivansOptions, layout: ModelLayout):
         super().__init__(_TraceIO(), _TraceIO(), options)
         self.layout = layout
+        self.lo_shift = layout.lo_shift  # deferred layouts bucket lo ctx
         self.rows: list[tuple] = []
 
     def _nib(self, io, table, key, value, speed):

@@ -101,7 +101,7 @@ def build_trace(raw: bytes, options: DivansOptions,
         min(options.dynamic_context_mixing, 7),
         options.prior_depth,
         adapt.ctypes.data_as(ctypes.c_void_p),
-        seg.ctypes.data_as(ctypes.c_void_p), nctx,
+        seg.ctypes.data_as(ctypes.c_void_p), nctx, layout.lo_shift,
         lut0.ctypes.data_as(ctypes.c_void_p),
         lut1.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p), cap)
@@ -113,9 +113,9 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _seg_luts_cached(profile_name: str):
+def _seg_luts_cached(profile_name: str, lo_bucketed: bool):
     from .codec.layout import PROFILES
-    layout = ModelLayout(PROFILES[profile_name])
+    layout = ModelLayout(PROFILES[profile_name], lo_bucketed=lo_bucketed)
     seg = np.array([layout.idx(s, *([0] * len(layout.segments[s][1])))
                     for s in SEGS], np.int32)
     lut0 = np.ascontiguousarray(
@@ -127,7 +127,7 @@ def _seg_luts_cached(profile_name: str):
 
 
 def _seg_luts(layout: ModelLayout):
-    return _seg_luts_cached(layout.profile.name)
+    return _seg_luts_cached(layout.profile.name, layout.lo_bucketed)
 
 
 def encode_streams(trace: np.ndarray, num_rows: int, chunk: int = 0):
@@ -165,7 +165,7 @@ def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
     rc = lib.dtpu_decode_metablock(
         cbuf, len(cmd), lbuf, len(lit), raw_len,
         1 if use_cm else 0, layout.num_rows, chunk,
-        seg.ctypes.data_as(ctypes.c_void_p), nctx,
+        seg.ctypes.data_as(ctypes.c_void_p), nctx, layout.lo_shift,
         lut0.ctypes.data_as(ctypes.c_void_p),
         lut1.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p))
@@ -189,9 +189,9 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     if load() is None or not supports(options):
         return None
     profile = profile_for_options(options)
-    layout = ModelLayout(PROFILES[profile])
     mb = options.metablock_size
     chunk = options.chunk_nibbles
+    layout = ModelLayout(PROFILES[profile], lo_bucketed=chunk > 0)
     frames = []
     for off in range(0, max(len(data), 1), mb):
         raw = data[off:off + mb]
@@ -219,7 +219,8 @@ def decompress(blob: bytes) -> bytes:
     chunk = flags_to_chunk(flags)
     profile = FLAG_PROFILES.get(flags & 0b11)
     out = bytearray()
-    layout = ModelLayout(PROFILES[profile]) if profile else None
+    layout = (ModelLayout(PROFILES[profile], lo_bucketed=chunk > 0)
+              if profile else None)
     opts = DivansOptions()
     for f in frames:
         raw = None

@@ -357,6 +357,7 @@ struct DecCtx {
     const uint8_t* lut0;
     const uint8_t* lut1;
     int32_t nctx;
+    int32_t lo_shift = 0;      // deferred layouts bucket lo ctx 64 -> 8
     bool use_cm;
     bool combine = false;
     int32_t adapt[4][2] = {{0x10, 0x2000}, {0x10, 0x2000},
@@ -435,9 +436,11 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
         int32_t prev2 = c.wpos >= 2 ? c.out[c.wpos - 2] : 0;
         int32_t ctx = c.use_cm ? (c.lut0[prev] | c.lut1[prev2]) : 0;
         int32_t hi_flat, lo_base;
+        // deferred layouts bucket the lo-nibble ctx (engine_np.py)
+        int32_t ctx_lo = c.use_cm ? (ctx >> c.lo_shift) : ctx;
         if (c.use_cm) {
             hi_flat = seg[SEG_LIT_HI] + ctx;
-            lo_base = seg[SEG_LIT_LO] + ctx * 16;
+            lo_base = seg[SEG_LIT_LO] + ctx_lo * 16;
         } else {
             hi_flat = seg[SEG_LIT_HI] + prev;
             lo_base = seg[SEG_LIT_LO] + prev * 16;
@@ -447,8 +450,9 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
             for (int half = 0; half < 2; ++half) {
                 bool is_high = half == 0;
                 int32_t nf = is_high ? hi_flat : lo_base + hi;
-                int32_t cf = is_high ? seg[SEG_CM_FIRST] + ctx
-                                     : seg[SEG_CM_SECOND] + hi * c.nctx + ctx;
+                int32_t cf = is_high
+                    ? seg[SEG_CM_FIRST] + ctx
+                    : seg[SEG_CM_SECOND] + hi * c.nctx + ctx_lo;
                 Cdf& nrow = c.model[nf];
                 Cdf& crow = c.model[cf];
                 int which = is_high ? 1 : 0;
@@ -556,7 +560,7 @@ int32_t dtpu_decode_metablock(
         const uint8_t* cmd_bytes, int32_t cmd_n,
         const uint8_t* lit_bytes, int32_t lit_n,
         int32_t raw_len, int32_t use_cm, int32_t num_rows, int32_t chunk,
-        const int32_t* seg_offsets, int32_t nctx,
+        const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
         const uint8_t* lut0, const uint8_t* lut1,
         uint8_t* out_raw) {
     DecCtx c;
@@ -569,6 +573,7 @@ int32_t dtpu_decode_metablock(
     c.lut0 = lut0;
     c.lut1 = lut1;
     c.nctx = nctx;
+    c.lo_shift = lo_shift;
     c.use_cm = use_cm != 0;
     c.out = out_raw;
     c.raw_len = raw_len;

@@ -301,6 +301,7 @@ struct TraceCtx {
     bool use_cm = true;        // profile: cm (mm=0) vs stride (mm=4)
     Speed adapt[4] = {MUD, MUD, {8, 8192}, {8, 8192}};
     int32_t nctx;              // layout cm_second minor dim
+    int32_t lo_shift = 0;      // deferred layouts bucket lo ctx 64 -> 8
 };
 
 static inline void rec(TraceCtx& c, int32_t flat, int32_t value,
@@ -347,12 +348,14 @@ static void code_literal_content(TraceCtx& c, const uint8_t* raw,
         if (c.use_cm) {   // mm_opts == 0: ctx-indexed tables, sel 0
             int32_t ctx = c.lut0[prev] | c.lut1[prev2];  // identity lcm
             int32_t hi_flat = seg[SEG_LIT_HI] + ctx;
-            int32_t lo_flat = seg[SEG_LIT_LO] + ctx * 16 + hi;
+            // deferred layouts bucket the lo-nibble ctx (engine_np.py)
+            int32_t ctx_lo = ctx >> c.lo_shift;
+            int32_t lo_flat = seg[SEG_LIT_LO] + ctx_lo * 16 + hi;
             if (c.combine) {
                 rec(c, hi_flat, hi, 1, c.adapt[0], 1, 1,
                     seg[SEG_CM_FIRST] + ctx, c.adapt[3]);
                 rec(c, lo_flat, lo, 1, c.adapt[0], 1, 0,
-                    seg[SEG_CM_SECOND] + hi * c.nctx + ctx, c.adapt[2]);
+                    seg[SEG_CM_SECOND] + hi * c.nctx + ctx_lo, c.adapt[2]);
             } else {
                 rec(c, hi_flat, hi, 1, c.adapt[0]);
                 rec(c, lo_flat, lo, 1, c.adapt[0]);
@@ -565,10 +568,11 @@ int32_t dtpu_build_trace(
         const Match* matches, int32_t n_matches,
         int32_t use_cm, int32_t mixing, int32_t prior_depth,
         const int32_t* adapt_speeds,  // [4][2] inc,lim
-        const int32_t* seg_offsets, int32_t nctx,
+        const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
         const uint8_t* lut0, const uint8_t* lut1,
         int32_t* out, int32_t out_cap) {
     TraceCtx c{};
+    c.lo_shift = lo_shift;
     c.seg = seg_offsets;
     c.out = out;
     c.cap = out_cap;

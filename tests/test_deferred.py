@@ -78,7 +78,8 @@ def test_roundtrip_and_replay_equivalence(chunk):
 
     # trace replay produces the identical streams
     cmds = build_commands(data, opts)
-    tr = trace_mod.build_trace(data, cmds, opts, ModelLayout(PROFILES["cm"]))
+    tr = trace_mod.build_trace(data, cmds, opts,
+                               ModelLayout(PROFILES["cm"], lo_bucketed=True))
     starts, freqs = deferred.replay_trace(tr, chunk)
     enc = [ANSEncoder(), ANSEncoder()]
     for t in range(tr.shape[0]):
@@ -100,7 +101,7 @@ def test_model_pass_deferred_matches_replay(chunk):
     from divans_tpu.codec import jax_engine
     data = _alice(20480)
     opts = DivansOptions(chunk_nibbles=chunk, metablock_size=4096)
-    layout = ModelLayout(PROFILES["cm"])
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
     blocks = [data[o:o + 4096] for o in range(0, len(data), 4096)]
     traces = [trace_mod.build_trace(r, build_commands(r, opts), opts, layout)
               for r in blocks]

@@ -69,7 +69,7 @@ def test_sharded_e2e_container_roundtrip(mesh8):
     from divans_tpu.codec import engine_np
     from divans_tpu.codec.deferred import chunk_to_flags
 
-    layout = ModelLayout(PROFILES["cm"])
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
     chunk = 64
     opts = DivansOptions(metablock_size=4096, chunk_nibbles=chunk)
     data = open("/root/reference/testdata/alice29", "rb").read()[:32768]

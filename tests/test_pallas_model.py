@@ -23,7 +23,7 @@ def test_pallas_model_pass_matches_replay(chunk):
     from divans_tpu.codec.pallas_model import model_pass_deferred_pallas
     data = open(ALICE, "rb").read()[:16384]
     opts = DivansOptions(chunk_nibbles=chunk, metablock_size=4096)
-    layout = ModelLayout(PROFILES["cm"])
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
     blocks = [data[o:o + 4096] for o in range(0, len(data), 4096)]
     traces = [trace_mod.build_trace(x, build_commands(x, opts), opts, layout)
               for x in blocks]
