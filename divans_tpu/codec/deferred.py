@@ -38,6 +38,27 @@ that the boundary update is batched / matmul-shaped):
     p1 = coded freq under the mixed CDF, n1i = freq under model i, all
     from the frozen snapshot, so every adj_t in a chunk is independent.
 
+Deferred-v2 (round 2) — three further normative rules, all chosen for the
+TPU decode kernel (costs measured in research/deferred_v2_study.py):
+
+  * Per-stream ticking: the cmd and lit streams run their own chunk
+    clocks — S_lit = S (the container value), S_cmd = max(16, S / 4).
+    Each stream's nibbles tick only its own clock, and each stream's
+    chunk updates touch only its own model rows (the row sets are
+    disjoint by layout).  Ratio-neutral (-0.01% at 64/256) and it fully
+    decouples the two decode passes (cmd pass needs no lit state and
+    vice versa), mirroring the reference's 2-thread split
+    (src/parallel_decompressor.rs:99-133) as two independent kernels.
+  * Lo-context bucketing: lit_lo/cm_second context dims 64 -> 8
+    (layout.LO_BUCKET_SHIFT, +0.25%).
+  * Self-fed literal history: last_8_literals accumulates literal bytes
+    only — copies/dicts do not clobber it with window bytes (the
+    reference syncs from the ring buffer after every command,
+    src/cmd_to_raw/mod.rs:69-86).  This frees the literal decode kernel
+    from the window entirely (one pure byte-stream pass).  Costs +1.3%
+    on text; the adaptive profile (S = 0) keeps reference semantics and
+    stays the max-ratio path.
+
 The adaptive (S = 0) wire format is unchanged; deferred streams are marked
 in the container flags byte (bits 2-4 = log2(S) - 3).
 """
@@ -53,6 +74,11 @@ LAG = 1
 MAX_RENORM_PASSES = 24
 ADJ_CLAMP = 1 << 21
 WEIGHT_MAX = (1 << 30) - 1
+
+
+def cmd_chunk(chunk: int) -> int:
+    """Per-stream ticking: the cmd stream's chunk size for lit chunk S."""
+    return max(16, chunk >> 2)
 
 # container flags byte: bits 0-1 profile, bits 2-4 chunk code
 _CHUNK_SHIFT = 2
@@ -177,18 +203,21 @@ class DeferredPolicy:
 # ======================================================================
 
 def make_deferred_codec(io_cmd, io_lit, options, chunk: int, lag: int = LAG):
-    """A MetablockCodec whose model policy is the deferred profile."""
+    """A MetablockCodec whose model policy is the deferred-v2 profile:
+    per-stream chunk clocks, bucketed lo context, self-fed lit history."""
     from .engine_np import MetablockCodec
 
     class _DeferredCodec(MetablockCodec):
         def __init__(self):
             from .layout import LO_BUCKET_SHIFT
             super().__init__(io_cmd, io_lit, options)
-            self.policy = DeferredPolicy(chunk, lag)
+            self.policy_cmd = DeferredPolicy(cmd_chunk(chunk), lag)
+            self.policy = DeferredPolicy(chunk, lag)  # lit clock + weights
             self.lo_shift = LO_BUCKET_SHIFT  # deferred format buckets lo ctx
+            self.sync_lit_history = False    # deferred lit history is self-fed
 
         def _nib(self, io, table, key, value, speed: Speed) -> int:
-            pol = self.policy
+            pol = self.policy_cmd  # all _nib call sites code the cmd stream
             row_key = (table.name,) + tuple(key)
             cdf = pol.row(row_key)
             v = io.code(cdf, value)
@@ -254,7 +283,27 @@ def decode_metablock(cmd_stream: bytes, lit_stream: bytes, raw_len: int,
 
 def replay_trace(trace: np.ndarray, chunk: int,
                  lag: int = LAG) -> tuple[np.ndarray, np.ndarray]:
-    """Deferred (start, freq) for each trace step (codec/trace.py columns).
+    """Deferred-v2 (start, freq) for each trace step, in trace order.
+
+    Per-stream ticking: each stream's rows replay on their own chunk
+    clock (cmd = cmd_chunk(chunk), lit = chunk); results scatter back to
+    the interleaved trace positions.  Padding rows (stream == -1, if
+    any) replay as no-ops on the lit clock."""
+    n = trace.shape[0]
+    starts = np.zeros(n, np.int32)
+    freqs = np.ones(n, np.int32)
+    for sid, s in ((0, cmd_chunk(chunk)), (1, chunk)):
+        m = trace[:, 2] == sid
+        if not m.any():
+            continue
+        s_, f_ = _replay_stream(trace[m], s, lag)
+        starts[m], freqs[m] = s_, f_
+    return starts, freqs
+
+
+def _replay_stream(trace: np.ndarray, chunk: int,
+                   lag: int = LAG) -> tuple[np.ndarray, np.ndarray]:
+    """One stream's deferred (start, freq) (codec/trace.py columns).
 
     Row identity here is the flat layout index (trace col 0 / col 7) —
     injective with the codec's (table, key) identity, so bytes agree.

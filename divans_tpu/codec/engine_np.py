@@ -84,6 +84,12 @@ class MetablockCodec:
         # 64 -> 8 (layout.LO_BUCKET_SHIFT); adaptive streams keep full
         # resolution.  Set by the deferred codec / trace builder.
         self.lo_shift = 0
+        # Adaptive streams clobber last_8_literals with window bytes after
+        # every command (the reference's sync, cmd_to_raw/mod.rs:69-86);
+        # deferred streams keep the literal history self-fed (literal
+        # bytes only) so the TPU literal-decode kernel never needs the
+        # window.  Set False by the deferred codec / trace builder.
+        self.sync_lit_history = True
 
     # ------------------------------------------------------------------ util
     def _nib(self, io, table, key: tuple, value: int, speed: Speed) -> int:
@@ -573,18 +579,21 @@ def _run_one_command(codec: MetablockCodec, cmd) -> None:
         bk.obs_literal_state()
         data = codec.code_literal(cmd)
         codec.output += data
-        lbk.sync_last_8_from_output(codec.output)
+        if codec.sync_lit_history:
+            lbk.sync_last_8_from_output(codec.output)
     elif isinstance(cmd, cmds.Copy):
         bk.obs_copy_state()
         distance, num_bytes = codec.code_copy(cmd)
         bk.obs_distance(distance)
         _execute_copy(codec.output, distance, num_bytes)
-        lbk.sync_last_8_from_output(codec.output)
+        if codec.sync_lit_history:
+            lbk.sync_last_8_from_output(codec.output)
     elif isinstance(cmd, cmds.Dict):
         bk.obs_dict_state()
         word = codec.code_dict(cmd)
         codec.output += word
-        lbk.sync_last_8_from_output(codec.output)
+        if codec.sync_lit_history:
+            lbk.sync_last_8_from_output(codec.output)
     elif isinstance(cmd, cmds.BlockSwitchLiteral):
         btype = codec.code_block_switch(0, cmd.block_type, 0)
         stride = codec.code_stride_nibble(cmd.stride)
@@ -636,18 +645,21 @@ def _decode_loop(codec: MetablockCodec, raw_len: int) -> bytes:
             bk.obs_literal_state()
             data = codec.code_literal(None)
             codec.output += data
-            lbk.sync_last_8_from_output(codec.output)
+            if codec.sync_lit_history:
+                lbk.sync_last_8_from_output(codec.output)
         elif nib == 0x1:
             bk.obs_copy_state()
             distance, num_bytes = codec.code_copy(None)
             bk.obs_distance(distance)
             _execute_copy(codec.output, distance, num_bytes)
-            lbk.sync_last_8_from_output(codec.output)
+            if codec.sync_lit_history:
+                lbk.sync_last_8_from_output(codec.output)
         elif nib == 0x2:
             bk.obs_dict_state()
             word = codec.code_dict(None)
             codec.output += word
-            lbk.sync_last_8_from_output(codec.output)
+            if codec.sync_lit_history:
+                lbk.sync_last_8_from_output(codec.output)
         elif nib == 0x4:
             btype = codec.code_block_switch(0, 0, 0)
             stride = codec.code_stride_nibble(0)

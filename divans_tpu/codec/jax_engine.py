@@ -257,6 +257,72 @@ def _next_pow2(n: int) -> int:
     return 1 << max(4, (n - 1).bit_length())
 
 
+def _rebase_lit(t: np.ndarray, lit_base: int) -> np.ndarray:
+    """Rebase a lit-stream sub-trace's rows to the lit sub-model.
+
+    Row 0 (the frozen CDF_INIT row) stays 0; lit rows [lit_base, R) map
+    to [1, R - lit_base + 1).  Valid because row 0 is only ever read
+    (inc == 0) and cm_idx == 0 rows carry mix == 0."""
+    t = t.copy()
+    for col in (0, 7):
+        v = t[:, col]
+        t[:, col] = np.where(v == 0, 0, v - (lit_base - 1))
+    return t
+
+
+def split_stream_traces(traces: list[np.ndarray], layout):
+    """Split interleaved metablock traces by stream for the per-stream
+    model passes; lit rows rebase to the lit sub-model.
+
+    Returns (cmd_traces, lit_traces, lit_masks, r_cmd, r_lit)."""
+    lit_base = layout.segments["lit_hi"][0]
+    masks = [t[:, 2] == 1 for t in traces]
+    cmd_ts = [t[~m] for t, m in zip(traces, masks)]
+    lit_ts = [_rebase_lit(t[m], lit_base) for t, m in zip(traces, masks)]
+    return cmd_ts, lit_ts, masks, lit_base, layout.num_rows - lit_base + 1
+
+
+def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
+                        pallas: bool | None = None, interpret: bool = False):
+    """Per-stream deferred-v2 model passes over B metablock traces.
+
+    Splits each trace by stream (per-stream ticking, deferred.cmd_chunk),
+    rebases lit rows to the lit sub-model (shrinking each pass's onehot
+    row space: R_cmd = lit_base, R_lit = R - lit_base + 1), and returns
+    (starts, freqs) scattered back to trace order, plus the per-stream
+    lane arrays [(cmd_starts, cmd_freqs, lit_starts, lit_freqs)] the ANS
+    stage consumes directly."""
+    from . import deferred
+    b = len(traces)
+    cmd_ts, lit_ts, masks, r_cmd, r_lit = split_stream_traces(traces, layout)
+    s_cmd = deferred.cmd_chunk(chunk)
+    out = []
+    for ts, num_rows, s in ((cmd_ts, r_cmd, s_cmd), (lit_ts, r_lit, chunk)):
+        padded = jnp.asarray(_pad_traces(ts, multiple=s))
+        if pallas or (pallas is None and jax.default_backend() == "tpu"
+                      and _PALLAS_MODEL_READY):
+            from .pallas_model import model_pass_deferred_pallas
+            st, fr = model_pass_deferred_pallas(padded, num_rows, s,
+                                                interpret=interpret)
+        else:
+            st, fr = model_pass_deferred(padded, num_rows, s)
+        out.append((np.asarray(st), np.asarray(fr)))
+    (cs, cf), (ls, lf) = out
+    starts = [np.zeros(t.shape[0], np.int32) for t in traces]
+    freqs = [np.ones(t.shape[0], np.int32) for t in traces]
+    lanes = []
+    for i in range(b):
+        m = masks[i]
+        nc, nl = int((~m).sum()), int(m.sum())
+        starts[i][~m], freqs[i][~m] = cs[i, :nc], cf[i, :nc]
+        starts[i][m], freqs[i][m] = ls[i, :nl], lf[i, :nl]
+        lanes.append((cs[i, :nc], cf[i, :nc], ls[i, :nl], lf[i, :nl]))
+    return starts, freqs, lanes
+
+
+_PALLAS_MODEL_READY = False  # flipped when pallas_model beats XLA on-chip
+
+
 def _pad_traces(traces: list[np.ndarray], multiple: int = 1) -> np.ndarray:
     n = _next_pow2(max(t.shape[0] for t in traces))
     n = max(n, multiple)
@@ -297,29 +363,38 @@ def compress(data: bytes, options: DivansOptions | None = None,
             t = trace_mod.build_trace(raw, commands, options, layout)
         traces.append(t)
 
-    trace = _pad_traces(traces, multiple=max(chunk, 1))
-    if chunk:
-        starts, freqs = model_pass_deferred(jnp.asarray(trace),
-                                            layout.num_rows, chunk)
-    else:
-        starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
-    starts = np.asarray(starts)
-    freqs = np.asarray(freqs)
-    if billing_out is not None:
-        from . import billing
-        billing_out.update(billing.bill(traces, freqs, layout))
-
-    # split (start, freq) by stream into 2B rANS lanes
     b = len(blocks)
     lane_starts, lane_freqs, lane_counts = [], [], []
-    for i in range(b):
-        n = traces[i].shape[0]
-        stream = traces[i][:, 2]
-        for sid in (0, 1):
-            m = stream == sid
-            lane_starts.append(starts[i, :n][m])
-            lane_freqs.append(freqs[i, :n][m])
-            lane_counts.append(int(m.sum()))
+    if chunk:
+        # per-stream deferred-v2 passes; lane arrays come out pre-split
+        _, freq_list, lanes = deferred_model_pass(traces, layout, chunk)
+        for cs_, cf_, ls_, lf_ in lanes:
+            lane_starts += [cs_, ls_]
+            lane_freqs += [cf_, lf_]
+            lane_counts += [cs_.shape[0], ls_.shape[0]]
+        if billing_out is not None:
+            from . import billing
+            fpad = np.ones((b, max(t.shape[0] for t in traces)), np.int32)
+            for i, f in enumerate(freq_list):
+                fpad[i, :f.shape[0]] = f
+            billing_out.update(billing.bill(traces, fpad, layout))
+    else:
+        trace = _pad_traces(traces)
+        starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
+        starts = np.asarray(starts)
+        freqs = np.asarray(freqs)
+        if billing_out is not None:
+            from . import billing
+            billing_out.update(billing.bill(traces, freqs, layout))
+        # split (start, freq) by stream into 2B rANS lanes
+        for i in range(b):
+            n = traces[i].shape[0]
+            stream = traces[i][:, 2]
+            for sid in (0, 1):
+                m = stream == sid
+                lane_starts.append(starts[i, :n][m])
+                lane_freqs.append(freqs[i, :n][m])
+                lane_counts.append(int(m.sum()))
     if jax.default_backend() == "tpu":
         # the Pallas wide-rANS kernel (~22 Gsym/s; ans/pallas_kernels.py)
         from ..ans import pallas_kernels as pk

@@ -45,7 +45,10 @@ class TraceCodec(MetablockCodec):
     def __init__(self, options: DivansOptions, layout: ModelLayout):
         super().__init__(_TraceIO(), _TraceIO(), options)
         self.layout = layout
-        self.lo_shift = layout.lo_shift  # deferred layouts bucket lo ctx
+        # deferred (lo_bucketed) layouts: bucketed lo ctx + self-fed
+        # literal history (codec/deferred.py deferred-v2 rules)
+        self.lo_shift = layout.lo_shift
+        self.sync_lit_history = not layout.lo_bucketed
         self.rows: list[tuple] = []
 
     def _nib(self, io, table, key, value, speed):

@@ -102,6 +102,7 @@ def build_trace(raw: bytes, options: DivansOptions,
         options.prior_depth,
         adapt.ctypes.data_as(ctypes.c_void_p),
         seg.ctypes.data_as(ctypes.c_void_p), nctx, layout.lo_shift,
+        1 if layout.lo_bucketed else 0,  # deferred-v2 self-fed lit history
         lut0.ctypes.data_as(ctypes.c_void_p),
         lut1.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p), cap)

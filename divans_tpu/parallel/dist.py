@@ -48,25 +48,33 @@ def split_lanes(trace, starts, freqs):
     return lanes
 
 
-def sharded_encode_step(mesh: Mesh, num_rows: int, chunk: int = 0):
-    """Build the jitted multi-chip encode step: trace batch -> lane words.
+def sharded_encode_step(mesh: Mesh, r_cmd: int, r_lit: int, chunk: int = 0):
+    """Build the jitted multi-chip encode step: per-stream trace batches
+    -> lane words.
 
-    The trace is sharded along the metablock batch axis; every op inside
-    is batch-parallel, so XLA partitions it with no collectives on the
-    hot path.  chunk > 0 selects the deferred-profile model pass (the
-    fast device path); 0 the per-nibble adaptive scan."""
+    Takes the cmd and lit sub-traces (jax_engine.split_stream_traces):
+    the model row sets are stream-disjoint, so each stream's model pass
+    runs independently for both the adaptive and deferred-v2 profiles
+    (per-stream ticking).  Both traces shard along the metablock batch
+    axis; every op inside is batch-parallel, so XLA partitions it with
+    no collectives on the hot path.  chunk > 0 selects the deferred
+    model pass (the fast device path); 0 the per-nibble adaptive scan."""
+    from ..codec import deferred
     batch = NamedSharding(mesh, P("data"))
 
-    @functools.partial(jax.jit, in_shardings=(batch,))
-    def step(trace):
-        if chunk:
-            starts, freqs = jax_engine.model_pass_deferred(trace, num_rows,
-                                                           chunk)
-        else:
-            starts, freqs = jax_engine.model_pass(trace, num_rows)
-        (cs, cf, cc), (ls, lf, lc) = split_lanes(trace, starts, freqs)
-        cmd = jax.vmap(kernels._encode_lane)(cs, cf, cc)
-        lit = jax.vmap(kernels._encode_lane)(ls, lf, lc)
-        return cmd, lit
+    @functools.partial(jax.jit, in_shardings=(batch, batch))
+    def step(cmd_trace, lit_trace):
+        out = []
+        for trace, r, s in ((cmd_trace, r_cmd, deferred.cmd_chunk(chunk)),
+                            (lit_trace, r_lit, chunk)):
+            if chunk:
+                starts, freqs = jax_engine.model_pass_deferred(trace, r, s)
+            else:
+                starts, freqs = jax_engine.model_pass(trace, r)
+            # per-stream sub-traces are real rows then padding, so the
+            # (start, freq) prefix IS the lane
+            cnt = jnp.sum((trace[:, :, 2] >= 0).astype(jnp.int32), axis=1)
+            out.append(jax.vmap(kernels._encode_lane)(starts, freqs, cnt))
+        return out[0], out[1]
 
     return step

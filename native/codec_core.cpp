@@ -158,6 +158,11 @@ inline void weight_adjustments(int32_t p_cm, int32_t p_nib, int32_t weighted,
     *a1 = out[1];
 }
 
+// per-stream ticking (deferred-v2): the cmd stream's chunk for lit chunk S
+static inline int32_t cmd_chunk(int32_t chunk) {
+    return chunk >> 2 > 16 ? chunk >> 2 : 16;
+}
+
 struct DeferredState {
     static constexpr int32_t LAG = 1;
     static constexpr int32_t MAX_RENORM = 24;
@@ -298,17 +303,22 @@ int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
     std::vector<Cdf> model((size_t)num_rows, CDF_INIT);
     Weights weights[2];
     AnsEnc enc[2];
-    DeferredState ds;
-    ds.chunk = chunk;
-    ds.committed = &model;
+    // deferred-v2 per-stream ticking: each stream has its own chunk
+    // clock (cmd = chunk/4); model row sets are disjoint by layout, and
+    // the mixer weights belong to the lit stream (mix is lit-only).
+    DeferredState dss[2];
+    dss[0].chunk = chunk ? cmd_chunk(chunk) : 0;
+    dss[1].chunk = chunk;
+    dss[0].committed = dss[1].committed = &model;
     for (int32_t t = 0; t < n; ++t) {
         const int32_t* r = trace + (int64_t)t * 10;
         int32_t flat = r[0], value = r[1], stream = r[2], inc = r[3],
                 lim = r[4], mix = r[5], which = r[6], cm_idx = r[7],
                 cm_inc = r[8], cm_lim = r[9];
+        DeferredState& ds = dss[stream == 1 ? 1 : 0];
         Cdf& rows = model[flat];
         int32_t start, freq;
-        Weights& w = chunk ? ds.cw[which] : weights[which];
+        Weights& w = chunk ? dss[1].cw[which] : weights[which];
         if (mix) {
             Cdf& cm = model[cm_idx];
             Cdf mixed = average(cm, rows, w.norm & 0xFFFF);
@@ -369,7 +379,11 @@ struct DecCtx {
     uint8_t* out;
     int32_t raw_len, wpos = 0;
     bool err = false;
-    DeferredState ds;  // ds.chunk > 0 = deferred profile
+    // deferred-v2: per-stream chunk clocks (ds = cmd, ds_lit = lit;
+    // mixer weights live on the lit clock) and self-fed literal history
+    DeferredState ds;      // ds.chunk > 0 = deferred profile
+    DeferredState ds_lit;
+    int32_t lit_prev = 0, lit_prev2 = 0;
 
     int32_t nib(int32_t flat, int32_t inc, int32_t lim, AnsDec& ans) {
         Cdf& row = model[flat];  // committed snapshot in deferred mode
@@ -378,9 +392,10 @@ struct DecCtx {
         int32_t start, freq;
         sym_to_start_freq(row, sym, &start, &freq);
         ans.advance(start, freq);
-        if (ds.chunk) {
-            ds.record_blend(flat, sym, inc, lim);
-            ds.tick();
+        DeferredState& d = (&ans == &lit) ? ds_lit : ds;
+        if (d.chunk) {
+            d.record_blend(flat, sym, inc, lim);
+            d.tick();
         } else if (inc) {
             blend(row, sym, inc, lim);
         }
@@ -432,8 +447,12 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
     const int32_t* seg = c.seg;
     for (int32_t k = 0; k < nbytes; ++k) {
         if (c.wpos >= c.raw_len) { c.err = true; return; }
-        int32_t prev = c.wpos >= 1 ? c.out[c.wpos - 1] : 0;
-        int32_t prev2 = c.wpos >= 2 ? c.out[c.wpos - 2] : 0;
+        // deferred-v2 streams feed literal history from the literal
+        // stream itself; adaptive streams use the window (reference)
+        int32_t prev = c.ds.chunk ? c.lit_prev
+                                  : (c.wpos >= 1 ? c.out[c.wpos - 1] : 0);
+        int32_t prev2 = c.ds.chunk ? c.lit_prev2
+                                   : (c.wpos >= 2 ? c.out[c.wpos - 2] : 0);
         int32_t ctx = c.use_cm ? (c.lut0[prev] | c.lut1[prev2]) : 0;
         int32_t hi_flat, lo_base;
         // deferred layouts bucket the lo-nibble ctx (engine_np.py)
@@ -456,7 +475,8 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
                 Cdf& nrow = c.model[nf];
                 Cdf& crow = c.model[cf];
                 int which = is_high ? 1 : 0;
-                Weights& w = c.ds.chunk ? c.ds.cw[which] : c.weights[which];
+                Weights& w = c.ds_lit.chunk ? c.ds_lit.cw[which]
+                                            : c.weights[which];
                 Cdf mixed = average(crow, nrow, w.norm & 0xFFFF);
                 int32_t off = (is_high ? c.lit : c.lit).peek();
                 int32_t sym = offset_to_sym(mixed, off);
@@ -466,14 +486,16 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
                 int32_t s1, p_cm, s2, p_nib;
                 sym_to_start_freq(crow, sym, &s1, &p_cm);
                 sym_to_start_freq(nrow, sym, &s2, &p_nib);
-                if (c.ds.chunk) {
+                if (c.ds_lit.chunk) {
                     int32_t a0, a1;
                     weight_adjustments(p_cm, p_nib, freq, &a0, &a1);
-                    c.ds.record_wadj(which, a0, a1);
-                    c.ds.record_blend(cf, sym, c.adapt[is_high ? 3 : 2][0],
-                                      c.adapt[is_high ? 3 : 2][1]);
-                    c.ds.record_blend(nf, sym, c.adapt[0][0], c.adapt[0][1]);
-                    c.ds.tick();
+                    c.ds_lit.record_wadj(which, a0, a1);
+                    c.ds_lit.record_blend(cf, sym,
+                                          c.adapt[is_high ? 3 : 2][0],
+                                          c.adapt[is_high ? 3 : 2][1]);
+                    c.ds_lit.record_blend(nf, sym, c.adapt[0][0],
+                                          c.adapt[0][1]);
+                    c.ds_lit.tick();
                 } else {
                     weights_update(w, p_cm, p_nib, freq);
                     blend(crow, sym, c.adapt[is_high ? 3 : 2][0],
@@ -487,6 +509,8 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
             lo = c.nib(lo_base + hi, c.adapt[0][0], c.adapt[0][1], c.lit);
         }
         c.out[c.wpos++] = (uint8_t)((hi << 4) | lo);
+        c.lit_prev2 = c.lit_prev;
+        c.lit_prev = (hi << 4) | lo;
     }
 }
 
@@ -565,8 +589,10 @@ int32_t dtpu_decode_metablock(
         uint8_t* out_raw) {
     DecCtx c;
     c.model.assign((size_t)num_rows, CDF_INIT);
-    c.ds.chunk = chunk;
+    c.ds.chunk = chunk ? cmd_chunk(chunk) : 0;  // cmd-stream clock
+    c.ds_lit.chunk = chunk;                      // lit-stream clock
     c.ds.committed = &c.model;
+    c.ds_lit.committed = &c.model;
     c.cmd.init(cmd_bytes, cmd_n);
     c.lit.init(lit_bytes, lit_n);
     c.seg = seg_offsets;

@@ -302,6 +302,8 @@ struct TraceCtx {
     Speed adapt[4] = {MUD, MUD, {8, 8192}, {8, 8192}};
     int32_t nctx;              // layout cm_second minor dim
     int32_t lo_shift = 0;      // deferred layouts bucket lo ctx 64 -> 8
+    int32_t self_fed = 0;      // deferred-v2: lit history = lit bytes only
+    int32_t lit_prev = 0, lit_prev2 = 0;
 };
 
 static inline void rec(TraceCtx& c, int32_t flat, int32_t value,
@@ -341,9 +343,15 @@ static void code_literal_content(TraceCtx& c, const uint8_t* raw,
     const int32_t* seg = c.seg;
     for (int32_t k = 0; k < nbytes; ++k) {
         int32_t p = pos + k;
-        int32_t prev = p >= 1 ? raw[p - 1] : 0;
-        int32_t prev2 = p >= 2 ? raw[p - 2] : 0;
+        // deferred-v2 streams feed literal history from the literal
+        // stream itself; adaptive streams use the window (reference)
+        int32_t prev = c.self_fed ? c.lit_prev
+                                  : (p >= 1 ? raw[p - 1] : 0);
+        int32_t prev2 = c.self_fed ? c.lit_prev2
+                                   : (p >= 2 ? raw[p - 2] : 0);
         int32_t byte = raw[p];
+        c.lit_prev2 = c.lit_prev;
+        c.lit_prev = byte;
         int32_t hi = byte >> 4, lo = byte & 0xF;
         if (c.use_cm) {   // mm_opts == 0: ctx-indexed tables, sel 0
             int32_t ctx = c.lut0[prev] | c.lut1[prev2];  // identity lcm
@@ -569,10 +577,12 @@ int32_t dtpu_build_trace(
         int32_t use_cm, int32_t mixing, int32_t prior_depth,
         const int32_t* adapt_speeds,  // [4][2] inc,lim
         const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
+        int32_t self_fed,
         const uint8_t* lut0, const uint8_t* lut1,
         int32_t* out, int32_t out_cap) {
     TraceCtx c{};
     c.lo_shift = lo_shift;
+    c.self_fed = self_fed;
     c.seg = seg_offsets;
     c.out = out;
     c.cap = out_cap;

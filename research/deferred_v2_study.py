@@ -87,6 +87,19 @@ def main():
             rows.append((f"split S=256 lo-ctx={nb}", cost_split(tb)))
         tb = bucket_trace(trace, layout, 8)
         rows.append(("split S=64/256 lo-ctx=8", cost_split(tb, 64, 256)))
+        # self-fed literal history (lit kernel needs no window): l8 is
+        # literal bytes only — copies/dicts stop clobbering it
+        codec = trace_mod.TraceCodec(opts, layout)
+        codec.sync_lit_history = False
+        for cmd in commands:
+            trace_mod._run_one_command(codec, cmd)
+        import divans_tpu.ir.commands as cmds_mod
+        codec.code_command_type(cmds_mod.END_NIBBLE)
+        tsf = np.array(codec.rows, np.int32).reshape(-1, trace_mod.NCOLS)
+        rows.append(("split S=64/256 self-fed", cost_split(tsf, 64, 256)))
+        tsfb = bucket_trace(tsf, layout, 8)
+        rows.append(("v2: split 64/256 loctx8 selffed",
+                     cost_split(tsfb, 64, 256)))
         print(f"\n{path.split('/')[-1]} ({n} bytes, "
               f"{trace.shape[0]} nibbles)")
         for name, b in rows:

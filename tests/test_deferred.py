@@ -105,14 +105,11 @@ def test_model_pass_deferred_matches_replay(chunk):
     blocks = [data[o:o + 4096] for o in range(0, len(data), 4096)]
     traces = [trace_mod.build_trace(r, build_commands(r, opts), opts, layout)
               for r in blocks]
-    padded = jax_engine._pad_traces(traces, multiple=chunk)
-    s_d, f_d = jax_engine.model_pass_deferred(padded, layout.num_rows, chunk)
-    s_d, f_d = np.asarray(s_d), np.asarray(f_d)
+    starts, freqs, _ = jax_engine.deferred_model_pass(traces, layout, chunk)
     for i, t in enumerate(traces):
         s_h, f_h = deferred.replay_trace(t, chunk)
-        n = t.shape[0]
-        assert np.array_equal(s_d[i, :n], s_h)
-        assert np.array_equal(f_d[i, :n], f_h)
+        assert np.array_equal(starts[i], s_h)
+        assert np.array_equal(freqs[i], f_h)
 
 
 def test_api_auto_roundtrip_deferred():

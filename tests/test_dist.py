@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from divans_tpu.codec import jax_engine, trace as trace_mod
+from divans_tpu.codec.deferred import cmd_chunk
 from divans_tpu.codec.layout import ModelLayout, PROFILES
 from divans_tpu.ir.matcher import build_commands
 from divans_tpu.options import DivansOptions
@@ -25,6 +26,16 @@ def mesh8():
     return dist.make_mesh(devs[:8])
 
 
+def _padded_stream_traces(traces, layout, chunk):
+    cmd_ts, lit_ts, _, r_cmd, r_lit = jax_engine.split_stream_traces(
+        traces, layout)
+    ct = jnp.asarray(jax_engine._pad_traces(cmd_ts,
+                                            multiple=max(cmd_chunk(chunk), 1)
+                                            if chunk else 1))
+    lt = jnp.asarray(jax_engine._pad_traces(lit_ts, multiple=max(chunk, 1)))
+    return ct, lt, r_cmd, r_lit
+
+
 def test_sharded_encode_matches_unsharded(mesh8):
     layout = ModelLayout(PROFILES["cm"])
     opts = DivansOptions(metablock_size=4096)
@@ -33,18 +44,23 @@ def test_sharded_encode_matches_unsharded(mesh8):
               for _ in range(16)]
     traces = [trace_mod.build_trace(b, build_commands(b, opts), opts, layout)
               for b in blocks]
-    trace = jnp.asarray(jax_engine._pad_traces(traces))
+    ct, lt, r_cmd, r_lit = _padded_stream_traces(traces, layout, 0)
 
-    step = dist.sharded_encode_step(mesh8, layout.num_rows)
-    (cw, cn, cs), (lw, ln, ls) = step(trace)
+    step = dist.sharded_encode_step(mesh8, r_cmd, r_lit)
+    (cw, cn, cs), (lw, ln, ls) = step(ct, lt)
 
-    starts, freqs = jax_engine.model_pass(trace, layout.num_rows)
-    (cs0, cf0, cc0), (ls0, lf0, lc0) = dist.split_lanes(trace, starts, freqs)
-    cw2, cn2, cs2 = jax.vmap(kernels._encode_lane)(cs0, cf0, cc0)
+    # unsharded single-device reference over the same sub-traces
+    st_c, fr_c = jax_engine.model_pass(ct, r_cmd)
+    cc0 = jnp.asarray([t.shape[0] for t in
+                       jax_engine.split_stream_traces(traces, layout)[0]],
+                      jnp.int32)
+    cw2, cn2, cs2 = jax.vmap(kernels._encode_lane)(st_c, fr_c, cc0)
     np.testing.assert_array_equal(np.asarray(cn), np.asarray(cn2))
     np.testing.assert_array_equal(np.asarray(cs), np.asarray(cs2))
     np.testing.assert_array_equal(np.asarray(cw), np.asarray(cw2))
-    lw2, ln2, ls2 = jax.vmap(kernels._encode_lane)(ls0, lf0, lc0)
+    st_l, fr_l = jax_engine.model_pass(lt, r_lit)
+    lc0 = jnp.asarray([int((t[:, 2] == 1).sum()) for t in traces], jnp.int32)
+    lw2, ln2, ls2 = jax.vmap(kernels._encode_lane)(st_l, fr_l, lc0)
     np.testing.assert_array_equal(np.asarray(ln), np.asarray(ln2))
     np.testing.assert_array_equal(np.asarray(lw), np.asarray(lw2))
 
@@ -77,10 +93,10 @@ def test_sharded_e2e_container_roundtrip(mesh8):
     blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
     traces = [trace_mod.build_trace(b, build_commands(b, opts), opts, layout)
               for b in blocks]
-    trace = jnp.asarray(jax_engine._pad_traces(traces, multiple=chunk))
+    ct, lt, r_cmd, r_lit = _padded_stream_traces(traces, layout, chunk)
 
-    step = dist.sharded_encode_step(mesh8, layout.num_rows, chunk=chunk)
-    (cw, cn, cs), (lw, ln, ls) = step(trace)
+    step = dist.sharded_encode_step(mesh8, r_cmd, r_lit, chunk=chunk)
+    (cw, cn, cs), (lw, ln, ls) = step(ct, lt)
 
     frames = []
     for i in range(len(blocks)):

@@ -27,12 +27,9 @@ def test_pallas_model_pass_matches_replay(chunk):
     blocks = [data[o:o + 4096] for o in range(0, len(data), 4096)]
     traces = [trace_mod.build_trace(x, build_commands(x, opts), opts, layout)
               for x in blocks]
-    padded = jax_engine._pad_traces(traces, multiple=chunk)
-    s_d, f_d = model_pass_deferred_pallas(
-        jnp.asarray(padded), layout.num_rows, chunk, interpret=True)
-    s_d, f_d = np.asarray(s_d), np.asarray(f_d)
+    starts, freqs, _ = jax_engine.deferred_model_pass(
+        traces, layout, chunk, pallas=True, interpret=True)
     for i, t in enumerate(traces):
         s_h, f_h = deferred.replay_trace(t, chunk)
-        n = t.shape[0]
-        assert np.array_equal(s_d[i, :n], s_h)
-        assert np.array_equal(f_d[i, :n], f_h)
+        assert np.array_equal(starts[i], s_h)
+        assert np.array_equal(freqs[i], f_h)
