@@ -1,45 +1,45 @@
-"""Pallas TPU decode mega-kernel for the deferred profile.
+"""Pallas TPU decode kernel for the deferred-profile literal stream.
 
 The reference's decode story is consumer parallelism: a 2-thread pipeline
-pulling two interleaved ANS streams (src/parallel_decompressor.rs:99-133)
-with a 4-byte-pull rANS loop (src/ans.rs:172-253).  The TPU equivalent is
-breadth: L metablock lanes decode in lockstep inside one Mosaic program,
-one coded nibble per lane per step, with the chunk-deferred model profile
-(codec/deferred.py) making everything inside a chunk gather-only.
+with a cmd-decode thread and a literal-decode main thread pulling two
+interleaved ANS streams (src/parallel_decompressor.rs:99-133,
+src/codec/decoder.rs:229-419) through a 4-byte-pull rANS loop
+(src/ans.rs:172-253).  The TPU build keeps that split and adds breadth:
 
-Semantics: the command FSM mirrors codec/jax_decode.py (itself cited
-against the reference state machines) and the model policy mirrors
-codec/deferred.py / pallas_model.py phase B exactly; outputs are
-byte-identical to deferred.decode_metablock per lane (tests).
+  * the cmd stream decodes host-side (deferred.decode_cmd_structure —
+    deferred-v2's per-stream chunk clocks make it fully independent of
+    literal values);
+  * the literal stream — the hot ~80% of coded nibbles — decodes here:
+    128 metablock lanes in lockstep inside one Mosaic kernel, one
+    literal byte (two coded nibbles) per lane per step, gather-only
+    within a chunk thanks to the deferred model profile
+    (codec/deferred.py);
+  * commands then execute host-side at memcpy speed
+    (deferred.execute_script).
 
-Layout — everything lives in the "grouped-replicated" form:
+Deferred-v2's self-fed literal history means this pass needs no window
+and no command context at all: it is a pure byte-stream transform
+(lit stream, count, PredictionMode config) -> literal bytes.
 
-  * L = 8*G lanes; lane l = (group g = l//8, block cb = l%8).
-  * Per-lane scalar state: int32[G, 128] where lane l's value is
-    replicated over columns [16*cb, 16*cb+16).  Elementwise FSM ops stay
-    elementwise; 16-entry CDF rows occupy one column block, so CDF math
-    (symbol search, (start, freq) extraction, mixing) runs on the same
-    vregs with segment reductions (masked lane-rolls, `seg_sum`).
-  * Model: int32[G*R, 128] — group g's dense model rows (layout.py) at
-    [g*R, (g+1)*R); lane cb's 16 CDF entries in its column block.  Row
-    fetch = one dynamic-row read per lane per coded nibble (the scalar
-    unit co-schedules with the VPU transition math).
-  * Window: int32[G*Wr, 128], one byte per int32; byte b of lane (g, cb)
-    at row g*Wr + (b >> 4), column 16*cb + (b & 15).  Copies execute
-    inline in the step that completes the distance (so every kernel step
-    is exactly one coded nibble per live lane and chunk boundaries stay
-    lockstep), moving up to 16 bytes per inner iteration via
-    read-rotate-merge row ops.
-  * Streams: u16 renorm words (ans/coder_np.py rans32) as int32[T, 128],
-    lane l's word t at [t, l]; one conditional row-read+extract per pull.
-  * Chunk boundary: logs of (flat, value, inc, lim) / (cm_idx, cm_inc,
-    cm_lim) recorded per step as [G, 128] plane writes, consumed at the
-    next chunk boundary as per-lane [S, 1] column slices feeding the
-    bit-exact onehot histogram matmul + renorm of pallas_model phase B
-    (one-chunk commit lag, LAG=1).
+Layout (decided by research/probe_decode_spike*.py; scalar per-lane
+fetch is dead at ~200ns/crossing, lane-per-column select-scan measured
+viable at ~4us per 128-lane byte step):
 
-Grid = chunks; the frame container carries per-metablock coded-nibble
-counts (container/format.py FLAG_NIBCOUNT) so the grid size is exact.
+  * lane l = column l (128 lanes per kernel);
+  * a CDF plane is [16, 128]: entry e of lane l at (e, l);
+  * the lit model is [16 * 384, 128]: 384 CDF planes in kernel order
+    [lit_hi(64) | cm_first(64) | lit_lo(128) | cm_second(128, permuted
+    to (ctx>>3, hi) so the lo fetch shares one select-scan index];
+  * per-lane scalars are [1, 128] planes; per-lane tables (context map,
+    renorm words) use `jnp.take_along_axis` sublane gathers
+    (tpu.dynamic_gather) in 8-row vreg chunks;
+  * chunk-boundary model commits run OUTSIDE the kernel between chunk
+    calls, sharing the exact histogram/renorm/mixer math with the
+    encode pass (jax_engine._chunk_histogram / _apply_pend), fed by the
+    kernel's per-byte (ctx, byte, freqs) logs.
+
+Wire semantics are normative in codec/deferred.py; `decode_literals_np`
+below is the readable oracle the kernel is tested bit-equal against.
 """
 from __future__ import annotations
 
@@ -55,106 +55,59 @@ from ..constants import LOG2_SCALE
 
 READY = False  # flipped True once the kernel is wired + validated
 
-SEG = 16          # column-block width (16 CDF entries)
-LANES_PER_GROUP = 128 // SEG   # 8
+LANES = 128
+N_HI = 64          # lit_hi planes (cm profile: (1, 64))
+N_LO = 128         # lit_lo planes ((8, 16) bucketed)
 
 
-def _col_iota(g):
-    return jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
+# ======================================================================
+# numpy oracle: standalone deferred-v2 literal-stream decode
+# ======================================================================
 
+def decode_literals_np(lit_stream: bytes, n_bytes: int, lcmap, speeds,
+                       chunk: int) -> bytes:
+    """Decode `n_bytes` literal bytes from a deferred-v2 lit stream.
 
-def _ent_iota(g):
-    """Entry index within each 16-column block."""
-    return _col_iota(g) & (SEG - 1)
+    Mirrors the literal path of deferred.make_deferred_codec exactly
+    (cm profile, mm_opts == 0, mixing on, UTF8 luts, btype 0); row keys
+    match the codec's (table, *key) identities so the chunk histograms
+    agree bit-for-bit."""
+    from ..ans.coder_np import ANSDecoder
+    from ..probability import scalar
+    from .. import constants
+    from .deferred import DeferredPolicy, weight_adjustments
 
+    lut0 = constants.literal_lut0(constants.LITERAL_PREDICTION_MODE_UTF8)
+    lut1 = constants.literal_lut1(constants.LITERAL_PREDICTION_MODE_UTF8)
+    dec = ANSDecoder(lit_stream)
+    pol = DeferredPolicy(chunk)
+    sp0, sp2, sp3 = speeds[0], speeds[2], speeds[3]
+    out = bytearray()
+    p1 = p2 = 0
 
-def rot_seg(x, k):
-    """Rotate each 16-column block left by k (static, 0 < k < 16).
+    def nib(nib_key, cm_key, which, cm_sp):
+        nibble_prob = pol.row(nib_key)
+        cm_prob = pol.row(cm_key)
+        w = pol.weights[which]
+        mixed = scalar.average(cm_prob, nibble_prob, w[2] & 0xFFFF)
+        off = dec.peek_offset()
+        v = scalar.offset_to_sym(mixed, off)
+        start, freq = scalar.sym_to_start_freq(mixed, v)
+        dec.advance(start, freq)
+        p_cm = scalar.sym_to_start_freq(cm_prob, v)[1]
+        p_nib = scalar.sym_to_start_freq(nibble_prob, v)[1]
+        pol.record_wadj(which, *weight_adjustments(p_cm, p_nib, freq))
+        pol.record_blend(cm_key, v, cm_sp.inc, cm_sp.lim)
+        pol.record_blend(nib_key, v, sp0.inc, sp0.lim)
+        pol.tick()
+        return v
 
-    result[c] = x[block_base + ((c % 16) + k) % 16]."""
-    a = pltpu.roll(x, shift=128 - k, axis=1)   # x[c + k]  (mod 128)
-    b = pltpu.roll(x, shift=SEG - k, axis=1)   # x[c + k - 16]
-    ent = _ent_iota(x.shape[0])
-    return jnp.where(ent < SEG - k, a, b)
-
-
-def seg_sum(x):
-    """All-columns-replicated sum over each 16-column block."""
-    for k in (1, 2, 4, 8):
-        x = x + rot_seg(x, k)
-    return x
-
-
-def seg_extract(x, idx):
-    """Per-block entry extraction, replicated: y[*] = x[block, idx].
-
-    idx: replicated per-lane entry index in [0, 16)."""
-    ent = _ent_iota(x.shape[0])
-    return seg_sum(jnp.where(ent == idx, x, 0))
-
-
-def seg_bcast0(x):
-    """Replicate each block's entry 0 across its block."""
-    return seg_extract(x, jnp.zeros_like(x))
-
-
-def _bitlen(x):
-    """bit_length of non-negative int32 (vectorized)."""
-    r = jnp.zeros_like(x)
-    for shift in (16, 8, 4, 2, 1):
-        r = jnp.where((x >> (r + shift)) > 0, r + shift, r)
-    return r + (x > 0).astype(x.dtype)
-
-
-def _exact_div(a, b):
-    """floor(a/b) for int32 a in [0, 2^31), b in [1, 2^24)."""
-    rec = pl.reciprocal(b.astype(jnp.float32), approx=False)
-    q = (a.astype(jnp.float32) * rec).astype(jnp.int32)
-    rem = a - q * b
-    q = q + (rem.astype(jnp.float32) * rec).astype(jnp.int32)
-    rem = a - q * b
-    for _ in range(2):
-        q = q + (rem >= b).astype(jnp.int32) - (rem < 0).astype(jnp.int32)
-        rem = a - q * b
-    return q
-
-
-def _wrap_i16(x):
-    return ((x + 0x8000) & 0xFFFF) - 0x8000
-
-
-# ----------------------------------------------------------------- CDF math
-# Grouped-replicated ports of probability/cdf16.py: `cdf` is [G, 128] with
-# each lane's 16 cumulative counts in its column block; per-lane scalars
-# are replicated over the block.
-
-def g_offset_to_sym(cdf, offset):
-    """cdf16.offset_to_sym: sym = #{i in 0..14 : cdf[i] <= rescaled}."""
-    g = cdf.shape[0]
-    maxv = seg_extract(cdf, jnp.full_like(cdf, 15))
-    rescaled = (offset * maxv) >> LOG2_SCALE
-    ent = _ent_iota(g)
-    below = ((cdf <= rescaled) & (ent < 15)).astype(jnp.int32)
-    return seg_sum(below)
-
-
-def g_sym_to_start_freq(cdf, sym):
-    """cdf16.sym_to_start_freq, replicated (start, freq)."""
-    maxv = seg_extract(cdf, jnp.full_like(cdf, 15))
-    c_sym = seg_extract(cdf, sym)
-    c_prev = jnp.where(sym > 0, seg_extract(cdf, sym - 1), 0)
-    r_sym = _exact_div(c_sym << LOG2_SCALE, maxv)
-    r_prev = jnp.where(sym > 0,
-                       _exact_div(c_prev << LOG2_SCALE, maxv), 0)
-    return r_prev + 1, r_sym - r_prev - 1
-
-
-def g_average(cdf_a, cdf_b, mix_rate):
-    """cdf16.average in grouped layout (mix_rate replicated per lane)."""
-    amax = seg_extract(cdf_a, jnp.full_like(cdf_a, 15))
-    bmax = seg_extract(cdf_b, jnp.full_like(cdf_b, 15))
-    shift = jnp.maximum(_bitlen(amax * bmax) - 15, 0)
-    inv_mix = (1 << 15) - mix_rate
-    ra = (cdf_a * bmax) >> shift
-    rb = (cdf_b * amax) >> shift
-    return _wrap_i16((ra * mix_rate + rb * inv_mix + 1) >> 15)
+    for _ in range(n_bytes):
+        sel = int(lut0[p1]) | int(lut1[p2])
+        ctx = int(lcmap[sel])
+        hi = nib(("lit_hi", 0, 0, ctx), ("cm", 0, ctx), 1, sp3)
+        lo = nib(("lit_lo", 0, ctx >> 3, hi), ("cm", 1, hi, ctx >> 3), 0, sp2)
+        b = (hi << 4) | lo
+        out.append(b)
+        p2, p1 = p1, b
+    return bytes(out)
