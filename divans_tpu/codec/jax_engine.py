@@ -124,6 +124,69 @@ def _onehot_mm_b(oh_bf16, table_i32):
     return (out_hi.astype(jnp.int32) << 7) + out_lo.astype(jnp.int32)
 
 
+def _chunk_pend(oh_full, sym2, inc2, lim2, wadj):
+    """One chunk's deferred-update histogram (deferred.py boundary rules).
+
+    oh_full: bf16 onehot [B, 2S, R] over the chunk's (nib ++ cm) rows;
+    sym2/inc2/lim2: int32 [B, 2S] per hit (inc 0 = no hit); wadj: the
+    chunk's summed mixer adjustments [B, 2, 2].  All matmul operands are
+    exact bf16 integers < 2^8 (7-bit hi/lo splits); f32 accumulation
+    keeps every sum < 2^24 exact.  Shared by the encode model pass and
+    the Pallas decode scan so both sides commit identical state."""
+    idx16 = jnp.arange(16)[None, None, :]
+    hit = inc2 != 0
+    ge = (idx16 >= sym2[:, :, None]) & hit[:, :, None]           # [B, 2S, 16]
+    contrib = jnp.concatenate([
+        ((inc2[:, :, None] >> 7) * ge).astype(jnp.bfloat16),
+        ((inc2[:, :, None] & 127) * ge).astype(jnp.bfloat16),
+        ((lim2 >> 7) * hit).astype(jnp.bfloat16)[:, :, None],
+        ((lim2 & 127) * hit).astype(jnp.bfloat16)[:, :, None],
+        hit.astype(jnp.bfloat16)[:, :, None],
+    ], axis=2)                                                   # [B, 2S, 35]
+    upd = jax.lax.dot_general(
+        oh_full, contrib,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.int32)    # [B, R, 35]
+    return {
+        "add": (upd[:, :, 0:16] << 7) + upd[:, :, 16:32],
+        "limsum": (upd[:, :, 32] << 7) + upd[:, :, 33],
+        "cnt": upd[:, :, 34],
+        "wadj": wadj,
+    }
+
+
+def _apply_pend(committed, weights, pend):
+    """Apply one lagged chunk's pend to (committed, weights) — the
+    boundary CDF renorm + mixer rules of codec/deferred.py, batched."""
+    from ..probability import weights as weights_mod
+    from .deferred import MAX_RENORM_PASSES, WEIGHT_MAX
+
+    committed = committed + pend["add"]
+    has = pend["cnt"] > 0
+    lim_eff = jnp.where(has, pend["limsum"] // jnp.maximum(pend["cnt"], 1),
+                        0x8000)
+    bias = jnp.arange(1, 17)[None, None, :]
+
+    def _ren_cond(c):
+        i, arr = c
+        return (i < MAX_RENORM_PASSES) & jnp.any(arr[:, :, 15] >= lim_eff)
+
+    def _ren_body(c):
+        i, arr = c
+        over = arr[:, :, 15] >= lim_eff
+        cb = arr + bias
+        return i + 1, jnp.where(over[:, :, None], cb - (cb >> 2), arr)
+
+    _, committed = jax.lax.while_loop(_ren_cond, _ren_body,
+                                      (jnp.int32(0), committed))
+    w01 = weights[:, :, :2] + pend["wadj"]
+    w01 = jnp.clip(w01, 1, WEIGHT_MAX)
+    w0f, w1f = weights_mod._fix_weights(w01[:, :, 0], w01[:, :, 1], jnp)
+    nw2 = weights_mod.norm_weight(w0f, w1f, jnp)
+    weights = jnp.stack([w0f, w1f, nw2], axis=-1)
+    return committed, weights
+
+
 @functools.partial(jax.jit, static_argnames=("num_rows", "chunk"))
 def model_pass_deferred(trace, num_rows, chunk):
     """Chunk-deferred model pass (codec/deferred.py rules), device-batched.
@@ -190,59 +253,15 @@ def model_pass_deferred(trace, num_rows, chunk):
             [jnp.stack([jnp.sum(jnp.where(sel[w_], adj[i], 0), axis=1)
                         for i in (0, 1)], -1) for w_ in (0, 1)], 1)
 
-        # ---- chunk histogram: nib + cm hits, f32 matmul, hi/lo exact split
+        # ---- chunk histogram: nib + cm hits (shared with the decode scan)
         cm_hit = do_mix & (cm_inc != 0)
         inc2 = jnp.concatenate([inc, jnp.where(cm_hit, cm_inc, 0)], axis=1)
         lim2 = jnp.concatenate([lim, jnp.where(cm_hit, cm_lim, 0)], axis=1)
         sym2 = jnp.concatenate([value, value], axis=1)
-        hit = inc2 != 0
-        ge = (idx16 >= sym2[:, :, None]) & hit[:, :, None]       # [B, 2S, 16]
-        contrib = jnp.concatenate([
-            ((inc2[:, :, None] >> 7) * ge).astype(jnp.bfloat16),
-            ((inc2[:, :, None] & 127) * ge).astype(jnp.bfloat16),
-            ((lim2 >> 7) * hit).astype(jnp.bfloat16)[:, :, None],
-            ((lim2 & 127) * hit).astype(jnp.bfloat16)[:, :, None],
-            hit.astype(jnp.bfloat16)[:, :, None],
-        ], axis=2)                                               # [B, 2S, 35]
-        # all operands are exact bf16 integers < 2^8; f32 accumulation
-        # keeps every sum < 2^24 exact (same argument as _onehot_mm_b);
-        # non-hit rows contribute zero because every contrib column
-        # carries the hit mask
-        upd = jax.lax.dot_general(
-            oh_full, contrib,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(jnp.int32)  # [B, R, 35]
-        new_pend = {
-            "add": (upd[:, :, 0:16] << 7) + upd[:, :, 16:32],
-            "limsum": (upd[:, :, 32] << 7) + upd[:, :, 33],
-            "cnt": upd[:, :, 34],
-            "wadj": wadj,
-        }
+        new_pend = _chunk_pend(oh_full, sym2, inc2, lim2, wadj)
 
         # ---- apply the previous chunk's updates (one-chunk commit lag)
-        committed = committed + pend["add"]
-        has = pend["cnt"] > 0
-        lim_eff = jnp.where(has, pend["limsum"] // jnp.maximum(pend["cnt"], 1),
-                            0x8000)
-        bias = jnp.arange(1, 17)[None, None, :]
-
-        def _ren_cond(c):
-            i, arr = c
-            return (i < MAX_RENORM_PASSES) & jnp.any(arr[:, :, 15] >= lim_eff)
-
-        def _ren_body(c):
-            i, arr = c
-            over = arr[:, :, 15] >= lim_eff
-            cb = arr + bias
-            return i + 1, jnp.where(over[:, :, None], cb - (cb >> 2), arr)
-
-        _, committed = jax.lax.while_loop(_ren_cond, _ren_body,
-                                          (jnp.int32(0), committed))
-        w01 = weights[:, :, :2] + pend["wadj"]
-        w01 = jnp.clip(w01, 1, WEIGHT_MAX)
-        w0f, w1f = weights_mod._fix_weights(w01[:, :, 0], w01[:, :, 1], jnp)
-        nw2 = weights_mod.norm_weight(w0f, w1f, jnp)
-        weights = jnp.stack([w0f, w1f, nw2], axis=-1)
+        committed, weights = _apply_pend(committed, weights, pend)
         return (committed, weights, new_pend), (start, freq)
 
     xs = jnp.swapaxes(trace, 0, 1).reshape(n // chunk, chunk, b, 10)
@@ -455,21 +474,42 @@ def decompress(blob: bytes) -> bytes:
         return b""
     chunk = deferred.flags_to_chunk(flags)
     if chunk:
-        # deferred streams: native serial decode (line speed), golden
-        # deferred fallback per frame (a gather-only Pallas decode kernel
-        # is the r2 device path for this profile)
+        # deferred streams.  Paths, fastest-available first:
+        #   * device (DIVANS_DEVICE_DECODE=1 + TPU): host cmd-structure
+        #     pass + Pallas literal kernel + host execution
+        #     (codec/pallas_decode.py, the r2 device decode);
+        #   * native serial decode (host line speed);
+        #   * device again as the pre-golden fallback when native is
+        #     unavailable;
+        #   * golden deferred decode (correctness backstop).
+        import os
         from .. import native
         from .layout import FLAG_PROFILES as _FP
         profile = _FP.get(flags & 0b11)
         layout = (ModelLayout(PROFILES[profile], lo_bucketed=True)
                   if profile else None)
         opts = DivansOptions()
+
+        def _device(frames):
+            if layout is None or jax.default_backend() != "tpu":
+                return None
+            from . import pallas_decode
+            return pallas_decode.decompress_frames(frames, chunk, layout,
+                                                   opts)
+
+        if os.environ.get("DIVANS_DEVICE_DECODE") == "1":
+            raw_all = _device(frames)
+            if raw_all is not None:
+                fmt.check_crc(raw_all, stored_crc)
+                return raw_all
         out = bytearray()
         for f in frames:
             raw = None
             if layout is not None:
                 raw = native.decode_metablock(f.cmd, f.lit, f.raw_len,
                                               profile == "cm", layout, chunk)
+            if raw is None:
+                raw = _device([f])
             if raw is None:
                 raw = deferred.decode_metablock(f.cmd, f.lit, f.raw_len,
                                                 opts, chunk)

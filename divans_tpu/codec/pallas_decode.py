@@ -52,12 +52,488 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import LOG2_SCALE
+from ..ans.coder_np import RENORM_BITS, STATE_LOW, SCALE_MASK
 
-READY = False  # flipped True once the kernel is wired + validated
+READY = True
 
 LANES = 128
 N_HI = 64          # lit_hi planes (cm profile: (1, 64))
 N_LO = 128         # lit_lo planes ((8, 16) bucketed)
+N_PLANES = 2 * N_HI + 2 * N_LO   # 384 CDF planes in kernel order
+
+
+def _wrap_i16(x):
+    return ((x + 0x8000) & 0xFFFF) - 0x8000
+
+
+def _bitlen(x):
+    """bit_length of non-negative int32 (vectorized)."""
+    r = jnp.zeros_like(x)
+    for shift in (16, 8, 4, 2, 1):
+        r = jnp.where((x >> (r + shift)) > 0, r + shift, r)
+    return r + (x > 0).astype(x.dtype)
+
+
+def _exact_div(a, b):
+    """floor(a/b) for int32 a in [0, 2^31), b in [1, 2^24)."""
+    rec = pl.reciprocal(b.astype(jnp.float32), approx=False)
+    q = (a.astype(jnp.float32) * rec).astype(jnp.int32)
+    rem = a - q * b
+    q = q + (rem.astype(jnp.float32) * rec).astype(jnp.int32)
+    rem = a - q * b
+    for _ in range(2):
+        q = q + (rem >= b).astype(jnp.int32) - (rem < 0).astype(jnp.int32)
+        rem = a - q * b
+    return q
+
+
+# ----------------------------------------------------------- in-kernel ops
+# Lane-per-column ports of probability/cdf16.py: a CDF plane is [16, 128]
+# (entry e of lane l at (e, l)); per-lane scalars are [1, 128].
+
+def _ent_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+
+
+def _lookup_rows(tab_ref, base, n, idx):
+    """Per-lane gather from rows [base, base+n) of an [*, 128] table.
+
+    idx: [1, 128] int32 in [0, n).  Uses tpu.dynamic_gather (sublane
+    gather) in 8-row vreg chunks with a select-scan over chunks."""
+    out = jnp.zeros((1, LANES), jnp.int32)
+    for k in range(0, n, 8):
+        sl = tab_ref[base + k:base + k + 8, :]
+        g = jnp.take_along_axis(
+            sl, jnp.broadcast_to(jnp.clip(idx - k, 0, 7), (8, LANES)), axis=0)
+        out = jnp.where((idx >> 3) == (k >> 3), g[0:1, :], out)
+    return out
+
+
+def _fetch2(model_ref, base_a, base_b, n, idx):
+    """Select-scan fetch of two CDF planes sharing one per-lane index:
+    (planes[base_a + idx], planes[base_b + idx]), each [16, 128]."""
+    a = jnp.zeros((16, LANES), jnp.int32)
+    b = jnp.zeros((16, LANES), jnp.int32)
+    for v in range(n):
+        m = idx == v
+        a = jnp.where(m, model_ref[16 * (base_a + v):16 * (base_a + v) + 16, :], a)
+        b = jnp.where(m, model_ref[16 * (base_b + v):16 * (base_b + v) + 16, :], b)
+    return a, b
+
+
+def _p_average(cdf_a, cdf_b, mix_rate):
+    """cdf16.average on [16, 128] planes (mix_rate [1, 128] weights a)."""
+    amax = cdf_a[15:16, :]
+    bmax = cdf_b[15:16, :]
+    shift = jnp.maximum(_bitlen(amax * bmax) - 15, 0)
+    inv = (1 << 15) - mix_rate
+    ra = (cdf_a * bmax) >> shift
+    rb = (cdf_b * amax) >> shift
+    return _wrap_i16((ra * mix_rate + rb * inv + 1) >> 15)
+
+
+def _p_offset_to_sym(cdf, offset):
+    """cdf16.offset_to_sym: sym = #{i in 0..14 : cdf[i] <= rescaled}."""
+    rescaled = (offset * cdf[15:16, :]) >> LOG2_SCALE
+    below = ((cdf <= rescaled) & (_ent_iota() < 15)).astype(jnp.int32)
+    return jnp.sum(below, axis=0, keepdims=True)
+
+
+def _p_extract(cdf, sym):
+    return jnp.sum(jnp.where(_ent_iota() == sym, cdf, 0), axis=0,
+                   keepdims=True)
+
+
+def _p_start_freq(cdf, sym):
+    """cdf16.sym_to_start_freq on a plane: ([1,128] start, [1,128] freq)."""
+    maxv = cdf[15:16, :]
+    c_sym = _p_extract(cdf, sym)
+    c_prev = jnp.where(sym > 0, _p_extract(cdf, sym - 1), 0)
+    r_sym = _exact_div(c_sym << LOG2_SCALE, maxv)
+    r_prev = jnp.where(sym > 0, _exact_div(c_prev << LOG2_SCALE, maxv), 0)
+    return r_prev + 1, r_sym - r_prev - 1
+
+
+# ----------------------------------------------------------------- kernel
+
+def _make_lit_kernel(s_bytes, n_words):
+    """One-chunk literal decode: s_bytes bytes per lane, gather-only.
+
+    refs: model [16*384, 128], words [n_words, 128], lcmap [64, 128],
+    luts [512, 128] (lut0 ++ lut1, lane-broadcast), sc [8, 128] scalars
+    (state, p1, p2, nw_lo, nw_hi, n_rem);
+    outs: bytes [s_bytes, 128], ctx [s_bytes, 128], fq [6*s_bytes, 128]
+    (per byte: w_hi, pcm_hi, pnib_hi, w_lo, pcm_lo, pnib_lo),
+    sc_out [8, 128] (state, p1, p2, pulls)."""
+
+    def kernel(model_ref, words_ref, lcmap_ref, luts_ref, sc_ref,
+               bytes_ref, ctx_ref, fq_ref, sc_out_ref):
+        nw_lo = sc_ref[3:4, :]
+        nw_hi = sc_ref[4:5, :]
+        n_rem = sc_ref[5:6, :]
+
+        def pull(state, pulls, active):
+            need = active & (state < STATE_LOW)
+            w = _lookup_rows(words_ref, 0, n_words, pulls)
+            state = jnp.where(need, (state << RENORM_BITS) | w, state)
+            return state, pulls + need.astype(jnp.int32)
+
+        def decode_nib(nib, cm, nw, state, pulls, active):
+            mixed = _p_average(cm, nib, nw)
+            state, pulls = pull(state, pulls, active)
+            slot = state & SCALE_MASK
+            sym = _p_offset_to_sym(mixed, slot)
+            st_, fr_ = _p_start_freq(mixed, sym)
+            state = jnp.where(active,
+                              fr_ * (state >> LOG2_SCALE) + slot - st_, state)
+            pcm = _p_start_freq(cm, sym)[1]
+            pnib = _p_start_freq(nib, sym)[1]
+            return sym, fr_, pcm, pnib, state, pulls
+
+        def body(t, carry):
+            state, p1, p2, pulls = carry
+            active = t < n_rem
+            sel = (_lookup_rows(luts_ref, 0, 256, p1)
+                   | _lookup_rows(luts_ref, 256, 256, p2))
+            ctx = _lookup_rows(lcmap_ref, 0, 64, sel)
+            c3 = ctx >> 3
+            # high nibble: lit_hi[ctx] mixed with cm_first[ctx]
+            nib, cm = _fetch2(model_ref, 0, N_HI, N_HI, ctx)
+            hi, w_hi, pcm_hi, pnib_hi, state, pulls = decode_nib(
+                nib, cm, nw_hi, state, pulls, active)
+            # low nibble: lit_lo[c3, hi] mixed with cm_second[hi, c3]
+            # (cm_second planes are permuted to (c3, hi) order so both
+            # fetches share one select-scan index)
+            idx_lo = c3 * 16 + hi
+            nib2, cm2 = _fetch2(model_ref, 2 * N_HI, 2 * N_HI + N_LO, N_LO,
+                                idx_lo)
+            lo, w_lo, pcm_lo, pnib_lo, state, pulls = decode_nib(
+                nib2, cm2, nw_lo, state, pulls, active)
+
+            b = jnp.where(active, (hi << 4) | lo, 0)
+            bytes_ref[pl.ds(t, 1), :] = b
+            ctx_ref[pl.ds(t, 1), :] = jnp.where(active, ctx, 0)
+            fq_ref[pl.ds(6 * t, 6), :] = jnp.concatenate(
+                [w_hi, pcm_hi, pnib_hi, w_lo, pcm_lo, pnib_lo], axis=0)
+            p2n = jnp.where(active, p1, p2)
+            p1n = jnp.where(active, b, p1)
+            return (state, p1n, p2n, pulls)
+
+        init = (sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :],
+                jnp.zeros((1, LANES), jnp.int32))
+        state, p1, p2, pulls = jax.lax.fori_loop(0, s_bytes, body, init)
+        sc_out_ref[0:1, :] = state
+        sc_out_ref[1:2, :] = p1
+        sc_out_ref[2:3, :] = p2
+        sc_out_ref[3:4, :] = pulls
+        sc_out_ref[4:8, :] = jnp.zeros((4, LANES), jnp.int32)
+
+    return kernel
+
+
+def _chunk_call(s_bytes, n_words, interpret):
+    return pl.pallas_call(
+        _make_lit_kernel(s_bytes, n_words),
+        out_shape=(
+            jax.ShapeDtypeStruct((s_bytes, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((s_bytes, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((6 * s_bytes, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+        interpret=interpret,
+    )
+
+
+# ------------------------------------------------------------- scan driver
+
+def kernel_perm(layout):
+    """Static permutation: rebased lit-model rows -> 384 kernel planes,
+    plus the rebased segment offsets for trace synthesis."""
+    seg = layout.segments
+    lit_base = seg["lit_hi"][0]
+
+    def reb(name):
+        return seg[name][0] - (lit_base - 1)
+
+    hi_off, lo_off = reb("lit_hi"), reb("lit_lo")
+    cm1_off, cm2_off = reb("cm_first"), reb("cm_second")
+    perm = np.zeros(N_PLANES, np.int32)
+    perm[0:64] = hi_off + np.arange(64)
+    perm[64:128] = cm1_off + np.arange(64)
+    perm[128:256] = lo_off + np.arange(128)        # natural (c3*16 + hi)
+    for c3 in range(8):
+        for hi in range(16):
+            perm[256 + c3 * 16 + hi] = cm2_off + hi * 8 + c3
+    return perm, (hi_off, lo_off, cm1_off, cm2_off)
+
+
+@functools.partial(jax.jit, static_argnames=("r_lit", "chunk", "n_chunks",
+                                             "offs", "interpret"))
+def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
+                     r_lit, chunk, n_chunks, offs, interpret):
+    """lax.scan over lit chunks: Pallas kernel decodes each chunk against
+    the frozen snapshot; the shared XLA commit (jax_engine._chunk_pend /
+    _apply_pend) applies boundary updates with the one-chunk lag.
+
+    states/n_lit: [128] i32; words: [128, W] i32 (u16 values); lcmap_t:
+    [64, 128]; luts: [512, 128]; spd: [128, 6] (sp0/sp2/sp3 inc, lim);
+    perm: [384] kernel plane -> rebased lit row.
+    Returns (bytes [128, n_chunks * chunk//2], pulls [128])."""
+    from ..probability import cdf16
+    from .jax_engine import _chunk_pend, _apply_pend
+    from .trace import NOOP_LIM
+    from . import deferred
+
+    s_bytes = chunk // 2
+    hi_off, lo_off, cm1_off, cm2_off = offs
+    b = LANES
+    committed0 = jnp.broadcast_to(
+        jnp.asarray(np.asarray(cdf16.CDF_INIT, np.int32)), (b, r_lit, 16))
+    weights0 = jnp.concatenate([
+        jnp.ones((b, 2, 2), jnp.int32),
+        jnp.full((b, 2, 1), 1 << 14, jnp.int32)], axis=2)
+    pend0 = {
+        "add": jnp.zeros((b, r_lit, 16), jnp.int32),
+        "limsum": jnp.zeros((b, r_lit), jnp.int32),
+        "cnt": jnp.zeros((b, r_lit), jnp.int32),
+        "wadj": jnp.zeros((b, 2, 2), jnp.int32),
+    }
+    call = _chunk_call(s_bytes, chunk, interpret)
+    w_max = words.shape[1] - 1
+    byte_iota = jnp.arange(s_bytes, dtype=jnp.int32)
+
+    def step(carry, _):
+        committed, weights, pend, state, cursor, p1, p2, n_rem = carry
+        # per-lane next `chunk` renorm words (overruns clamp; reads gated)
+        widx = jnp.clip(cursor[:, None] + jnp.arange(chunk), 0, w_max)
+        words_chunk = jnp.take_along_axis(words, widx, axis=1).T  # [chunk,128]
+        kmodel = committed[:, perm, :].transpose(1, 2, 0) \
+            .reshape(N_PLANES * 16, b)
+        sc_in = jnp.stack([state, p1, p2,
+                           weights[:, 0, 2] & 0xFFFF,
+                           weights[:, 1, 2] & 0xFFFF,
+                           n_rem, jnp.zeros_like(state),
+                           jnp.zeros_like(state)], axis=0)
+        bytes_c, ctx_c, fq_c, sc_out = call(kmodel, words_chunk, lcmap_t,
+                                            luts, sc_in)
+        bytes_l = bytes_c.T            # [128 lanes, s_bytes]
+        ctx_l = ctx_c.T
+        hi = bytes_l >> 4
+        lo = bytes_l & 0xF
+        c3 = ctx_l >> 3
+        active = byte_iota[None, :] < n_rem[:, None]            # [B, s]
+
+        def inter(a, bb):              # per-byte -> per-nibble (hi, lo, ...)
+            return jnp.stack([a, bb], axis=2).reshape(b, 2 * s_bytes)
+
+        flat = inter(hi_off + ctx_l, lo_off + c3 * 16 + hi)
+        cm_idx = inter(cm1_off + ctx_l, cm2_off + hi * 8 + c3)
+        value = inter(hi, lo)
+        act2 = inter(active, active)
+        flat = jnp.where(act2, flat, 0)
+        cm_idx = jnp.where(act2, cm_idx, 0)
+        sp = spd[:, :, None]           # [B, 6, 1]
+        inc = jnp.where(act2, sp[:, 0], 0)
+        lim = jnp.where(act2, sp[:, 1], NOOP_LIM)
+        cm_inc = jnp.where(act2, inter(jnp.broadcast_to(sp[:, 4], hi.shape),
+                                       jnp.broadcast_to(sp[:, 2], hi.shape)), 0)
+        cm_lim = jnp.where(act2, inter(jnp.broadcast_to(sp[:, 5], hi.shape),
+                                       jnp.broadcast_to(sp[:, 3], hi.shape)),
+                           NOOP_LIM)
+
+        # mixer adjustments from the kernel's freq logs (deferred.py rules)
+        fq = fq_c.reshape(s_bytes, 6, b).transpose(2, 0, 1)     # [B, s, 6]
+        weighted = inter(fq[:, :, 0], fq[:, :, 3])
+        p_cm = inter(fq[:, :, 1], fq[:, :, 4])
+        p_nib = inter(fq[:, :, 2], fq[:, :, 5])
+        which = jnp.broadcast_to(
+            jnp.tile(jnp.array([1, 0], jnp.int32), s_bytes)[None, :],
+            (b, 2 * s_bytes))
+        error = (1 << 15) - weighted
+        log_geo = cdf16._bit_length_pos(weighted * error, jnp)
+        shift = jnp.maximum(log_geo - 15, 0)
+        adj = [jnp.clip((error * (n1i - weighted)) >> shift,
+                        -deferred.ADJ_CLAMP, deferred.ADJ_CLAMP)
+               for n1i in (p_cm, p_nib)]
+        sel = [act2 & (which == 0), act2 & (which == 1)]
+        wadj = jnp.stack(
+            [jnp.stack([jnp.sum(jnp.where(sel[w_], adj[i], 0), axis=1)
+                        for i in (0, 1)], -1) for w_ in (0, 1)], 1)
+
+        row_iota = jnp.arange(r_lit, dtype=jnp.int32)[None, None, :]
+        flat2 = jnp.concatenate([flat, cm_idx], axis=1)
+        oh_full = (row_iota == flat2[:, :, None]).astype(jnp.bfloat16)
+        inc2 = jnp.concatenate([inc, cm_inc], axis=1)
+        lim2 = jnp.concatenate([lim, cm_lim], axis=1)
+        sym2 = jnp.concatenate([value, value], axis=1)
+        new_pend = _chunk_pend(oh_full, sym2, inc2, lim2, wadj)
+        committed, weights = _apply_pend(committed, weights, pend)
+
+        carry = (committed, weights, new_pend, sc_out[0], cursor + sc_out[3],
+                 sc_out[1], sc_out[2], n_rem - s_bytes)
+        return carry, bytes_l
+
+    carry0 = (committed0, weights0, pend0, states,
+              jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
+              jnp.zeros((b,), jnp.int32), n_lit)
+    carry, ys = jax.lax.scan(step, carry0, None, length=n_chunks)
+    out = jnp.swapaxes(ys, 0, 1).reshape(b, n_chunks * s_bytes)
+    return out, carry[4]
+
+
+def decode_literals_batch(lit_streams: list[bytes], n_lits: list[int],
+                          lcmaps, speeds_list, chunk: int, layout,
+                          interpret: bool | None = None) -> list[bytes]:
+    """Device-decode up to 128 metablocks' literal streams in lockstep.
+
+    Returns the decoded literal bytes per metablock; bit-equal to
+    decode_literals_np (tests/test_pallas_decode.py)."""
+    from .. import constants
+
+    b = len(lit_streams)
+    assert b <= LANES, b
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    perm, offs = kernel_perm(layout)
+    lit_base = layout.segments["lit_hi"][0]
+    r_lit = layout.num_rows - lit_base + 1
+
+    states = np.zeros(LANES, np.int32)
+    n_lit = np.zeros(LANES, np.int32)
+    w_len = max(2, max((max(0, len(s) - 4) + 1) // 2 for s in lit_streams))
+    words = np.zeros((LANES, w_len), np.int32)
+    for i, s in enumerate(lit_streams):
+        if len(s) >= 4:
+            states[i] = int.from_bytes(s[:4], "little")
+            ws = np.frombuffer(s[4:len(s) - (len(s) % 2)], dtype="<u2")
+            words[i, :ws.shape[0]] = ws
+        n_lit[i] = n_lits[i]
+    lcmap_t = np.zeros((64, LANES), np.int32)
+    spd = np.zeros((LANES, 6), np.int32)
+    for i in range(b):
+        lcmap_t[:, i] = np.asarray(lcmaps[i], np.int32)[:64]
+        sp = speeds_list[i]
+        spd[i] = [sp[0].inc, sp[0].lim, sp[2].inc, sp[2].lim,
+                  sp[3].inc, sp[3].lim]
+    lut0 = np.asarray(constants.literal_lut0(
+        constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+    lut1 = np.asarray(constants.literal_lut1(
+        constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+    luts = np.repeat(np.concatenate([lut0, lut1])[:, None], LANES, axis=1)
+
+    s_bytes = chunk // 2
+    n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
+    out, _ = _decode_lit_scan(
+        jnp.asarray(states), jnp.asarray(words), jnp.asarray(n_lit),
+        jnp.asarray(lcmap_t), jnp.asarray(luts), jnp.asarray(spd),
+        jnp.asarray(perm), r_lit, chunk, n_chunks, offs, interpret)
+    out = np.asarray(out).astype(np.uint8)
+    return [out[i, :n_lits[i]].tobytes() for i in range(b)]
+
+
+def decompress_frames(frames, chunk: int, layout, options,
+                      interpret: bool | None = None) -> bytes | None:
+    """Full 2-stage deferred decode of a frame list.
+
+    Host decodes command structure (deferred.decode_cmd_structure — the
+    reference's cmd thread), the device kernel decodes every literal
+    byte in 128-lane batches, and the host executes the command scripts
+    (memcpy speed).  Returns None when any frame leaves the kernel's
+    envelope (caller falls back to the serial decoders)."""
+    from .deferred import decode_cmd_structure, execute_script
+
+    if layout.profile.name != "cm" or not layout.lo_bucketed:
+        return None
+    scripts = []
+    for f in frames:
+        sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
+        if not sc.supported:
+            return None
+        scripts.append(sc)
+    out = bytearray()
+    for base in range(0, len(frames), LANES):
+        sub = scripts[base:base + LANES]
+        fb = frames[base:base + LANES]
+        lits = decode_literals_batch(
+            [f.lit for f in fb], [s.lit_total for s in sub],
+            [s.lcmap for s in sub], [s.speeds for s in sub],
+            chunk, layout, interpret=interpret)
+        for s, lb in zip(sub, lits):
+            out += execute_script(s, lb)
+    return bytes(out)
+
+
+def bench_decode(blob: bytes, reps: int, timed) -> float | None:
+    """Device literal-decode throughput over a compressed blob's frames,
+    replicated to fill 128 lanes.  Returns MB/s of *literal bytes*
+    decoded by the kernel (the device stage of the 2-stage pipeline; the
+    cmd-structure pass and script execution are host work, overlappable
+    per the reference's 2-thread design).  Host prep is untimed; the
+    timed region is the jitted chunk-scan with a scalar-pull sync."""
+    from ..container import format as fmt
+    from ..options import DivansOptions
+    from .layout import ModelLayout, PROFILES, FLAG_PROFILES
+    from .deferred import flags_to_chunk, decode_cmd_structure
+    from .. import constants
+
+    _w, _mb, frames, _crc, flags = fmt.deserialize(blob)
+    chunk = flags_to_chunk(flags)
+    profile = FLAG_PROFILES.get(flags & 0b11)
+    if not frames or not chunk or profile != "cm":
+        return None
+    layout = ModelLayout(PROFILES[profile], lo_bucketed=True)
+    options = DivansOptions()
+    scripts = [decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
+               for f in frames]
+    if not all(s.supported for s in scripts):
+        return None
+    streams = [f.lit for f in frames]
+    n = len(frames)
+    del reps  # lanes are free: always fill the full 128-lane tile
+    idxs = [i % n for i in range(LANES)]
+
+    perm, offs = kernel_perm(layout)
+    lit_base = layout.segments["lit_hi"][0]
+    r_lit = layout.num_rows - lit_base + 1
+    states = np.zeros(LANES, np.int32)
+    n_lit = np.zeros(LANES, np.int32)
+    w_len = max(2, max((len(s) - 2) // 2 for s in streams))
+    words = np.zeros((LANES, w_len), np.int32)
+    lcmap_t = np.zeros((64, LANES), np.int32)
+    spd = np.zeros((LANES, 6), np.int32)
+    for lane, i in enumerate(idxs):
+        s = streams[i]
+        states[lane] = int.from_bytes(s[:4], "little")
+        ws = np.frombuffer(s[4:len(s) - (len(s) % 2)], dtype="<u2")
+        words[lane, :ws.shape[0]] = ws
+        n_lit[lane] = scripts[i].lit_total
+        lcmap_t[:, lane] = np.asarray(scripts[i].lcmap, np.int32)[:64]
+        sp = scripts[i].speeds
+        spd[lane] = [sp[0].inc, sp[0].lim, sp[2].inc, sp[2].lim,
+                     sp[3].inc, sp[3].lim]
+    lut0 = np.asarray(constants.literal_lut0(
+        constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+    lut1 = np.asarray(constants.literal_lut1(
+        constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+    luts = np.repeat(np.concatenate([lut0, lut1])[:, None], LANES, axis=1)
+    s_bytes = chunk // 2
+    n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
+    total_lit = int(n_lit.sum())
+
+    args = [jnp.asarray(x) for x in
+            (states, words, n_lit, lcmap_t, luts, spd, perm)]
+
+    @jax.jit
+    def run(states, words, n_lit, lcmap_t, luts, spd, perm):
+        out, pulls = _decode_lit_scan(states, words, n_lit, lcmap_t, luts,
+                                      spd, perm, r_lit, chunk, n_chunks,
+                                      offs, False)
+        return jnp.sum(out) + jnp.sum(pulls)   # scalar-pull sync
+
+    dt = timed(run, *args)
+    return total_lit / dt / 1e6
 
 
 # ======================================================================

@@ -1,123 +1,100 @@
-"""Tests for the deferred-profile Pallas decode kernel (codec/pallas_decode).
+"""Tests for the deferred-profile device decode (codec/pallas_decode).
 
-Stage 1: grouped-layout segment math vs the numpy cdf16 oracle.
-Stage 2: full-kernel bit-exactness vs deferred.decode_metablock.
+Three layers, all bit-exactness:
+  1. the numpy oracle (standalone lit-stream decode) vs the golden
+     deferred codec's literal bytes;
+  2. the Pallas chunk-scan kernel (interpret mode) vs the oracle;
+  3. the full 2-stage pipeline (cmd structure + kernel + execution)
+     vs the original input, through the container.
 """
+import os
+
 import numpy as np
-import jax
-import jax.numpy as jnp
 import pytest
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from divans_tpu.probability import cdf16
-from divans_tpu.codec import pallas_decode as pd
+from divans_tpu.options import DivansOptions
+from divans_tpu.ir.matcher import build_commands
+from divans_tpu.ir import commands as C
+from divans_tpu.codec import deferred, pallas_decode, jax_engine
+from divans_tpu.codec.layout import ModelLayout, PROFILES
 
-rng = np.random.default_rng(7)
-
-
-def _grouped(vals16, g):
-    """[g*8, 16] per-lane rows -> grouped [g, 128]."""
-    out = np.zeros((g, 128), np.int32)
-    for l in range(g * 8):
-        out[l // 8, (l % 8) * 16:(l % 8) * 16 + 16] = vals16[l]
-    return out
+ALICE = open(os.path.join(os.path.dirname(__file__), "..",
+                          "testdata", "alice29"), "rb").read() \
+    if os.path.exists(os.path.join(os.path.dirname(__file__), "..",
+                                   "testdata", "alice29")) \
+    else open("/root/reference/testdata/alice29", "rb").read()
 
 
-def _replicated(scalars, g):
-    """[g*8] per-lane scalars -> grouped-replicated [g, 128]."""
-    out = np.zeros((g, 128), np.int32)
-    for l in range(g * 8):
-        out[l // 8, (l % 8) * 16:(l % 8) * 16 + 16] = scalars[l]
-    return out
+def _prep(data, mb, chunk):
+    opts = DivansOptions(metablock_size=mb, chunk_nibbles=chunk)
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+    blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
+    rows = []
+    for raw in blocks:
+        cmds_ = build_commands(raw, opts)
+        cb, lb = deferred.encode_metablock(raw, cmds_, opts, chunk)
+        sc = deferred.decode_cmd_structure(cb, len(raw), opts, chunk)
+        assert sc.supported
+        lits = b"".join(c.data for c in cmds_ if isinstance(c, C.Literal))
+        assert sc.lit_total == len(lits)
+        rows.append((raw, cb, lb, sc, lits))
+    return opts, layout, rows
 
 
-def _lane0(x, l):
-    """Extract lane l's replicated value from grouped [g, 128]."""
-    return x[l // 8, (l % 8) * 16]
+class TestOracle:
+    def test_oracle_matches_golden(self):
+        _, _, rows = _prep(ALICE[:20000], 1 << 14, 256)
+        for raw, cb, lb, sc, lits in rows:
+            got = pallas_decode.decode_literals_np(
+                lb, sc.lit_total, sc.lcmap, sc.speeds, 256)
+            assert got == lits
+
+    def test_oracle_small_chunk(self):
+        _, _, rows = _prep(ALICE[:6000], 1 << 12, 64)
+        for raw, cb, lb, sc, lits in rows:
+            got = pallas_decode.decode_literals_np(
+                lb, sc.lit_total, sc.lcmap, sc.speeds, 64)
+            assert got == lits
 
 
-def _run_kernel(fn, *arrays):
-    def kernel(*refs):
-        out_ref = refs[-1]
-        out_ref[:] = fn(*[r[:] for r in refs[:-1]])
+class TestKernel:
+    @pytest.mark.parametrize("chunk,mb,size", [(64, 1 << 12, 8000),
+                                               (256, 1 << 14, 24000)])
+    def test_kernel_bit_exact(self, chunk, mb, size):
+        _, layout, rows = _prep(ALICE[:size], mb, chunk)
+        outs = pallas_decode.decode_literals_batch(
+            [r[2] for r in rows], [r[3].lit_total for r in rows],
+            [r[3].lcmap for r in rows], [r[3].speeds for r in rows],
+            chunk, layout, interpret=True)
+        for out, row in zip(outs, rows):
+            assert out == row[4]
 
-    g = arrays[0].shape[0]
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((g, 128), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(arrays),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=True,
-    )(*[jnp.asarray(a) for a in arrays])
-
-
-def _rand_cdfs(n):
-    """n random valid-ish monotone CDFs (strictly increasing, max < 2^15)."""
-    out = []
-    for _ in range(n):
-        incs = rng.integers(1, 1500, size=16)
-        out.append(np.cumsum(incs).astype(np.int32))
-    return np.stack(out)
-
-
-class TestSegOps:
-    def test_seg_sum(self):
-        g = 2
-        x = rng.integers(0, 1000, size=(g, 128)).astype(np.int32)
-        out = np.asarray(_run_kernel(pd.seg_sum, x))
-        for blk in range(8 * g):
-            r, c0 = blk // 8, (blk % 8) * 16
-            want = x[r, c0:c0 + 16].sum()
-            assert (out[r, c0:c0 + 16] == want).all()
-
-    def test_seg_extract(self):
-        g = 2
-        x = rng.integers(0, 1000, size=(g, 128)).astype(np.int32)
-        idx = _replicated(rng.integers(0, 16, size=g * 8), g)
-        out = np.asarray(_run_kernel(pd.seg_extract, x, idx))
-        for l in range(8 * g):
-            r, c0 = l // 8, (l % 8) * 16
-            want = x[r, c0 + _lane0(idx, l)]
-            assert (out[r, c0:c0 + 16] == want).all()
+    def test_kernel_binary_data(self):
+        rng = np.random.default_rng(3)
+        data = bytes(rng.integers(0, 256, size=6000, dtype=np.uint8)) \
+            + ALICE[:6000]
+        _, layout, rows = _prep(data, 1 << 13, 64)
+        outs = pallas_decode.decode_literals_batch(
+            [r[2] for r in rows], [r[3].lit_total for r in rows],
+            [r[3].lcmap for r in rows], [r[3].speeds for r in rows],
+            64, layout, interpret=True)
+        for out, row in zip(outs, rows):
+            assert out == row[4]
 
 
-class TestCdfMath:
-    def test_offset_to_sym(self):
-        g = 2
-        cdfs = _rand_cdfs(8 * g)
-        offs = rng.integers(0, 1 << 15, size=8 * g)
-        out = np.asarray(_run_kernel(
-            pd.g_offset_to_sym, _grouped(cdfs, g), _replicated(offs, g)))
-        want = cdf16.offset_to_sym(cdfs, offs.astype(np.int32))
-        for l in range(8 * g):
-            assert _lane0(out, l) == want[l], l
+class TestPipeline:
+    def test_decompress_frames(self):
+        data = ALICE[:24000]
+        opts = DivansOptions(metablock_size=1 << 13, chunk_nibbles=256)
+        layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+        blob = jax_engine.compress(data, opts)
+        from divans_tpu.container import format as fmt
+        _w, _mb, frames, _crc, _fl = fmt.deserialize(blob)
+        out = pallas_decode.decompress_frames(frames, 256, layout, opts,
+                                              interpret=True)
+        assert out == data
 
-    def test_sym_to_start_freq(self):
-        g = 2
-        cdfs = _rand_cdfs(8 * g)
-        syms = rng.integers(0, 16, size=8 * g)
-
-        outs = np.asarray(_run_kernel(
-            lambda c, s: pd.g_sym_to_start_freq(c, s)[0],
-            _grouped(cdfs, g), _replicated(syms, g)))
-        outf = np.asarray(_run_kernel(
-            lambda c, s: pd.g_sym_to_start_freq(c, s)[1],
-            _grouped(cdfs, g), _replicated(syms, g)))
-        ws, wf = cdf16.sym_to_start_freq(cdfs, syms.astype(np.int32))
-        for l in range(8 * g):
-            assert _lane0(outs, l) == ws[l], l
-            assert _lane0(outf, l) == wf[l], l
-
-    def test_average(self):
-        g = 2
-        a = _rand_cdfs(8 * g)
-        b = _rand_cdfs(8 * g)
-        mix = rng.integers(0, (1 << 15) + 1, size=8 * g)
-        out = np.asarray(_run_kernel(
-            pd.g_average, _grouped(a, g), _grouped(b, g),
-            _replicated(mix, g)))
-        want = cdf16.average(a, b, mix.astype(np.int32))
-        for l in range(8 * g):
-            r, c0 = l // 8, (l % 8) * 16
-            assert (out[r, c0:c0 + 16] == want[l]).all(), l
+    def test_structure_decode_records_ops(self):
+        _, _, rows = _prep(ALICE[:12000], 1 << 13, 256)
+        for raw, cb, lb, sc, lits in rows:
+            assert deferred.execute_script(sc, lits) == raw
