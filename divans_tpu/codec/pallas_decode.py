@@ -109,16 +109,43 @@ def _lookup_rows(tab_ref, base, n, idx):
     return out
 
 
+def _lookup_p6(tab_ref, base, n_packed, idx):
+    """Lookup from a 4-per-int32 packed 6-bit-value table (host packing:
+    pack6): 4x fewer gather iterations than an unpacked table."""
+    packed = _lookup_rows(tab_ref, base, n_packed, idx >> 2)
+    return (packed >> ((idx & 3) * 6)) & 63
+
+
+def pack6(vals: np.ndarray) -> np.ndarray:
+    """Pack 6-bit values 4-per-int32 for _lookup_p6 (rows = len/4)."""
+    v = np.asarray(vals, np.int64).reshape(-1, 4)
+    return (v[:, 0] | (v[:, 1] << 6) | (v[:, 2] << 12)
+            | (v[:, 3] << 18)).astype(np.int32)
+
+
+def pack16(vals: np.ndarray) -> np.ndarray:
+    """Pack u16 values 2-per-int32 (little word first)."""
+    v = np.asarray(vals, np.int64)
+    if v.shape[-1] % 2:
+        v = np.concatenate([v, np.zeros(v.shape[:-1] + (1,), np.int64)], -1)
+    lo = v[..., 0::2]
+    hi = v[..., 1::2]
+    return (lo | (hi << 16)).astype(np.uint32).astype(np.int32)
+
+
 def _fetch2(model_ref, base_a, base_b, n, idx):
     """Select-scan fetch of two CDF planes sharing one per-lane index:
-    (planes[base_a + idx], planes[base_b + idx]), each [16, 128]."""
-    a = jnp.zeros((16, LANES), jnp.int32)
-    b = jnp.zeros((16, LANES), jnp.int32)
+    (planes[base_a + idx], planes[base_b + idx]), each [16, 128] int32.
+
+    The model ref is int16 (one vreg per [16, 128] plane) so each select
+    costs half the vector ops of an int32 scan."""
+    a = jnp.zeros((16, LANES), jnp.int16)
+    b = jnp.zeros((16, LANES), jnp.int16)
     for v in range(n):
         m = idx == v
         a = jnp.where(m, model_ref[16 * (base_a + v):16 * (base_a + v) + 16, :], a)
         b = jnp.where(m, model_ref[16 * (base_b + v):16 * (base_b + v) + 16, :], b)
-    return a, b
+    return a.astype(jnp.int32), b.astype(jnp.int32)
 
 
 def _p_average(cdf_a, cdf_b, mix_rate):
@@ -156,12 +183,14 @@ def _p_start_freq(cdf, sym):
 
 # ----------------------------------------------------------------- kernel
 
-def _make_lit_kernel(s_bytes, n_words):
+def _make_lit_kernel(s_bytes, n_wrows):
     """One-chunk literal decode: s_bytes bytes per lane, gather-only.
 
-    refs: model [16*384, 128], words [n_words, 128], lcmap [64, 128],
-    luts [512, 128] (lut0 ++ lut1, lane-broadcast), sc [8, 128] scalars
-    (state, p1, p2, nw_lo, nw_hi, n_rem);
+    refs: model [16*384, 128] int16, words [n_wrows, 128] (u16 pairs
+    packed 2-per-int32, window starting at the even word below each
+    lane's cursor), lcmap [16, 128] (6-bit packed), luts [128, 128]
+    (lut0 ++ lut1, 6-bit packed, lane-broadcast), sc [8, 128] scalars
+    (state, p1, p2, nw_lo, nw_hi, n_rem, word parity);
     outs: bytes [s_bytes, 128], ctx [s_bytes, 128], fq [6*s_bytes, 128]
     (per byte: w_hi, pcm_hi, pnib_hi, w_lo, pcm_lo, pnib_lo),
     sc_out [8, 128] (state, p1, p2, pulls)."""
@@ -171,10 +200,13 @@ def _make_lit_kernel(s_bytes, n_words):
         nw_lo = sc_ref[3:4, :]
         nw_hi = sc_ref[4:5, :]
         n_rem = sc_ref[5:6, :]
+        parity = sc_ref[6:7, :]
 
         def pull(state, pulls, active):
             need = active & (state < STATE_LOW)
-            w = _lookup_rows(words_ref, 0, n_words, pulls)
+            gidx = pulls + parity
+            packed = _lookup_rows(words_ref, 0, n_wrows, gidx >> 1)
+            w = (packed >> ((gidx & 1) * 16)) & 0xFFFF
             state = jnp.where(need, (state << RENORM_BITS) | w, state)
             return state, pulls + need.astype(jnp.int32)
 
@@ -193,9 +225,9 @@ def _make_lit_kernel(s_bytes, n_words):
         def body(t, carry):
             state, p1, p2, pulls = carry
             active = t < n_rem
-            sel = (_lookup_rows(luts_ref, 0, 256, p1)
-                   | _lookup_rows(luts_ref, 256, 256, p2))
-            ctx = _lookup_rows(lcmap_ref, 0, 64, sel)
+            sel = (_lookup_p6(luts_ref, 0, 64, p1)
+                   | _lookup_p6(luts_ref, 64, 64, p2))
+            ctx = _lookup_p6(lcmap_ref, 0, 16, sel)
             c3 = ctx >> 3
             # high nibble: lit_hi[ctx] mixed with cm_first[ctx]
             nib, cm = _fetch2(model_ref, 0, N_HI, N_HI, ctx)
@@ -231,9 +263,9 @@ def _make_lit_kernel(s_bytes, n_words):
     return kernel
 
 
-def _chunk_call(s_bytes, n_words, interpret):
+def _chunk_call(s_bytes, n_wrows, interpret):
     return pl.pallas_call(
-        _make_lit_kernel(s_bytes, n_words),
+        _make_lit_kernel(s_bytes, n_wrows),
         out_shape=(
             jax.ShapeDtypeStruct((s_bytes, LANES), jnp.int32),
             jax.ShapeDtypeStruct((s_bytes, LANES), jnp.int32),
@@ -277,17 +309,23 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
     the frozen snapshot; the shared XLA commit (jax_engine._chunk_pend /
     _apply_pend) applies boundary updates with the one-chunk lag.
 
-    states/n_lit: [128] i32; words: [128, W] i32 (u16 values); lcmap_t:
-    [64, 128]; luts: [512, 128]; spd: [128, 6] (sp0/sp2/sp3 inc, lim);
+    states/n_lit: [128] i32; words: [128, Wp] i32 (u16 pairs packed
+    2-per-int32, pack16); lcmap_t: [16, 128] (pack6); luts: [128, 128]
+    (lut0 ++ lut1, pack6); spd: [128, 6] (sp0/sp2/sp3 inc, lim);
     perm: [384] kernel plane -> rebased lit row.
     Returns (bytes [128, n_chunks * chunk//2], pulls [128])."""
     from ..probability import cdf16
-    from .jax_engine import _chunk_pend, _apply_pend
-    from .trace import NOOP_LIM
+    from .jax_engine import _apply_pend
     from . import deferred
 
     s_bytes = chunk // 2
     hi_off, lo_off, cm1_off, cm2_off = offs
+    # the per-class pend concat below relies on the rebased lit segments
+    # being contiguous in layout order
+    assert (hi_off, lo_off, cm1_off, cm2_off) == (1, 65, 193, 257), offs
+    assert r_lit == 385, r_lit
+    # pend row hi*8+c3 (cm_second) <- count row c3*16+hi (lo fetch index)
+    perm_cm2 = np.array([(i % 8) * 16 + i // 8 for i in range(128)], np.int32)
     b = LANES
     committed0 = jnp.broadcast_to(
         jnp.asarray(np.asarray(cdf16.CDF_INIT, np.int32)), (b, r_lit, 16))
@@ -300,21 +338,23 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
         "cnt": jnp.zeros((b, r_lit), jnp.int32),
         "wadj": jnp.zeros((b, 2, 2), jnp.int32),
     }
-    call = _chunk_call(s_bytes, chunk, interpret)
+    n_wrows = chunk // 2 + 8
+    call = _chunk_call(s_bytes, n_wrows, interpret)
     w_max = words.shape[1] - 1
     byte_iota = jnp.arange(s_bytes, dtype=jnp.int32)
 
     def step(carry, _):
         committed, weights, pend, state, cursor, p1, p2, n_rem = carry
-        # per-lane next `chunk` renorm words (overruns clamp; reads gated)
-        widx = jnp.clip(cursor[:, None] + jnp.arange(chunk), 0, w_max)
-        words_chunk = jnp.take_along_axis(words, widx, axis=1).T  # [chunk,128]
+        # per-lane packed-word window from the even word below the cursor
+        # (overruns clamp; reads gated by `need` in the kernel)
+        widx = jnp.clip((cursor >> 1)[:, None] + jnp.arange(n_wrows), 0, w_max)
+        words_chunk = jnp.take_along_axis(words, widx, axis=1).T  # [n_wrows,128]
         kmodel = committed[:, perm, :].transpose(1, 2, 0) \
-            .reshape(N_PLANES * 16, b)
+            .reshape(N_PLANES * 16, b).astype(jnp.int16)
         sc_in = jnp.stack([state, p1, p2,
                            weights[:, 0, 2] & 0xFFFF,
                            weights[:, 1, 2] & 0xFFFF,
-                           n_rem, jnp.zeros_like(state),
+                           n_rem, cursor & 1,
                            jnp.zeros_like(state)], axis=0)
         bytes_c, ctx_c, fq_c, sc_out = call(kmodel, words_chunk, lcmap_t,
                                             luts, sc_in)
@@ -325,50 +365,70 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
         c3 = ctx_l >> 3
         active = byte_iota[None, :] < n_rem[:, None]            # [B, s]
 
-        def inter(a, bb):              # per-byte -> per-nibble (hi, lo, ...)
-            return jnp.stack([a, bb], axis=2).reshape(b, 2 * s_bytes)
-
-        flat = inter(hi_off + ctx_l, lo_off + c3 * 16 + hi)
-        cm_idx = inter(cm1_off + ctx_l, cm2_off + hi * 8 + c3)
-        value = inter(hi, lo)
-        act2 = inter(active, active)
-        flat = jnp.where(act2, flat, 0)
-        cm_idx = jnp.where(act2, cm_idx, 0)
-        sp = spd[:, :, None]           # [B, 6, 1]
-        inc = jnp.where(act2, sp[:, 0], 0)
-        lim = jnp.where(act2, sp[:, 1], NOOP_LIM)
-        cm_inc = jnp.where(act2, inter(jnp.broadcast_to(sp[:, 4], hi.shape),
-                                       jnp.broadcast_to(sp[:, 2], hi.shape)), 0)
-        cm_lim = jnp.where(act2, inter(jnp.broadcast_to(sp[:, 5], hi.shape),
-                                       jnp.broadcast_to(sp[:, 3], hi.shape)),
-                           NOOP_LIM)
-
         # mixer adjustments from the kernel's freq logs (deferred.py rules)
         fq = fq_c.reshape(s_bytes, 6, b).transpose(2, 0, 1)     # [B, s, 6]
-        weighted = inter(fq[:, :, 0], fq[:, :, 3])
-        p_cm = inter(fq[:, :, 1], fq[:, :, 4])
-        p_nib = inter(fq[:, :, 2], fq[:, :, 5])
-        which = jnp.broadcast_to(
-            jnp.tile(jnp.array([1, 0], jnp.int32), s_bytes)[None, :],
-            (b, 2 * s_bytes))
-        error = (1 << 15) - weighted
-        log_geo = cdf16._bit_length_pos(weighted * error, jnp)
-        shift = jnp.maximum(log_geo - 15, 0)
-        adj = [jnp.clip((error * (n1i - weighted)) >> shift,
-                        -deferred.ADJ_CLAMP, deferred.ADJ_CLAMP)
-               for n1i in (p_cm, p_nib)]
-        sel = [act2 & (which == 0), act2 & (which == 1)]
-        wadj = jnp.stack(
-            [jnp.stack([jnp.sum(jnp.where(sel[w_], adj[i], 0), axis=1)
-                        for i in (0, 1)], -1) for w_ in (0, 1)], 1)
+        wadj_rows = []
+        for w_, (jw, jc, jn) in ((1, (0, 1, 2)), (0, (3, 4, 5))):
+            weighted, p_cm, p_nib = fq[:, :, jw], fq[:, :, jc], fq[:, :, jn]
+            error = (1 << 15) - weighted
+            log_geo = cdf16._bit_length_pos(weighted * error, jnp)
+            shift = jnp.maximum(log_geo - 15, 0)
+            adj = [jnp.clip((error * (n1i - weighted)) >> shift,
+                            -deferred.ADJ_CLAMP, deferred.ADJ_CLAMP)
+                   for n1i in (p_cm, p_nib)]
+            wadj_rows.append(jnp.stack(
+                [jnp.sum(jnp.where(active, adj[i], 0), axis=1)
+                 for i in (0, 1)], -1))
+        wadj = jnp.stack([wadj_rows[1], wadj_rows[0]], axis=1)  # [B, 2, 2]
 
-        row_iota = jnp.arange(r_lit, dtype=jnp.int32)[None, None, :]
-        flat2 = jnp.concatenate([flat, cm_idx], axis=1)
-        oh_full = (row_iota == flat2[:, :, None]).astype(jnp.bfloat16)
-        inc2 = jnp.concatenate([inc, cm_inc], axis=1)
-        lim2 = jnp.concatenate([lim, cm_lim], axis=1)
-        sym2 = jnp.concatenate([value, value], axis=1)
-        new_pend = _chunk_pend(oh_full, sym2, inc2, lim2, wadj)
+        # ---- per-class count histograms.  The lit-only chunk has exactly
+        # four blend sites per byte with *constant* (inc, lim) per lane
+        # (the PredictionMode speeds), and the nib/cm sites of each nibble
+        # share one row index (ctx for hi; a fixed permutation of
+        # c3*16+hi for lo).  So the generic [B, 2S, R] onehot histogram
+        # (jax_engine._chunk_pend) collapses to two narrow count matmuls
+        # count[r, sym] and per-segment cumsums — identical pend values,
+        # ~8x less MXU work and ~4x less HBM.
+        dn = (((1,), (1,)), ((0,), (0,)))
+        i64 = jnp.arange(64, dtype=jnp.int32)[None, None, :]
+        i128 = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+        i16 = jnp.arange(16, dtype=jnp.int32)[None, None, :]
+        idx_lo = c3 * 16 + hi
+        oh_hi = ((i64 == ctx_l[:, :, None])
+                 & active[:, :, None]).astype(jnp.bfloat16)      # [B, s, 64]
+        oh_lo = ((i128 == idx_lo[:, :, None])
+                 & active[:, :, None]).astype(jnp.bfloat16)      # [B, s, 128]
+        vh = (i16 == hi[:, :, None]).astype(jnp.bfloat16)
+        vl = (i16 == lo[:, :, None]).astype(jnp.bfloat16)
+        # counts are < 2^8 (<= s_bytes), so single bf16 matmuls are exact
+        cnt_hi = jax.lax.dot_general(
+            oh_hi, vh, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+        cnt_lo = jax.lax.dot_general(
+            oh_lo, vl, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+        cnt_cm2 = cnt_lo[:, perm_cm2, :]   # row hi*8+c3 <- count[c3*16+hi]
+
+        def seg(counts, inc_col, lim_col):
+            """One class's (add, limsum, cnt) from its count matrix."""
+            inc = spd[:, inc_col, None]
+            lim = spd[:, lim_col, None]
+            live = (inc != 0).astype(jnp.int32)    # inc==0 records nothing
+            tot = jnp.sum(counts, axis=2) * live
+            add = inc[:, :, None] * jnp.cumsum(counts, axis=2) * live[:, :, None]
+            return add, lim * tot, tot
+
+        segs = [seg(cnt_hi, 0, 1),     # lit_hi   <- sp0
+                seg(cnt_lo, 0, 1),     # lit_lo   <- sp0
+                seg(cnt_hi, 4, 5),     # cm_first <- sp3 (hi cm speed)
+                seg(cnt_cm2, 2, 3)]    # cm_second<- sp2 (lo cm speed)
+        zrow = jnp.zeros((b, 1, 16), jnp.int32)
+        new_pend = {
+            "add": jnp.concatenate([zrow] + [s_[0] for s_ in segs], axis=1),
+            "limsum": jnp.concatenate(
+                [zrow[:, :, 0]] + [s_[1] for s_ in segs], axis=1),
+            "cnt": jnp.concatenate(
+                [zrow[:, :, 0]] + [s_[2] for s_ in segs], axis=1),
+            "wadj": wadj,
+        }
         committed, weights = _apply_pend(committed, weights, pend)
 
         carry = (committed, weights, new_pend, sc_out[0], cursor + sc_out[3],
@@ -410,10 +470,11 @@ def decode_literals_batch(lit_streams: list[bytes], n_lits: list[int],
             ws = np.frombuffer(s[4:len(s) - (len(s) % 2)], dtype="<u2")
             words[i, :ws.shape[0]] = ws
         n_lit[i] = n_lits[i]
-    lcmap_t = np.zeros((64, LANES), np.int32)
+    words = pack16(words)
+    lcmap_t = np.zeros((16, LANES), np.int32)
     spd = np.zeros((LANES, 6), np.int32)
     for i in range(b):
-        lcmap_t[:, i] = np.asarray(lcmaps[i], np.int32)[:64]
+        lcmap_t[:, i] = pack6(np.asarray(lcmaps[i], np.int32)[:64])
         sp = speeds_list[i]
         spd[i] = [sp[0].inc, sp[0].lim, sp[2].inc, sp[2].lim,
                   sp[3].inc, sp[3].lim]
@@ -421,7 +482,8 @@ def decode_literals_batch(lit_streams: list[bytes], n_lits: list[int],
         constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
     lut1 = np.asarray(constants.literal_lut1(
         constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
-    luts = np.repeat(np.concatenate([lut0, lut1])[:, None], LANES, axis=1)
+    luts = np.repeat(pack6(np.concatenate([lut0, lut1]))[:, None],
+                     LANES, axis=1)
 
     s_bytes = chunk // 2
     n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
@@ -501,7 +563,7 @@ def bench_decode(blob: bytes, reps: int, timed) -> float | None:
     n_lit = np.zeros(LANES, np.int32)
     w_len = max(2, max((len(s) - 2) // 2 for s in streams))
     words = np.zeros((LANES, w_len), np.int32)
-    lcmap_t = np.zeros((64, LANES), np.int32)
+    lcmap_t = np.zeros((16, LANES), np.int32)
     spd = np.zeros((LANES, 6), np.int32)
     for lane, i in enumerate(idxs):
         s = streams[i]
@@ -509,15 +571,17 @@ def bench_decode(blob: bytes, reps: int, timed) -> float | None:
         ws = np.frombuffer(s[4:len(s) - (len(s) % 2)], dtype="<u2")
         words[lane, :ws.shape[0]] = ws
         n_lit[lane] = scripts[i].lit_total
-        lcmap_t[:, lane] = np.asarray(scripts[i].lcmap, np.int32)[:64]
+        lcmap_t[:, lane] = pack6(np.asarray(scripts[i].lcmap, np.int32)[:64])
         sp = scripts[i].speeds
         spd[lane] = [sp[0].inc, sp[0].lim, sp[2].inc, sp[2].lim,
                      sp[3].inc, sp[3].lim]
+    words = pack16(words)
     lut0 = np.asarray(constants.literal_lut0(
         constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
     lut1 = np.asarray(constants.literal_lut1(
         constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
-    luts = np.repeat(np.concatenate([lut0, lut1])[:, None], LANES, axis=1)
+    luts = np.repeat(pack6(np.concatenate([lut0, lut1]))[:, None],
+                     LANES, axis=1)
     s_bytes = chunk // 2
     n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
     total_lit = int(n_lit.sum())
