@@ -129,7 +129,7 @@ def main():
     CHUNK = 256  # deferred profile (codec/deferred.py): the device path
     data = open("/root/reference/testdata/alice29", "rb").read()
     opts = DivansOptions(metablock_size=1 << 16, chunk_nibbles=CHUNK)
-    layout = ModelLayout(PROFILES["cm"])
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)  # deferred format
     mb = opts.metablock_size
     blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
     traces = [trace_mod.build_trace(b, build_commands(b, opts), opts, layout)
@@ -138,32 +138,48 @@ def main():
     reps = 22  # replicate blocks into a wider batch (66 metablocks, ~10 MB)
     traces = traces * reps
     raw_bytes = sum(len(b) for b in blocks) * reps
-    trace = jnp.asarray(jax_engine._pad_traces(traces, multiple=CHUNK))
 
-    @jax.jit
-    def encode_step(trace):
-        starts, freqs = jax_engine.model_pass_deferred(trace,
-                                                       layout.num_rows, CHUNK)
-        (cs, cf, cc), (ls, lf, lc) = dist.split_lanes(trace, starts, freqs)
-        # assemble the 2B rANS lanes into the Pallas [N, G, 128] layout
-        st = jnp.concatenate([cs, ls], axis=0)
-        fr = jnp.concatenate([cf, lf], axis=0)
-        cnt = jnp.concatenate([cc, lc], axis=0)
+    # the production encode path (jax_engine.compress): per-stream
+    # deferred-v2 model passes over the split traces, then the Pallas
+    # wide-rANS lanes
+    from divans_tpu.codec import deferred as deferred_mod
+    cmd_ts, lit_ts, _masks, r_cmd, r_lit = \
+        jax_engine.split_stream_traces(traces, layout)
+    s_cmd = deferred_mod.cmd_chunk(CHUNK)
+    cmd_pad = jnp.asarray(jax_engine._pad_traces(cmd_ts, multiple=s_cmd))
+    lit_pad = jnp.asarray(jax_engine._pad_traces(lit_ts, multiple=CHUNK))
+
+    def lanes_to_pallas(st, fr, counts):
         nlanes, n = st.shape
         g = -(-nlanes // 128)
         lpad = g * 128 - nlanes
         npad = -(-n // pk.BLOCK_T) * pk.BLOCK_T - n
         st = jnp.pad(st, ((0, lpad), (0, npad)))
         fr = jnp.pad(fr, ((0, lpad), (0, npad)), constant_values=1)
-        cnt = jnp.pad(cnt, ((0, lpad),))
+        cnt = jnp.pad(counts, ((0, lpad),))
         st = jnp.swapaxes(st, 0, 1).reshape(-1, g, 128)
         fr = jnp.swapaxes(fr, 0, 1).reshape(-1, g, 128)
-        words, flags, states = pk.encode_lanes_pallas(
-            st, fr, cnt.reshape(g, 128), interpret=interpret)
-        # sync via a scalar: block_until_ready under-reports on the axon
-        # tunnel and full-array transfer pollutes with tunnel bandwidth
-        return (jnp.sum(states) + jnp.sum(flags.astype(jnp.int32))
-                + jnp.sum(words.astype(jnp.int32)))
+        return pk.encode_lanes_pallas(st, fr, cnt.reshape(g, 128),
+                                      interpret=interpret)
+
+    cmd_counts = jnp.asarray(np.array([t.shape[0] for t in cmd_ts], np.int32))
+    lit_counts = jnp.asarray(np.array([t.shape[0] for t in lit_ts], np.int32))
+    lit_spd = jnp.asarray(jax_engine.lit_speeds_from_traces(lit_ts))
+    assert jax_engine._lit_pass_usable(layout, lit_ts)
+
+    @jax.jit
+    def encode_step(cmd_pad, lit_pad, cmd_counts, lit_counts, lit_spd):
+        cs, cf = jax_engine.model_pass_deferred(cmd_pad, r_cmd, s_cmd)
+        ls, lf = jax_engine.model_pass_deferred_lit(lit_pad, lit_spd,
+                                                    r_lit, CHUNK)
+        acc = jnp.int32(0)
+        for st, fr, cnt in ((cs, cf, cmd_counts), (ls, lf, lit_counts)):
+            words, flags, states = lanes_to_pallas(st, fr, cnt)
+            # sync via a scalar: block_until_ready under-reports on the
+            # axon tunnel and full-array transfer pollutes with tunnel bw
+            acc = acc + (jnp.sum(states) + jnp.sum(flags.astype(jnp.int32))
+                         + jnp.sum(words.astype(jnp.int32)))
+        return acc
 
     def timed(fn, *args, n_iter=3):
         int(fn(*args))  # compile + warm
@@ -173,7 +189,7 @@ def main():
         return (time.perf_counter() - t0) / n_iter
 
     results = []
-    dt = timed(encode_step, trace)
+    dt = timed(encode_step, cmd_pad, lit_pad, cmd_counts, lit_counts, lit_spd)
     enc_mbps = raw_bytes / dt / 1e6
     results.append(("device_encode_throughput", enc_mbps))
 

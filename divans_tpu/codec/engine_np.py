@@ -482,13 +482,21 @@ class MetablockCodec:
             cmd.distance_context_map if io.is_encoder else None, True))
         # mixing values (reference: 8192 raw nibbles, context_map.rs:385-422).
         # Format departure: a leading mv_mode nibble elides the constant
-        # masks (0 = all zeros, 1 = all fours, 2 = explicit) so the scan
-        # decoder pays 1 step instead of 8192 in the common case.
+        # masks (0 = all zeros, 1 = all fours, 2 = explicit, 3 = constant
+        # value carried in one extra nibble — how stride detection emits
+        # stride s as mask value 4 + s - 1) so the scan decoder pays 1-2
+        # steps instead of 8192 in the common cases.
         combine = out.context_mixing != 0
         if io.is_encoder:
-            if not bk.desired_do_context_map:
+            mv = cmd.mixing_values
+            const_v = mv[0] if mv and all(x == mv[0] for x in mv) else None
+            if not bk.desired_do_context_map and (not mv or const_v == 4):
                 mv_mode = 1
-            elif not combine or not any(cmd.mixing_values):
+            elif not any(mv):
+                mv_mode = 0
+            elif const_v is not None:
+                mv_mode = 3
+            elif not combine:
                 mv_mode = 0
             else:
                 mv_mode = 2
@@ -499,6 +507,10 @@ class MetablockCodec:
             out.mixing_values = bytes(cmds.NUM_MIXING_VALUES)
         elif mv_mode == 1:
             out.mixing_values = bytes([4]) * cmds.NUM_MIXING_VALUES
+        elif mv_mode == 3:
+            v = self._nib(io, pp, ("mix", 16),
+                          const_v if io.is_encoder else 0, PLANE)
+            out.mixing_values = bytes([v]) * cmds.NUM_MIXING_VALUES
         elif mv_mode == 2:
             mv_out = bytearray()
             for index in range(cmds.NUM_MIXING_VALUES):
@@ -692,6 +704,10 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     from .layout import profile_for_options, PROFILE_FLAGS
     from . import deferred
     options = options or DivansOptions()
+    if (options.stride_detection_quality or options.speed_detection_quality
+            or options.force_stride_value):
+        from ..ir.detect import apply_detection
+        options = apply_detection(data, options)
     mb = options.metablock_size
     chunk = options.chunk_nibbles
     frames = []

@@ -272,6 +272,183 @@ def model_pass_deferred(trace, num_rows, chunk):
     return starts, freqs
 
 
+@functools.partial(jax.jit, static_argnames=("num_rows", "chunk"))
+def model_pass_deferred_lit(trace, spd, num_rows, chunk):
+    """Deferred-v2 lit-stream pass specialized to the bucketed cm profile.
+
+    Byte-identical to model_pass_deferred on lit sub-traces, but both the
+    row fetch and the boundary histogram exploit the lit stream's
+    structure — strict hi/lo nibble alternation, four blend sites per
+    byte with constant per-lane speeds (`spd` [B, 6] = sp0/sp2/sp3
+    inc, lim), and nib/cm sites sharing one class-local row index — so
+    the [B, 2S, R] onehot collapses into four narrow per-class matmuls
+    (~4x less MXU work, ~8x less HBM).  Mirrors the decode scan's commit
+    (pallas_decode._decode_lit_scan); rebased row ranges: lit_hi 1..65,
+    lit_lo 65..193, cm_first 193..257, cm_second 257..385."""
+    from .deferred import ADJ_CLAMP
+
+    b, n = trace.shape[:2]
+    assert n % chunk == 0, (n, chunk)
+    r = num_rows
+    assert r == 385, r
+    s = chunk
+    # cm_second rows are laid out (hi, c3) but the lo class index is
+    # c3*16 + hi: perm_cm2 scatters counts (pend row j <- count row
+    # perm_cm2[j]); inv_cm2 gathers the fetch table (class row i ->
+    # committed row inv_cm2[i])
+    perm_cm2 = np.array([(i % 8) * 16 + i // 8 for i in range(128)], np.int32)
+    inv_cm2 = np.array([(i % 16) * 8 + i // 16 for i in range(128)], np.int32)
+    cdf_init = jnp.asarray(np.asarray(cdf16.CDF_INIT, np.int32))
+
+    committed0 = jnp.broadcast_to(cdf_init, (b, r, 16))
+    weights0 = _weights_init(b)
+    pend0 = {
+        "add": jnp.zeros((b, r, 16), jnp.int32),
+        "limsum": jnp.zeros((b, r), jnp.int32),
+        "cnt": jnp.zeros((b, r), jnp.int32),
+        "wadj": jnp.zeros((b, 2, 2), jnp.int32),
+    }
+    dn = (((1,), (1,)), ((0,), (0,)))
+    i64 = jnp.arange(64, dtype=jnp.int32)[None, None, :]
+    i128 = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+    i16v = jnp.arange(16, dtype=jnp.int32)[None, None, :]
+
+    def fetch(oh, table):
+        return _onehot_mm_b(oh, table)
+
+    def step(carry, xs):
+        committed, weights, pend = carry
+        flat, value, _stream, inc, lim, mix, which, cm_idx, cm_inc, cm_lim = \
+            [xs[:, :, i] for i in range(10)]
+        # per-byte class indices (pad rows have flat == 0 -> ctx -1)
+        ctx = flat[:, 0::2] - 1                       # [B, sb] in [-1, 64)
+        hi = value[:, 0::2]
+        lo = value[:, 1::2]
+        idx_lo = flat[:, 1::2] - 65                   # [B, sb] in [-1, 128)
+        act = (inc[:, 0::2] != 0) | (mix[:, 0::2] != 0)
+        oh_hi = ((i64 == ctx[:, :, None])
+                 & act[:, :, None]).astype(jnp.bfloat16)
+        oh_lo = ((i128 == idx_lo[:, :, None])
+                 & act[:, :, None]).astype(jnp.bfloat16)
+
+        # ---- per-class fetch from the frozen snapshot
+        rows_hi = fetch(oh_hi, committed[:, 1:65])
+        cm_hi = fetch(oh_hi, committed[:, 193:257])
+        rows_lo = fetch(oh_lo, committed[:, 65:193])
+        cm_lo = fetch(oh_lo, committed[:, 257:385][:, inv_cm2])
+        no_hi = ~act[:, :, None]
+        rows_hi = jnp.where(no_hi, cdf_init, rows_hi)
+        cm_hi = jnp.where(no_hi, cdf_init, cm_hi)
+        rows_lo = jnp.where(no_hi, cdf_init, rows_lo)
+        cm_lo = jnp.where(no_hi, cdf_init, cm_lo)
+        rows = jnp.stack([rows_hi, rows_lo], 2).reshape(b, s, 16)
+        cm_rows = jnp.stack([cm_hi, cm_lo], 2).reshape(b, s, 16)
+
+        nw = jnp.take_along_axis(weights[:, :, 2], which, axis=1)
+        mixed = cdf16.average(cm_rows, rows, nw & MIX_RATE_MASK, xp=jnp)
+        do_mix = mix != 0
+        coded = jnp.where(do_mix[:, :, None], mixed, rows)
+        start, freq = cdf16.sym_to_start_freq(coded, value, xp=jnp)
+
+        # ---- mixer adjustments (identical to model_pass_deferred)
+        _, p_cm = cdf16.sym_to_start_freq(cm_rows, value, xp=jnp)
+        _, p_nib = cdf16.sym_to_start_freq(rows, value, xp=jnp)
+        p1 = freq
+        error = (1 << 15) - p1
+        log_geo = cdf16._bit_length_pos(p1 * error, jnp)
+        shift = jnp.maximum(log_geo - 15, 0)
+        adj = [jnp.clip((error * (n1i - p1)) >> shift, -ADJ_CLAMP, ADJ_CLAMP)
+               for n1i in (p_cm, p_nib)]
+        sel = [do_mix & (which == 0), do_mix & (which == 1)]
+        wadj = jnp.stack(
+            [jnp.stack([jnp.sum(jnp.where(sel[w_], adj[i], 0), axis=1)
+                        for i in (0, 1)], -1) for w_ in (0, 1)], 1)
+
+        # ---- per-class count histograms -> pend (decode-scan commit)
+        vh = (i16v == hi[:, :, None]).astype(jnp.bfloat16)
+        vl = (i16v == lo[:, :, None]).astype(jnp.bfloat16)
+        cnt_hi = jax.lax.dot_general(
+            oh_hi, vh, dn,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        cnt_lo = jax.lax.dot_general(
+            oh_lo, vl, dn,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        cnt_cm2 = cnt_lo[:, perm_cm2, :]
+
+        def seg_(counts, inc_col, lim_col):
+            inc_ = spd[:, inc_col, None]
+            lim_ = spd[:, lim_col, None]
+            live = (inc_ != 0).astype(jnp.int32)
+            tot = jnp.sum(counts, axis=2) * live
+            return (inc_[:, :, None] * jnp.cumsum(counts, axis=2)
+                    * live[:, :, None], lim_ * tot, tot)
+
+        segs = [seg_(cnt_hi, 0, 1), seg_(cnt_lo, 0, 1),
+                seg_(cnt_hi, 4, 5), seg_(cnt_cm2, 2, 3)]
+        zrow = jnp.zeros((b, 1, 16), jnp.int32)
+        new_pend = {
+            "add": jnp.concatenate([zrow] + [x[0] for x in segs], axis=1),
+            "limsum": jnp.concatenate(
+                [zrow[:, :, 0]] + [x[1] for x in segs], axis=1),
+            "cnt": jnp.concatenate(
+                [zrow[:, :, 0]] + [x[2] for x in segs], axis=1),
+            "wadj": wadj,
+        }
+        committed, weights = _apply_pend(committed, weights, pend)
+        return (committed, weights, new_pend), (start, freq)
+
+    xs = jnp.swapaxes(trace, 0, 1).reshape(n // chunk, chunk, b, 10)
+    xs = jnp.swapaxes(xs, 1, 2)
+    _, (starts, freqs) = jax.lax.scan(step, (committed0, weights0, pend0), xs)
+    starts = jnp.swapaxes(starts, 0, 1).reshape(b, n)
+    freqs = jnp.swapaxes(freqs, 0, 1).reshape(b, n)
+    return starts, freqs
+
+
+def lit_speeds_from_traces(lit_ts: list[np.ndarray]) -> np.ndarray:
+    """Per-lane [B, 6] (sp0/sp2/sp3 inc, lim) read off each lit trace's
+    first literal byte (speeds are PredictionMode constants per lane)."""
+    spd = np.zeros((len(lit_ts), 6), np.int32)
+    for i, t in enumerate(lit_ts):
+        if t.shape[0] >= 2:
+            spd[i] = [t[0, 3], t[0, 4], t[1, 8], t[1, 9], t[0, 8], t[0, 9]]
+    return spd
+
+
+def _lit_pass_usable(layout, lit_ts) -> bool:
+    """model_pass_deferred_lit preconditions: bucketed cm profile and
+    strictly alternating full-byte lit traces with constant speeds."""
+    if layout.profile.name != "cm" or not layout.lo_bucketed:
+        return False
+    lit_base = layout.segments["lit_hi"][0]
+    for t in lit_ts:
+        n = t.shape[0]
+        if n % 2:
+            return False
+        if n == 0:
+            continue
+        flat = t[:, 0]
+        hi_ok = (flat[0::2] >= 1) & (flat[0::2] < 65)
+        lo_ok = (flat[1::2] >= 65) & (flat[1::2] < 193)
+        mm2 = (flat == 0)
+        if not (hi_ok | mm2[0::2]).all() or not (lo_ok | mm2[1::2]).all():
+            return False
+        if (mm2[0::2] != mm2[1::2]).any():
+            return False  # per-byte act gating needs hi/lo to agree
+        live = t[t[:, 3] != 0]
+        if live.shape[0]:
+            hi_l = live[live[:, 0] < 65]
+            lo_l = live[live[:, 0] >= 65]
+            for part in (hi_l, lo_l):
+                if part.shape[0] and (
+                        (part[:, 3] != part[0, 3]).any()
+                        or (part[:, 4] != part[0, 4]).any()
+                        or (part[:, 8] != part[0, 8]).any()
+                        or (part[:, 9] != part[0, 9]).any()):
+                    return False
+    return True
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(4, (n - 1).bit_length())
 
@@ -315,14 +492,19 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
     b = len(traces)
     cmd_ts, lit_ts, masks, r_cmd, r_lit = split_stream_traces(traces, layout)
     s_cmd = deferred.cmd_chunk(chunk)
+    lit_fast = _lit_pass_usable(layout, lit_ts)
     out = []
-    for ts, num_rows, s in ((cmd_ts, r_cmd, s_cmd), (lit_ts, r_lit, chunk)):
+    for sid, (ts, num_rows, s) in enumerate(
+            ((cmd_ts, r_cmd, s_cmd), (lit_ts, r_lit, chunk))):
         padded = jnp.asarray(_pad_traces(ts, multiple=s))
         if pallas or (pallas is None and jax.default_backend() == "tpu"
                       and _PALLAS_MODEL_READY):
             from .pallas_model import model_pass_deferred_pallas
             st, fr = model_pass_deferred_pallas(padded, num_rows, s,
                                                 interpret=interpret)
+        elif sid == 1 and lit_fast:
+            spd = jnp.asarray(lit_speeds_from_traces(lit_ts))
+            st, fr = model_pass_deferred_lit(padded, spd, num_rows, s)
         else:
             st, fr = model_pass_deferred(padded, num_rows, s)
         out.append((np.asarray(st), np.asarray(fr)))
@@ -363,6 +545,10 @@ def compress(data: bytes, options: DivansOptions | None = None,
     if options.external_probs is not None:
         from . import engine_np
         return engine_np.compress(data, options)  # ECDF path is host-serial
+    if (options.stride_detection_quality or options.speed_detection_quality
+            or options.force_stride_value):
+        from ..ir.detect import apply_detection
+        options = apply_detection(data, options)
     profile = profile_for_options(options)
     mb = options.metablock_size
     chunk = options.chunk_nibbles

@@ -187,6 +187,12 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     from .codec.deferred import chunk_to_flags
 
     options = options or DivansOptions()
+    if (options.stride_detection_quality or options.speed_detection_quality
+            or options.force_stride_value):
+        # resolve detection before supports(): a detected stride > 1
+        # means the stride profile, which stays on the Python engines
+        from .ir.detect import apply_detection
+        options = apply_detection(data, options)
     if load() is None or not supports(options):
         return None
     profile = profile_for_options(options)

@@ -132,3 +132,28 @@ def test_stride_profile_deferred():
     opts = DivansOptions(chunk_nibbles=128, use_context_map=False)
     blob = engine_np.compress(data, opts)
     assert engine_np.decompress(blob) == data
+
+
+def test_lit_pass_specialized_bit_equal():
+    """model_pass_deferred_lit (per-class fetch + count commits) must be
+    byte-identical to the generic deferred pass on lit sub-traces."""
+    import jax.numpy as jnp
+    from divans_tpu.ir.matcher import build_commands
+    from divans_tpu.codec import trace as trace_mod, jax_engine
+    from divans_tpu.codec.layout import ModelLayout, PROFILES
+
+    data = open("/root/reference/testdata/alice29", "rb").read()[:24000]
+    opts = DivansOptions(metablock_size=1 << 13, chunk_nibbles=64)
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+    traces = [trace_mod.build_trace(
+        data[o:o + (1 << 13)],
+        build_commands(data[o:o + (1 << 13)], opts), opts, layout)
+        for o in range(0, len(data), 1 << 13)]
+    _, lit_ts, _, _, r_lit = jax_engine.split_stream_traces(traces, layout)
+    assert jax_engine._lit_pass_usable(layout, lit_ts)
+    padded = jnp.asarray(jax_engine._pad_traces(lit_ts, multiple=64))
+    s1, f1 = jax_engine.model_pass_deferred(padded, r_lit, 64)
+    spd = jnp.asarray(jax_engine.lit_speeds_from_traces(lit_ts))
+    s2, f2 = jax_engine.model_pass_deferred_lit(padded, spd, r_lit, 64)
+    assert (np.asarray(s1) == np.asarray(s2)).all()
+    assert (np.asarray(f1) == np.asarray(f2)).all()
