@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Large-file evaluation: ratio vs metablock size on a >=10 MB mixed corpus.
+
+VERDICT r1 #5: the reference keeps one model across the whole file with
+windows up to 2^24 (/root/reference/src/divans_compressor.rs:90-91,
+metablocks <= 16 MiB README.md:186); here metablock = model domain = LZ
+window, so larger metablocks buy ratio and smaller ones buy parallel lanes.
+This script quantifies that tradeoff on a mixed >=10 MB corpus and compares
+against brotli/zstd/zlib/lzma at their large-window settings.
+
+Usage: python research/large_file_study.py [corpus_file]
+Emits one JSON row per configuration and a summary table.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+import zlib
+import lzma
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TARGET = 12 << 20
+
+
+def build_corpus(target: int = TARGET) -> bytes:
+    """Deterministic mixed corpus from this box: stdlib Python source
+    (enwik-like marked-up text), a shared-library slice (binary), and the
+    reference testdata.  Sorted paths => reproducible on this machine."""
+    parts = []
+    total = 0
+    for p in sorted(glob.glob("/usr/lib/python3*/**/*.py", recursive=True)):
+        try:
+            b = open(p, "rb").read()
+        except OSError:
+            continue
+        parts.append(b)
+        total += len(b)
+        if total >= target * 3 // 4:
+            break
+    try:
+        parts.append(open("/usr/lib/x86_64-linux-gnu/libc.so.6",
+                          "rb").read()[: target // 8])
+    except OSError:
+        pass
+    for t in ("alice29", "random_then_unicode"):
+        parts.append(open(f"/root/reference/testdata/{t}", "rb").read())
+    return b"".join(parts)[:target]
+
+
+def main() -> None:
+    from divans_tpu import native
+    from divans_tpu.options import DivansOptions
+
+    if len(sys.argv) > 1:
+        data = open(sys.argv[1], "rb").read()
+    else:
+        data = build_corpus()
+    rows = []
+
+    def emit(name, blob, enc_dt, dec_dt=None):
+        row = {"codec": name, "raw": len(data), "compressed": len(blob),
+               "ratio": round(len(blob) / len(data), 4),
+               "enc_mbps": round(len(data) / enc_dt / 1e6, 2)}
+        if dec_dt:
+            row["dec_mbps"] = round(len(data) / dec_dt / 1e6, 2)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    for mb_log in (18, 20, 22, 24):
+        opts = DivansOptions(metablock_size=1 << mb_log)
+        t0 = time.perf_counter()
+        blob = native.compress(data, opts)
+        enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rt = native.decompress(blob)
+        dec = time.perf_counter() - t0
+        assert rt == data
+        emit(f"divans_tpu-mb2^{mb_log}", blob, enc, dec)
+
+    t0 = time.perf_counter()
+    emit("zlib-9", zlib.compress(data, 9), time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    emit("lzma-6", lzma.compress(data, preset=6), time.perf_counter() - t0)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import compare_corpora as cc
+    if cc._BROTLI is not None:
+        for q in (9, 11):
+            t0 = time.perf_counter()
+            emit(f"brotli-q{q}-w24", cc.brotli_compress(data, q, 24),
+                 time.perf_counter() - t0)
+    if cc._ZSTD is not None:
+        t0 = time.perf_counter()
+        emit("zstd-19", cc.zstd_compress(data, 19), time.perf_counter() - t0)
+
+    width = max(len(r["codec"]) for r in rows) + 2
+    print("\n" + f"{'codec':<{width}s}{'ratio':>8s}{'enc MB/s':>10s}"
+          f"{'dec MB/s':>10s}")
+    for r in rows:
+        print(f"{r['codec']:<{width}s}{r['ratio']:>8.4f}"
+              f"{r['enc_mbps']:>10.2f}{r.get('dec_mbps', 0):>10.2f}")
+
+
+if __name__ == "__main__":
+    main()
