@@ -2,11 +2,14 @@
 
 The native library implements the LZ matcher and the trace-builder FSM —
 the host-side encode hot path (the reference's equivalent front-end is
-its Rust engine + the brotli encoder).  It covers the profiles our
-encoder emits (PM + Literal/Copy, identity context maps); anything else
-(dict commands at q11, custom literal context maps) stays on the Python
-path.  Traces are asserted identical to the Python twin by
-tests/test_native.py.
+its Rust engine + the brotli encoder).  Encode covers the profiles our
+encoder emits mechanically (PM + Literal/Copy, identity context maps);
+q11's dict matching and the IR optimizer stay Python-side and feed the
+golden engine.  Decode covers everything our encoder can emit at any
+quality (incl. Dict commands, with the vendored RFC 7932 data passed
+into C++); only foreign streams (block switches, custom context maps)
+fall back to the golden engine.  Traces are asserted identical to the
+Python twin by tests/test_native.py.
 
 Builds on demand with `make -C native`; absence of a compiler simply
 disables the fast path.
@@ -34,7 +37,8 @@ SEGS = ["cc", "ll_cs", "ll_beg", "ll_last", "ll_mant",
         "bt_stride",
         "pm_only", "pm_dcm", "pm_pd", "pm_palette", "pm_mvmode",
         "pm_cmn", "pm_cf", "pm_cs",
-        "lit_hi", "lit_lo", "cm_first", "cm_second"]
+        "lit_hi", "lit_lo", "cm_first", "cm_second",
+        "d_sbeg", "d_slast", "d_idx", "d_tr"]
 
 _lib = None
 
@@ -153,6 +157,25 @@ def encode_streams(trace: np.ndarray, num_rows: int, chunk: int = 0):
     return cb[:cl.value].tobytes(), lb[:ll.value].tobytes()
 
 
+@functools.lru_cache(maxsize=1)
+def _dict_arrays():
+    """RFC 7932 dictionary packed for the C++ decoder: (data u8[],
+    offsets u32[32], prefix/suffix pool u8[], tr_meta i32[ntr,5])."""
+    from . import dictionary
+    d = dictionary.load()
+    if not d.available:
+        return None
+    data = np.frombuffer(d.data, np.uint8)
+    offs = np.array(d.offsets_by_length, np.uint32)
+    pool = bytearray()
+    meta = np.zeros((len(d.transforms), 5), np.int32)
+    for i, (prefix, ttype, suffix) in enumerate(d.transforms):
+        meta[i] = (len(pool), len(prefix),
+                   ttype, len(pool) + len(prefix), len(suffix))
+        pool += prefix + suffix
+    return (data, offs, np.frombuffer(bytes(pool) or b"\0", np.uint8), meta)
+
+
 def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
                      layout: ModelLayout, chunk: int = 0) -> bytes | None:
     """Native serial decode; None = out of profile (caller falls back)."""
@@ -163,13 +186,22 @@ def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
     out = np.zeros(max(1, raw_len), np.uint8)
     cbuf = (ctypes.c_uint8 * max(1, len(cmd))).from_buffer_copy(cmd or b"\0")
     lbuf = (ctypes.c_uint8 * max(1, len(lit))).from_buffer_copy(lit or b"\0")
+    dct = _dict_arrays()
+    if dct is None:
+        dargs = (None, 0, None, None, None, 0)
+    else:
+        data, offs, pool, meta = dct
+        dargs = (data.ctypes.data_as(ctypes.c_void_p), data.shape[0],
+                 offs.ctypes.data_as(ctypes.c_void_p),
+                 pool.ctypes.data_as(ctypes.c_void_p),
+                 meta.ctypes.data_as(ctypes.c_void_p), meta.shape[0])
     rc = lib.dtpu_decode_metablock(
         cbuf, len(cmd), lbuf, len(lit), raw_len,
         1 if use_cm else 0, layout.num_rows, chunk,
         seg.ctypes.data_as(ctypes.c_void_p), nctx, layout.lo_shift,
         lut0.ctypes.data_as(ctypes.c_void_p),
         lut1.ctypes.data_as(ctypes.c_void_p),
-        out.ctypes.data_as(ctypes.c_void_p))
+        out.ctypes.data_as(ctypes.c_void_p), *dargs)
     if rc != 0:
         return None
     return out.tobytes()

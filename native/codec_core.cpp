@@ -5,9 +5,9 @@
 // format (divans_tpu/ans/coder_np.py), the same int32 CDF/mixer rules
 // (probability/cdf16.py, weights.py), and the same FSM semantics as the
 // golden engine (codec/engine_np.py).  Scope mirrors the device scan's
-// profiles (PM + literal/copy + high-entropy escape; identity-bounded
-// context maps); dict commands and block switches return an error and
-// the caller falls back to the Python golden engine.
+// profiles (PM + literal/copy/dict + high-entropy escape; identity-bounded
+// context maps); block switches return an error and the caller falls
+// back to the Python golden engine.
 //
 // Exactness notes (all match the Python definitions):
 //   - blend: i16 wraparound, renorm (c+bias) - ((c+bias)>>2)
@@ -412,8 +412,72 @@ enum Seg {
     SEG_PM_ONLY, SEG_PM_DCM, SEG_PM_PD, SEG_PM_PALETTE, SEG_PM_MVMODE,
     SEG_PM_CMN, SEG_PM_CF, SEG_PM_CS,
     SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
+    SEG_D_SBEG, SEG_D_SLAST, SEG_D_IDX, SEG_D_TR,
     SEG_COUNT
 };
+
+// ------------------------------------------------ RFC 7932 static dict
+// Twin of divans_tpu/dictionary.py (word fetch + TransformDictionaryWord,
+// RFC 7932 §8); the dict data/offsets/transforms come from the vendored
+// blob via the caller.
+
+static const int32_t DICT_BITS[25] = {0, 0, 0, 0, 10, 10, 11, 11, 10, 10,
+                                      10, 10, 10, 9, 9, 8, 7, 7, 8, 7,
+                                      7, 6, 6, 5, 5};
+
+struct DictRef {
+    const uint8_t* data = nullptr;
+    int32_t data_size = 0;
+    const uint32_t* offsets = nullptr;     // [32]
+    const uint8_t* ps_pool = nullptr;      // prefix/suffix byte pool
+    const int32_t* tr_meta = nullptr;      // [ntr][5]: poff,plen,type,soff,slen
+    int32_t ntr = 0;
+};
+
+// uppercase one possibly-multibyte char at pos; returns its width
+static int32_t ferment(uint8_t* buf, int32_t pos, int32_t len) {
+    uint8_t ch = buf[pos];
+    if (ch < 192) {
+        if (ch >= 97 && ch <= 122) buf[pos] = ch ^ 32;
+        return 1;
+    }
+    if (ch < 224) {
+        if (pos + 1 < len) buf[pos + 1] ^= 32;
+        return 2;
+    }
+    if (pos + 2 < len) buf[pos + 2] ^= 5;
+    return 3;
+}
+
+// transformed word -> out (cap 64); returns length or -1 on error
+static int32_t transform_word(const DictRef& d, int32_t ws, int32_t wid,
+                              int32_t tid, uint8_t* out) {
+    if (!d.data || tid >= d.ntr || ws < 4 || ws > 24) return -1;
+    if (wid >= (1 << DICT_BITS[ws])) return -1;
+    int64_t off = (int64_t)d.offsets[ws] + (int64_t)ws * wid;
+    if (off + ws > d.data_size) return -1;
+    const int32_t* m = d.tr_meta + (int64_t)tid * 5;
+    int32_t plen = m[1], ttype = m[2], slen = m[4];
+    uint8_t word[32];
+    memcpy(word, d.data + off, ws);
+    int32_t wlen = ws;
+    if (ttype >= 1 && ttype <= 9) {            // OmitLast1..9
+        wlen = ws - ttype > 0 ? ws - ttype : 0;
+    } else if (ttype >= 12 && ttype <= 20) {   // OmitFirst1..9
+        int32_t omit = ttype - 11 < ws ? ttype - 11 : ws;
+        memmove(word, word + omit, ws - omit);
+        wlen = ws - omit;
+    } else if (ttype == 10) {                  // UppercaseFirst
+        if (wlen) ferment(word, 0, wlen);
+    } else if (ttype == 11) {                  // UppercaseAll
+        for (int32_t i = 0; i < wlen;) i += ferment(word, i, wlen);
+    }
+    if (plen + wlen + slen > 64) return -1;
+    memcpy(out, d.ps_pool + m[0], plen);
+    memcpy(out + plen, word, wlen);
+    memcpy(out + plen + wlen, d.ps_pool + m[3], slen);
+    return plen + wlen + slen;
+}
 
 static const int32_t sMUD[2] = {0x10, 0x2000}, sSLOW[2] = {0x20, 0x1000},
     sMED[2] = {0x30, 0x4000}, sFAST[2] = {0x60, 0x4000},
@@ -580,13 +644,26 @@ static void decode_prediction_mode(DecCtx& c) {
 }
 
 // Serial decode of one metablock. Returns 0 ok, 1 out-of-profile/corrupt.
+// dict_*: the RFC 7932 static dictionary (divans_tpu/data/rfc7932_dict.bin
+// via native.py); dict_data may be null, in which case Dict commands are
+// out of profile (python fallback).
 int32_t dtpu_decode_metablock(
         const uint8_t* cmd_bytes, int32_t cmd_n,
         const uint8_t* lit_bytes, int32_t lit_n,
         int32_t raw_len, int32_t use_cm, int32_t num_rows, int32_t chunk,
         const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
         const uint8_t* lut0, const uint8_t* lut1,
-        uint8_t* out_raw) {
+        uint8_t* out_raw,
+        const uint8_t* dict_data, int32_t dict_size,
+        const uint32_t* dict_offsets, const uint8_t* dict_ps_pool,
+        const int32_t* dict_tr_meta, int32_t dict_ntr) {
+    DictRef dict;
+    dict.data = dict_data;
+    dict.data_size = dict_size;
+    dict.offsets = dict_offsets;
+    dict.ps_pool = dict_ps_pool;
+    dict.tr_meta = dict_tr_meta;
+    dict.ntr = dict_ntr;
     DecCtx c;
     c.model.assign((size_t)num_rows, CDF_INIT);
     c.ds.chunk = chunk ? cmd_chunk(chunk) : 0;  // cmd-stream clock
@@ -745,8 +822,41 @@ int32_t dtpu_decode_metablock(
                 c.out[c.wpos] = c.out[c.wpos - distance];
                 c.wpos++;
             }
+        } else if (nib == 0x2) {               // dict word
+            // engine_np.code_dict (codec/dict.rs:77-170); ctype = 0 (the
+            // device/native profiles have nb = 1, and any stream with
+            // block switches already fell back above)
+            c.l4s = ((c.l4s >> 2) | 192) & 0xFF;
+            int32_t beg = c.nib(seg[SEG_D_SBEG], sMUD[0], sMUD[1], c.cmd);
+            int32_t ws;
+            if (beg == 15) {
+                int32_t last = c.nib(seg[SEG_D_SLAST], sMUD[0], sMUD[1],
+                                     c.cmd);
+                ws = last + 19;
+                if (ws > 24) return 1;
+            } else {
+                ws = beg + 4;
+            }
+            int32_t bits = DICT_BITS[ws];
+            // identity distance cmap: prior = min(max(ws,2)-2, 3) = 3
+            // for every dict size, but keep the exact formula
+            int32_t prior = (ws > 2 ? ws : 2) - 2;
+            if (prior > 3) prior = 3;
+            int32_t wid = mantissa_dec(
+                c, seg[SEG_D_IDX] + prior * 5 + 0,
+                seg[SEG_D_IDX] + prior * 5 + (bits % 4) + 1,
+                rum4(bits), 0, sMUD, sMUD);
+            int32_t hi = c.nib(seg[SEG_D_TR] + (ws >> 1), sFAST[0], sFAST[1],
+                               c.cmd);
+            int32_t lo = c.nib(seg[SEG_D_TR] + 16 + hi, sFAST[0], sFAST[1],
+                               c.cmd);
+            uint8_t word[64];
+            int32_t wl = transform_word(dict, ws, wid, (hi << 4) | lo, word);
+            if (wl < 0 || c.wpos + wl > raw_len) return 1;
+            memcpy(c.out + c.wpos, word, wl);
+            c.wpos += wl;
         } else {
-            return 1;  // dict / block switches: python fallback
+            return 1;  // block switches: python fallback
         }
     }
     if (c.err || c.wpos != raw_len) return 1;

@@ -116,3 +116,29 @@ def test_api_auto_deferred_uses_native():
     blob = compress(data, opts, engine="auto")
     assert blob == compress(data, opts, engine="golden")
     assert decompress(blob, engine="auto") == data
+
+
+def test_native_decodes_q11_dict_streams():
+    """q11 streams (Dict commands) must decode through the C++ engine,
+    not the golden fallback (VERDICT r1 #8: no q-stream our encoder emits
+    may fall back to Python). Reference: src/codec/dict.rs:77-170."""
+    from divans_tpu.container import format as fmt
+    from divans_tpu.codec.layout import ModelLayout, PROFILES, FLAG_PROFILES
+    from divans_tpu.codec.deferred import flags_to_chunk
+
+    data = open("/root/reference/testdata/alice29", "rb").read()[:40000]
+    blob = engine_np.compress(data, DivansOptions(quality=11))
+    _w, _mb, frames, _crc, flags = fmt.deserialize(blob)
+    chunk = flags_to_chunk(flags)
+    profile = FLAG_PROFILES.get(flags & 0b11)
+    layout = ModelLayout(PROFILES[profile], lo_bucketed=chunk > 0)
+    f = frames[0]
+    raw = native.decode_metablock(f.cmd, f.lit, f.raw_len, profile == "cm",
+                                  layout, chunk)
+    assert raw is not None, "native engine declined a q11 frame"
+    assert raw == data
+    # the stream really contains Dict commands (not a trivial case)
+    from divans_tpu.ir.matcher import build_commands
+    from divans_tpu.ir import commands as cmds
+    assert any(isinstance(c, cmds.Dict)
+               for c in build_commands(data, DivansOptions(quality=11)))
