@@ -19,6 +19,8 @@ Flags (a subset of the reference's ~40, same spellings where they exist):
   -deferred[=N] chunk-deferred adaptation profile (device-speed path;
                 N = chunk nibbles, default 256; ~+0.4% ratio)
   -serial       force the golden serial engine (no device batching)
+  -bill         per-substate bit accounting (reference `billing`)
+  -timing       stage timeline to stderr (threadlog analog, tracelog.py)
   -v            print per-file ratio to stderr
   -version      print version
 """
@@ -73,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
             engine = "bill"
         elif a == "-v":
             verbose = True
+        elif a == "-timing":
+            # stage timeline (the reference's threadlog analog, tracelog.py)
+            from . import tracelog
+            tracelog.enable()
         elif a in ("-version", "--version"):
             print(f"divans_tpu {__version__}")
             return 0
@@ -94,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
         sys.stdout.buffer.write(out)
     if verbose and mode in ("c", "i"):
         print(f"ratio {len(out) / max(1, len(data)):.4f}", file=sys.stderr)
+    from . import tracelog
+    if tracelog.events():
+        print(tracelog.report(), file=sys.stderr)
     return 0
 
 

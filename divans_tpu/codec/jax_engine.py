@@ -558,21 +558,24 @@ def compress(data: bytes, options: DivansOptions | None = None,
         return fmt.serialize([], options.window_size, options.mb_log2,
                              crc32c(b""), flags=flags)
 
+    from .. import tracelog
     blocks = [data[off:off + mb] for off in range(0, len(data), mb)]
     traces = []
-    for raw in blocks:
-        from .. import native
-        t = native.build_trace(raw, options, layout)  # C++ fast path
-        if t is None:
-            commands = build_commands(raw, options)
-            t = trace_mod.build_trace(raw, commands, options, layout)
-        traces.append(t)
+    with tracelog.span("encode/trace_build", blocks=len(blocks)):
+        for raw in blocks:
+            from .. import native
+            t = native.build_trace(raw, options, layout)  # C++ fast path
+            if t is None:
+                commands = build_commands(raw, options)
+                t = trace_mod.build_trace(raw, commands, options, layout)
+            traces.append(t)
 
     b = len(blocks)
     lane_starts, lane_freqs, lane_counts = [], [], []
     if chunk:
         # per-stream deferred-v2 passes; lane arrays come out pre-split
-        _, freq_list, lanes = deferred_model_pass(traces, layout, chunk)
+        with tracelog.span("encode/model_pass", profile="deferred"):
+            _, freq_list, lanes = deferred_model_pass(traces, layout, chunk)
         for cs_, cf_, ls_, lf_ in lanes:
             lane_starts += [cs_, ls_]
             lane_freqs += [cf_, lf_]
@@ -585,9 +588,10 @@ def compress(data: bytes, options: DivansOptions | None = None,
             billing_out.update(billing.bill(traces, fpad, layout))
     else:
         trace = _pad_traces(traces)
-        starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
-        starts = np.asarray(starts)
-        freqs = np.asarray(freqs)
+        with tracelog.span("encode/model_pass", profile="adaptive"):
+            starts, freqs = model_pass(jnp.asarray(trace), layout.num_rows)
+            starts = np.asarray(starts)
+            freqs = np.asarray(freqs)
         if billing_out is not None:
             from . import billing
             billing_out.update(billing.bill(traces, freqs, layout))
@@ -600,29 +604,33 @@ def compress(data: bytes, options: DivansOptions | None = None,
                 lane_starts.append(starts[i, :n][m])
                 lane_freqs.append(freqs[i, :n][m])
                 lane_counts.append(int(m.sum()))
-    if jax.default_backend() == "tpu":
-        # the Pallas wide-rANS kernel (~22 Gsym/s; ans/pallas_kernels.py)
-        from ..ans import pallas_kernels as pk
-        pls, plf, plc = pk.pack_lanes(lane_starts, lane_freqs, lane_counts)
-        w, fl, st = pk.encode_lanes_pallas(
-            jnp.asarray(pls), jnp.asarray(plf), jnp.asarray(plc))
-        lane_bytes = pk.assemble_lane_bytes(w, fl, st, lane_counts)
-    else:
-        lmax = _next_pow2(max(1, max(lane_counts)))
-        ls = np.zeros((2 * b, lmax), np.int32)
-        lf = np.ones((2 * b, lmax), np.int32)
-        for i, (s, f) in enumerate(zip(lane_starts, lane_freqs)):
-            ls[i, :s.shape[0]] = s
-            lf[i, :f.shape[0]] = f
-        words, nwords, states = kernels.encode_lanes(
-            jnp.asarray(ls), jnp.asarray(lf),
-            jnp.asarray(np.array(lane_counts, np.int32)))
-        lane_bytes = kernels.lanes_to_bytes(words, nwords, states)
+    with tracelog.span("encode/ans_lanes", lanes=len(lane_counts)):
+        if jax.default_backend() == "tpu":
+            # the Pallas wide-rANS kernel (~22 Gsym/s; ans/pallas_kernels.py)
+            from ..ans import pallas_kernels as pk
+            pls, plf, plc = pk.pack_lanes(lane_starts, lane_freqs,
+                                          lane_counts)
+            w, fl, st = pk.encode_lanes_pallas(
+                jnp.asarray(pls), jnp.asarray(plf), jnp.asarray(plc))
+            lane_bytes = pk.assemble_lane_bytes(w, fl, st, lane_counts)
+        else:
+            lmax = _next_pow2(max(1, max(lane_counts)))
+            ls = np.zeros((2 * b, lmax), np.int32)
+            lf = np.ones((2 * b, lmax), np.int32)
+            for i, (s, f) in enumerate(zip(lane_starts, lane_freqs)):
+                ls[i, :s.shape[0]] = s
+                lf[i, :f.shape[0]] = f
+            words, nwords, states = kernels.encode_lanes(
+                jnp.asarray(ls), jnp.asarray(lf),
+                jnp.asarray(np.array(lane_counts, np.int32)))
+            lane_bytes = kernels.lanes_to_bytes(words, nwords, states)
 
-    frames = [fmt.MetablockFrame(len(blocks[i]), lane_bytes[2 * i],
-                                 lane_bytes[2 * i + 1]) for i in range(b)]
-    return fmt.serialize(frames, options.window_size, options.mb_log2,
-                         crc32c(data), flags=flags)
+    with tracelog.span("encode/assemble"):
+        frames = [fmt.MetablockFrame(len(blocks[i]), lane_bytes[2 * i],
+                                     lane_bytes[2 * i + 1])
+                  for i in range(b)]
+        return fmt.serialize(frames, options.window_size, options.mb_log2,
+                             crc32c(data), flags=flags)
 
 
 def pack_frames(frames):
@@ -683,23 +691,29 @@ def decompress(blob: bytes) -> bytes:
             return pallas_decode.decompress_frames(frames, chunk, layout,
                                                    opts)
 
+        from .. import tracelog
         if os.environ.get("DIVANS_DEVICE_DECODE") == "1":
-            raw_all = _device(frames)
+            with tracelog.span("decode/device_pipeline", frames=len(frames)):
+                raw_all = _device(frames)
             if raw_all is not None:
                 fmt.check_crc(raw_all, stored_crc)
                 return raw_all
         out = bytearray()
-        for f in frames:
-            raw = None
-            if layout is not None:
-                raw = native.decode_metablock(f.cmd, f.lit, f.raw_len,
-                                              profile == "cm", layout, chunk)
-            if raw is None:
-                raw = _device([f])
-            if raw is None:
-                raw = deferred.decode_metablock(f.cmd, f.lit, f.raw_len,
-                                                opts, chunk)
-            out += raw
+        with tracelog.span("decode/serial_frames", frames=len(frames)):
+            for f in frames:
+                raw = None
+                if layout is not None:
+                    raw = native.decode_metablock(f.cmd, f.lit, f.raw_len,
+                                                  profile == "cm", layout,
+                                                  chunk)
+                if raw is None:
+                    raw = _device([f])
+                if raw is None:
+                    with tracelog.span("decode/golden_fallback"):
+                        raw = deferred.decode_metablock(f.cmd, f.lit,
+                                                        f.raw_len, opts,
+                                                        chunk)
+                out += raw
         fmt.check_crc(bytes(out), stored_crc)
         return bytes(out)
     profile = FLAG_PROFILES.get(flags)

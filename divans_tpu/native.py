@@ -227,20 +227,22 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
         options = apply_detection(data, options)
     if load() is None or not supports(options):
         return None
+    from . import tracelog
     profile = profile_for_options(options)
     mb = options.metablock_size
     chunk = options.chunk_nibbles
     layout = ModelLayout(PROFILES[profile], lo_bucketed=chunk > 0)
     frames = []
-    for off in range(0, max(len(data), 1), mb):
-        raw = data[off:off + mb]
-        if not raw:
-            break
-        trace = build_trace(raw, options, layout)
-        if trace is None:
-            return None
-        cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk)
-        frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
+    with tracelog.span("encode/native_serial", bytes=len(data)):
+        for off in range(0, max(len(data), 1), mb):
+            raw = data[off:off + mb]
+            if not raw:
+                break
+            trace = build_trace(raw, options, layout)
+            if trace is None:
+                return None
+            cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk)
+            frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
     return fmt.serialize(frames, options.window_size, options.mb_log2,
                          crc32c(data),
                          flags=PROFILE_FLAGS[profile] | chunk_to_flags(chunk))
@@ -248,6 +250,7 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
 
 def decompress(blob: bytes) -> bytes:
     """Host-native decompress with golden fallback per metablock."""
+    from . import tracelog
     from .container import format as fmt
     from .codec.layout import PROFILES, FLAG_PROFILES
     from .codec import engine_np
@@ -264,14 +267,17 @@ def decompress(blob: bytes) -> bytes:
     for f in frames:
         raw = None
         if layout is not None:
-            raw = decode_metablock(f.cmd, f.lit, f.raw_len,
-                                   profile == "cm", layout, chunk)
+            with tracelog.span("decode/native_serial", bytes=f.raw_len):
+                raw = decode_metablock(f.cmd, f.lit, f.raw_len,
+                                       profile == "cm", layout, chunk)
         if raw is None:
-            if chunk:
-                raw = deferred_mod.decode_metablock(f.cmd, f.lit, f.raw_len,
-                                                    opts, chunk)
-            else:
-                raw = engine_np.decode_metablock(f.cmd, f.lit, f.raw_len, opts)
+            with tracelog.span("decode/golden_fallback", bytes=f.raw_len):
+                if chunk:
+                    raw = deferred_mod.decode_metablock(
+                        f.cmd, f.lit, f.raw_len, opts, chunk)
+                else:
+                    raw = engine_np.decode_metablock(f.cmd, f.lit,
+                                                     f.raw_len, opts)
         out += raw
     fmt.check_crc(bytes(out), stored_crc)
     return bytes(out)
