@@ -52,14 +52,17 @@ def _device_healthy(timeout_s: int = 150) -> bool:
 
 
 def _last_recorded():
-    """Most recent persisted on-chip result, or None."""
+    """Most recent persisted on-chip result per metric (file order)."""
     try:
         with open(HISTORY) as f:
             lines = [json.loads(x) for x in f if x.strip()]
     except OSError:
-        return None
-    lines = [x for x in lines if x.get("on_chip")]
-    return lines[-1] if lines else None
+        return []
+    latest: dict = {}
+    for x in lines:
+        if x.get("on_chip"):
+            latest[x["metric"]] = x
+    return list(latest.values())
 
 
 def _record(entry: dict) -> None:
@@ -69,13 +72,14 @@ def _record(entry: dict) -> None:
 
 def _report_cached_or_fail() -> None:
     last = _last_recorded()
-    if last is not None:
-        print(json.dumps({
-            "metric": last["metric"] + "_cached",
-            "value": last["value"],
-            "unit": last["unit"],
-            "vs_baseline": last["vs_baseline"],
-        }))
+    if last:
+        for entry in last:
+            print(json.dumps({
+                "metric": entry["metric"] + "_cached",
+                "value": entry["value"],
+                "unit": entry["unit"],
+                "vs_baseline": entry["vs_baseline"],
+            }))
     else:
         print(json.dumps({
             "metric": "device_unreachable",
