@@ -29,6 +29,14 @@ from .model import (CrossCommandBookKeeping, LiteralBookKeeping, CorruptStream,
 NUM_LITERAL_LENGTH_MNEMONIC = 14
 
 
+def _mv_is_per_btype(mv: bytes, nb: int) -> bool:
+    """True if the mixing mask is one constant per literal block type
+    (mv_mode=4 wire shape: value keyed by (index & 0xFF) >> 6, clamped)."""
+    vals = [mv[t * 64] for t in range(nb)]
+    return all(v == vals[min((i & 0xFF) >> 6, nb - 1)]
+               for i, v in enumerate(mv))
+
+
 def round_up_mod_4(v: int) -> int:
     return ((v - 1) | 3) + 1
 
@@ -484,18 +492,25 @@ class MetablockCodec:
         # Format departure: a leading mv_mode nibble elides the constant
         # masks (0 = all zeros, 1 = all fours, 2 = explicit, 3 = constant
         # value carried in one extra nibble — how stride detection emits
-        # stride s as mask value 4 + s - 1) so the scan decoder pays 1-2
-        # steps instead of 8192 in the common cases.
+        # stride s as mask value 4 + s - 1; 4 = one value per literal
+        # block type, nb nibbles — how block_split carries per-segment
+        # strides) so the scan decoder pays 1-2 steps instead of 8192 in
+        # the common cases.
         combine = out.context_mixing != 0
+        nb = max(1, len(out.literal_context_map) // 64)
         if io.is_encoder:
             mv = cmd.mixing_values
             const_v = mv[0] if mv and all(x == mv[0] for x in mv) else None
+            per_t = ([mv[t * 64] for t in range(nb)]
+                     if mv and _mv_is_per_btype(mv, nb) else None)
             if not bk.desired_do_context_map and (not mv or const_v == 4):
                 mv_mode = 1
             elif not any(mv):
                 mv_mode = 0
             elif const_v is not None:
                 mv_mode = 3
+            elif per_t is not None:
+                mv_mode = 4
             elif not combine:
                 mv_mode = 0
             else:
@@ -511,6 +526,14 @@ class MetablockCodec:
             v = self._nib(io, pp, ("mix", 16),
                           const_v if io.is_encoder else 0, PLANE)
             out.mixing_values = bytes([v]) * cmds.NUM_MIXING_VALUES
+        elif mv_mode == 4:
+            vals = []
+            for t in range(nb):
+                vin = per_t[t] if io.is_encoder else 0
+                vals.append(self._nib(io, pp, ("mix", 16), vin, PLANE))
+            out.mixing_values = bytes(
+                vals[min((i & 0xFF) >> 6, nb - 1)]
+                for i in range(cmds.NUM_MIXING_VALUES))
         elif mv_mode == 2:
             mv_out = bytearray()
             for index in range(cmds.NUM_MIXING_VALUES):
@@ -709,7 +732,9 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
         from ..ir.detect import apply_detection
         options = apply_detection(data, options)
     mb = options.metablock_size
-    chunk = options.chunk_nibbles
+    # block-split streams stay on the per-nibble adaptive profile: the
+    # deferred policy engine is nb=1 by design (ratio-mode tradeoff)
+    chunk = 0 if options.block_split else options.chunk_nibbles
     frames = []
     for off in range(0, len(data), mb):
         raw = data[off:off + mb]

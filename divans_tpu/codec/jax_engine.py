@@ -542,9 +542,11 @@ def compress(data: bytes, options: DivansOptions | None = None,
     from ..ir.matcher import build_commands
     from . import deferred
     options = options or DivansOptions()
-    if options.external_probs is not None:
+    if options.external_probs is not None or options.block_split:
         from . import engine_np
-        return engine_np.compress(data, options)  # ECDF path is host-serial
+        # ECDF and block-split streams are golden-engine paths (the trace
+        # builder and device profiles are nb=1 / external-prob-free)
+        return engine_np.compress(data, options)
     if (options.stride_detection_quality or options.speed_detection_quality
             or options.force_stride_value):
         from ..ir.detect import apply_detection

@@ -452,4 +452,7 @@ def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
     elif options.divans_ir_optimizer:
         from .optimize import optimize
         out = out[:1] + optimize(raw, out[1:])
+    if options.block_split and options.use_context_map:
+        from . import blocks
+        out = blocks.inject_switches(raw, out, blocks.segment(raw), options)
     return out

@@ -70,6 +70,7 @@ def supports(options: DivansOptions) -> bool:
             and options.prior_bitmask_detection == 0
             and options.prior_depth == 0
             and options.external_probs is None
+            and not options.block_split         # splitter is Python-side
             and options.divans_ir_optimizer == 0)  # actuary is Python-side
 
 

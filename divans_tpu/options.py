@@ -29,6 +29,11 @@ class DivansOptions:
     speed_detection_quality: int = 0
     prior_bitmask_detection: int = 0      # 0 = mixing mask all-zero profile
     divans_ir_optimizer: int = 0
+    block_split: bool = False             # literal block-type segmentation
+                                          # (ir/blocks.py; the reference gets
+                                          # splits from brotli's splitter).
+                                          # Ratio mode: streams with switches
+                                          # decode on the golden engine
     external_probs: Optional[bytes] = None  # per-bit literal probabilities
                                           # (8 bytes per raw byte, reference
                                           # feature external-literal-probability;
