@@ -19,7 +19,10 @@ class DivansOptions:
     # --- reference-parity options (interface.rs:444-484) ---
     quality: int = 10                     # 1..11 (brotli-style effort for the matcher)
     window_size: int = 22                 # log2 LZ window, 10..24
-    lgblock: Optional[int] = None         # log2 metablock size; None = auto
+    lgblock: Optional[int] = None         # log2 metablock size; None = keep
+                                          # metablock_size (reference option,
+                                          # interface.rs; resolved in
+                                          # __post_init__)
     dynamic_context_mixing: int = 1       # 0=off, 1..14 mixer level
     prior_depth: int = 0                  # literal prior depth selector
     literal_adaptation: Optional[tuple[Speed, Speed, Speed, Speed]] = None
@@ -51,6 +54,9 @@ class DivansOptions:
         assert 10 <= self.window_size <= 24
         assert 0 <= self.dynamic_context_mixing <= 14
         assert 1 <= self.quality <= 11
+        if self.lgblock is not None:
+            assert 12 <= self.lgblock <= 24, self.lgblock
+            object.__setattr__(self, "metablock_size", 1 << self.lgblock)
         assert 4096 <= self.metablock_size <= (1 << 24)
         c = self.chunk_nibbles
         assert c == 0 or (c & (c - 1) == 0 and 16 <= c <= 1024), c
