@@ -20,6 +20,8 @@ Flags (a subset of the reference's ~40, same spellings where they exist):
                 N = chunk nibbles, default 256; ~+0.4% ratio)
   -blocksplit   literal block-type segmentation + per-segment strides
                 (ratio mode on heterogeneous data; golden-engine decode)
+  -priormask[=q] per-context prior-bitmask detection (stride-vs-context
+                prior per literal context; ratio mode, golden decode)
   -serial       force the golden serial engine (no device batching)
   -bill         per-substate bit accounting (reference `billing`)
   -timing       stage timeline to stderr (threadlog analog, tracelog.py)
@@ -71,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
             # -deferred[=N]: chunk-deferred adaptation (codec/deferred.py);
             # N = chunk nibbles (power of two in [16, 1024]; default 256)
             opts["chunk_nibbles"] = int(a.split("=")[1]) if "=" in a else 256
+        elif a.startswith("-priormask"):
+            # per-context prior-bitmask detection (ir/detect.py)
+            opts["prior_bitmask_detection"] = \
+                int(a.split("=")[1]) if "=" in a else 1
         elif a == "-blocksplit":
             # literal block-type segmentation (ir/blocks.py): ratio mode
             opts["block_split"] = True

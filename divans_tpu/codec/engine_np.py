@@ -732,9 +732,11 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
         from ..ir.detect import apply_detection
         options = apply_detection(data, options)
     mb = options.metablock_size
-    # block-split streams stay on the per-nibble adaptive profile: the
-    # deferred policy engine is nb=1 by design (ratio-mode tradeoff)
-    chunk = 0 if options.block_split else options.chunk_nibbles
+    # block-split and per-context-mask streams stay on the per-nibble
+    # adaptive profile: the deferred policy engine is nb=1 with constant
+    # masks by design (ratio-mode tradeoff)
+    chunk = (0 if options.block_split or options.prior_bitmask_detection
+             else options.chunk_nibbles)
     frames = []
     for off in range(0, len(data), mb):
         raw = data[off:off + mb]

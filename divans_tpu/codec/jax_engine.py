@@ -542,10 +542,12 @@ def compress(data: bytes, options: DivansOptions | None = None,
     from ..ir.matcher import build_commands
     from . import deferred
     options = options or DivansOptions()
-    if options.external_probs is not None or options.block_split:
+    if (options.external_probs is not None or options.block_split
+            or options.prior_bitmask_detection):
         from . import engine_np
-        # ECDF and block-split streams are golden-engine paths (the trace
-        # builder and device profiles are nb=1 / external-prob-free)
+        # ECDF, block-split, and per-context-mask streams are golden-
+        # engine paths (the trace builder and device profiles are nb=1 /
+        # constant-mask / external-prob-free)
         return engine_np.compress(data, options)
     if (options.stride_detection_quality or options.speed_detection_quality
             or options.force_stride_value):

@@ -116,6 +116,66 @@ def detect_speeds(data: bytes, quality: int,
     return (lo_sp, hi_sp, lo_sp, hi_sp)
 
 
+def detect_prior_bitmask(data: bytes, quality: int,
+                         max_stride: int = MAX_STRIDE) -> bytes | None:
+    """Per-context mixing mask: for each 6-bit literal context, pick the
+    better hi-nibble prior — the context-keyed model (mask 0) or a
+    stride-s previous-byte model (mask 4 + s - 1) — by sampled
+    conditional entropy.  Returns the 8192-entry mask (mv_mode=2 wire
+    shape) or None when no context prefers a stride prior.
+
+    The reference's prior_bitmask_detection serves the same role: decide
+    per-prior-bucket which prior family the literal coder consults
+    (src/interface.rs:444-484 option surface).  Only makes sense with
+    the context map on; streams carrying a non-trivial mask decode on
+    the golden engine (ratio mode, like block_split)."""
+    from .. import constants
+    from ..ir import commands as cmds
+
+    n = len(data)
+    if n < 8192 or quality <= 0:
+        return None
+    lut0 = constants.literal_lut0(constants.LITERAL_PREDICTION_MODE_UTF8)
+    lut1 = constants.literal_lut1(constants.LITERAL_PREDICTION_MODE_UTF8)
+    a = np.frombuffer(data, np.uint8)
+    step = max(1, n // (4096 << min(quality, 8)))
+    idx = np.arange(max_stride, n, step)
+    cur_hi = a[idx] >> 4
+    ctx = (lut0[a[idx - 1]] | lut1[a[idx - 2]]).astype(np.int64)
+    # baseline: H(hi | ctx); stride s: H(hi | ctx, byte at -s) — the
+    # joint keeps the comparison honest (the stride rows are shared
+    # across contexts, but per-ctx adaptation makes them near-joint)
+    base_bits = np.zeros(64)
+    counts = np.zeros(64, np.int64)
+    for c in range(64):
+        m = ctx == c
+        counts[c] = int(m.sum())
+        if counts[c]:
+            base_bits[c] = _cond_entropy_bits(
+                np.zeros(counts[c], np.int64), cur_hi[m], 1, 16)
+    best = np.zeros(64, np.int64)  # mask value per ctx (0 = keep)
+    gain = np.zeros(64)
+    for s in range(1, max_stride + 1):
+        prev_s = a[idx - s].astype(np.int64)
+        for c in range(64):
+            m = ctx == c
+            if counts[c] < 256:
+                continue
+            bits = _cond_entropy_bits(prev_s[m], cur_hi[m], 256, 16)
+            # the stride model pays ~one fresh CDF per visited row
+            penalty = 4.0 * len(np.unique(prev_s[m]))
+            g = base_bits[c] - bits - penalty
+            if g > gain[c] and g > 0.05 * base_bits[c]:
+                gain[c] = g
+                best[c] = 4 + s - 1
+    if not best.any():
+        return None
+    mv = np.zeros(cmds.NUM_MIXING_VALUES, np.uint8)
+    i = np.arange(cmds.NUM_MIXING_VALUES)
+    mv[:] = best[(i & 0xFF) % 64]
+    return mv.tobytes()
+
+
 def apply_detection(data: bytes, options):
     """Resolve detection options against the input: returns an effective
     options object (possibly unchanged) whose force_stride_value /

@@ -455,4 +455,11 @@ def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
     if options.block_split and options.use_context_map:
         from . import blocks
         out = blocks.inject_switches(raw, out, blocks.segment(raw), options)
+    elif (options.prior_bitmask_detection and options.use_context_map
+          and not options.force_stride_value):
+        import dataclasses
+        from .detect import detect_prior_bitmask
+        mv = detect_prior_bitmask(raw, options.prior_bitmask_detection)
+        if mv is not None:
+            out[0] = dataclasses.replace(out[0], mixing_values=mv)
     return out
