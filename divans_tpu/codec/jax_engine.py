@@ -673,9 +673,9 @@ def decompress(blob: bytes) -> bytes:
     chunk = deferred.flags_to_chunk(flags)
     if chunk:
         # deferred streams.  Paths, fastest-available first:
-        #   * device (DIVANS_DEVICE_DECODE=1 + TPU): host cmd-structure
-        #     pass + Pallas literal kernel + host execution
-        #     (codec/pallas_decode.py, the r2 device decode);
+        #   * device (TPU, automatic at >=32 frames or forced via
+        #     DIVANS_DEVICE_DECODE=1): host cmd-structure pass + Pallas
+        #     literal kernel + host execution (codec/pallas_decode.py);
         #   * native serial decode (host line speed);
         #   * device again as the pre-golden fallback when native is
         #     unavailable;
@@ -696,7 +696,12 @@ def decompress(blob: bytes) -> bytes:
                                                    opts)
 
         from .. import tracelog
-        if os.environ.get("DIVANS_DEVICE_DECODE") == "1":
+        # device pipeline selection: forced by DIVANS_DEVICE_DECODE=1,
+        # vetoed by =0, and otherwise automatic on TPU for batches big
+        # enough to amortize dispatch + the (shape-cached, pow2-padded)
+        # Mosaic compile — ≥32 frames ≈ a quarter of the 128-lane kernel
+        dd = os.environ.get("DIVANS_DEVICE_DECODE")
+        if dd == "1" or (dd != "0" and len(frames) >= 32):
             with tracelog.span("decode/device_pipeline", frames=len(frames)):
                 raw_all = _device(frames)
             if raw_all is not None:

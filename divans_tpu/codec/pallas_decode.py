@@ -462,7 +462,12 @@ def decode_literals_batch(lit_streams: list[bytes], n_lits: list[int],
 
     states = np.zeros(LANES, np.int32)
     n_lit = np.zeros(LANES, np.int32)
+    # pow2-pad the traced shapes: Mosaic compiles are expensive (minutes)
+    # and cached per shape, so shape diversity must stay bounded for the
+    # kernel to be selectable automatically. Over-run lanes/chunks are
+    # already the normal case (ragged n_lit) — outputs slice to n_lits.
     w_len = max(2, max((max(0, len(s) - 4) + 1) // 2 for s in lit_streams))
+    w_len = 1 << (w_len - 1).bit_length()
     words = np.zeros((LANES, w_len), np.int32)
     for i, s in enumerate(lit_streams):
         if len(s) >= 4:
@@ -487,6 +492,7 @@ def decode_literals_batch(lit_streams: list[bytes], n_lits: list[int],
 
     s_bytes = chunk // 2
     n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
+    n_chunks = 1 << (n_chunks - 1).bit_length()
     out, _ = _decode_lit_scan(
         jnp.asarray(states), jnp.asarray(words), jnp.asarray(n_lit),
         jnp.asarray(lcmap_t), jnp.asarray(luts), jnp.asarray(spd),
