@@ -74,3 +74,26 @@ def test_api_decompress_corrupt():
     data, blob = _blob(256)
     with pytest.raises((CorruptContainer, CorruptStream)):
         divans_tpu.decompress(blob[:30])
+
+
+def test_native_q11_dict_decode_bitflip_fuzz():
+    """Bitflips on q11 (dict-command) streams must never crash the C++
+    decoder — every trial either round-trips (don't-care bit) or raises a
+    typed corruption error through the fallback chain."""
+    import numpy as np
+    from divans_tpu import native
+    from divans_tpu.container.format import CorruptContainer
+    from divans_tpu.codec.model import CorruptStream
+
+    data = open("/root/reference/testdata/alice29", "rb").read()[:30000]
+    blob = engine_np.compress(data, DivansOptions(quality=11))
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = native.decompress(bytes(b))
+        except (CorruptStream, CorruptContainer, AssertionError, ValueError):
+            continue
+        assert out == data  # flip landed on a don't-care bit
