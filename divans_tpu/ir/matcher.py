@@ -370,6 +370,7 @@ def _find_matches_greedy(data: bytes, quality: int):
                 del lst[:2 * depth]
 
     i = 0
+    prev_end = 0
     while i + MIN_MATCH <= n:
         l, d = best_at(i)
         if l:
@@ -379,8 +380,15 @@ def _find_matches_greedy(data: bytes, quality: int):
                 if l2 > l + 1:
                     i += 1  # defer: the literal byte joins the pending run
                     l, d = l2, d2
-            matches.append((i, d, l))
+            # backward extension: pending literal bytes that also match at
+            # distance d join the copy (the hash only sees 4-byte-aligned
+            # starts; this recovers the misaligned prefix)
+            s = i
+            while s > prev_end and s > d and data[s - 1] == data[s - 1 - d]:
+                s -= 1
+            matches.append((s, d, l + (i - s)))
             end = i + l
+            prev_end = end
             if lazy:
                 step = max(1, l // 8) if l > 64 else 1
                 j = i + 1

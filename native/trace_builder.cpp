@@ -92,6 +92,7 @@ int32_t dtpu_match(const uint8_t* data, int32_t n, int32_t quality,
     };
 
     int32_t i = 0;
+    int32_t prev_end = 0;
     while (i + MIN_MATCH <= n) {
         int32_t l, d;
         best_at(i, &l, &d);
@@ -102,9 +103,15 @@ int32_t dtpu_match(const uint8_t* data, int32_t n, int32_t quality,
                 best_at(i + 1, &l2, &d2);
                 if (l2 > l + 1) { i += 1; l = l2; d = d2; }
             }
+            // backward extension (mirrors ir/matcher.py): misaligned
+            // prefix bytes matching at distance d join the copy
+            int32_t s = i;
+            while (s > prev_end && s > d && data[s - 1] == data[s - 1 - d])
+                --s;
             if (count >= out_cap) return -1;
-            out[count++] = Match{i, d, l};
+            out[count++] = Match{s, d, l + (i - s)};
             int32_t end = i + l;
+            prev_end = end;
             if (lazy) {
                 int32_t step = (l > 64) ? (l / 8 > 1 ? l / 8 : 1) : 1;
                 for (int32_t j = i + 1; j < end; j += step) insert(j);
