@@ -300,12 +300,33 @@ def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
         opt = find_matches_optimal(data, quality)
         if opt is not None:
             greedy = _find_matches_greedy(data, quality)
-            bo = _measured_total_bits(data, opt)
-            bg = _measured_total_bits(data, greedy)
+            # selection only needs a representative prefix: both parses
+            # measure over the same bytes, so the comparison stays fair
+            # while the trace-build cost stays bounded per metablock
+            cap = min(n, 96 << 10)
+            bo = _measured_total_bits(data[:cap], _clip_matches(opt, cap))
+            bg = _measured_total_bits(data[:cap], _clip_matches(greedy, cap))
             if bo is not None and (bg is None or bo <= bg):
                 return opt
             return greedy
     return _find_matches_greedy(data, quality)
+
+
+def _clip_matches(matches, cap: int):
+    """Matches restricted to data[:cap] (truncating the straddler; dict
+    edges have a fixed final size, so a straddling dict edge drops and
+    its bytes measure as literals)."""
+    out = []
+    for (pos, dist, length) in matches:
+        if pos >= cap:
+            break
+        if pos + length > cap:
+            if dist == 0 or cap - pos < MIN_MATCH:
+                break
+            out.append((pos, dist, cap - pos))
+            break
+        out.append((pos, dist, length))
+    return out
 
 
 def _measured_total_bits(data, matches):
