@@ -23,7 +23,9 @@ Flags (a subset of the reference's ~40, same spellings where they exist):
   -priormask[=q] per-context prior-bitmask detection (stride-vs-context
                 prior per literal context; ratio mode, golden decode)
   -serial       force the golden serial engine (no device batching)
-  -bill         per-substate bit accounting (reference `billing`)
+  -bill         per-substate bit accounting (reference `billing`);
+                with -v adds the per-CDF count/cost/entropy rows
+                (reference `debug_entropy`)
   -timing       stage timeline to stderr (threadlog analog, tracelog.py)
   -v            print per-file ratio to stderr
   -version      print version
@@ -104,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
     options = DivansOptions(**opts)
     data = (open(files[0], "rb").read() if files
             else sys.stdin.buffer.read())
-    out = _run(mode, data, options, engine)
+    out = _run(mode, data, options, engine, verbose)
     if len(files) > 1:
         open(files[1], "wb").write(out)
     else:
@@ -117,7 +119,8 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _run(mode: str, data: bytes, options: DivansOptions, engine: str) -> bytes:
+def _run(mode: str, data: bytes, options: DivansOptions, engine: str,
+         verbose: bool = False) -> bytes:
     from . import constants
     from .codec import engine_np
 
@@ -132,6 +135,9 @@ def _run(mode: str, data: bytes, options: DivansOptions, engine: str) -> bytes:
             out = jax_engine.compress(data, options, billing_out=bits)
             print(billing.format_table(bits, len(data), len(out)),
                   file=sys.stderr)
+            if verbose and "__detail__" in bits:
+                # debug_entropy analog: per-CDF count/cost/entropy rows
+                print(bits["__detail__"], file=sys.stderr)
             return out
         from .api import compress
         return compress(data, options)

@@ -60,8 +60,66 @@ def bill(traces: list[np.ndarray], freqs: np.ndarray,
     return out
 
 
+def entropy_report(traces: list[np.ndarray], freqs: np.ndarray,
+                   layout: ModelLayout, top: int = 6) -> str:
+    """debug_entropy analog (reference `debug_entropy` feature,
+    src/probability/interface.rs:446-541: per-CDF counts, coded cost,
+    rolling entropy).  Derived from the encode trace instead of a CDF
+    wrapper: for every model row — one adaptive CDF — the number of
+    nibbles it coded, its total coded cost, the mean cost/nibble, and
+    the empirical (order-0 Shannon) entropy of the symbols it saw.  The
+    cost−entropy gap per row is the model's adaptation overhead, which
+    is what the reference's rolling-entropy instrumentation localizes.
+    Prints each segment's totals plus its `top` most expensive rows."""
+    r = layout.num_rows
+    cnt = np.zeros(r, np.int64)
+    bits_row = np.zeros(r, np.float64)
+    hist = np.zeros((r, 16), np.int64)
+    for i, t in enumerate(traces):
+        n = t.shape[0]
+        f = freqs[i, :n].astype(np.float64)
+        b = -np.log2(np.maximum(f, 1) / 32768.0)
+        rows = t[:, 0]
+        np.add.at(cnt, rows, 1)
+        np.add.at(bits_row, rows, b)
+        np.add.at(hist, (rows, t[:, 1]), 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = hist / np.maximum(cnt[:, None], 1)
+        ent = -np.nansum(np.where(p > 0, p * np.log2(p), 0.0), axis=1)
+    lines = ["per-CDF entropy debug (count / bits / bits-per / H0 / overhead)"]
+    seg_order = sorted(layout.segments,
+                       key=lambda s: -bits_row[layout.segments[s][0]:
+                                               layout.segments[s][0]
+                                               + int(np.prod(
+                                                   layout.segments[s][1]))]
+                       .sum())
+    for name in seg_order:
+        off, shape = layout.segments[name]
+        size = int(np.prod(shape))
+        sl = slice(off, off + size)
+        seg_bits = bits_row[sl].sum()
+        seg_cnt = cnt[sl].sum()
+        if seg_cnt == 0:
+            continue
+        lines.append(f"[{name}] rows={size} coded={seg_cnt} "
+                     f"bits={seg_bits:.0f} ({seg_bits / 8:.0f} B)")
+        order = np.argsort(-bits_row[sl])[:top]
+        for j in order:
+            if cnt[off + j] == 0:
+                break
+            coords = np.unravel_index(j, shape)
+            per = bits_row[off + j] / cnt[off + j]
+            lines.append(
+                f"    {name}{tuple(int(c) for c in coords)}: "
+                f"n={cnt[off + j]} bits={bits_row[off + j]:.0f} "
+                f"per={per:.3f} H0={ent[off + j]:.3f} "
+                f"ovh={per - ent[off + j]:+.3f}")
+    return "\n".join(lines)
+
+
 def format_table(bits: dict[str, float], raw_len: int,
                  compressed_len: int) -> str:
+    bits = {k: v for k, v in bits.items() if not k.startswith("__")}
     lines = ["  bits       bytes    designation"]
     for k in sorted(bits, key=lambda k: -bits[k]):
         lines.append(f"{bits[k]:12.1f} {bits[k] / 8:10.1f}    {k}")

@@ -590,6 +590,8 @@ def compress(data: bytes, options: DivansOptions | None = None,
             for i, f in enumerate(freq_list):
                 fpad[i, :f.shape[0]] = f
             billing_out.update(billing.bill(traces, fpad, layout))
+            billing_out["__detail__"] = billing.entropy_report(
+                traces, fpad, layout)
     else:
         trace = _pad_traces(traces)
         with tracelog.span("encode/model_pass", profile="adaptive"):
@@ -599,6 +601,8 @@ def compress(data: bytes, options: DivansOptions | None = None,
         if billing_out is not None:
             from . import billing
             billing_out.update(billing.bill(traces, freqs, layout))
+            billing_out["__detail__"] = billing.entropy_report(
+                traces, freqs, layout)
         # split (start, freq) by stream into 2B rANS lanes
         for i in range(b):
             n = traces[i].shape[0]

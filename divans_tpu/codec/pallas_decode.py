@@ -450,6 +450,22 @@ def decode_literals_batch(lit_streams: list[bytes], n_lits: list[int],
 
     Returns the decoded literal bytes per metablock; bit-equal to
     decode_literals_np (tests/test_pallas_decode.py)."""
+    out = _issue_lit_batch(lit_streams, n_lits, lcmaps, speeds_list, chunk,
+                           layout, interpret)
+    return _collect_lit_batch(out, n_lits)
+
+
+def _collect_lit_batch(out, n_lits) -> list[bytes]:
+    out = np.asarray(out).astype(np.uint8)
+    return [out[i, :n_lits[i]].tobytes() for i in range(len(n_lits))]
+
+
+def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
+                     lcmaps, speeds_list, chunk: int, layout,
+                     interpret: bool | None = None):
+    """Dispatch one ≤128-lane literal-decode scan; returns the device
+    array (async — jax dispatch returns before the kernel completes, so
+    callers can overlap host work before materializing)."""
     from .. import constants
 
     b = len(lit_streams)
@@ -497,54 +513,102 @@ def decode_literals_batch(lit_streams: list[bytes], n_lits: list[int],
         jnp.asarray(states), jnp.asarray(words), jnp.asarray(n_lit),
         jnp.asarray(lcmap_t), jnp.asarray(luts), jnp.asarray(spd),
         jnp.asarray(perm), r_lit, chunk, n_chunks, offs, interpret)
-    out = np.asarray(out).astype(np.uint8)
-    return [out[i, :n_lits[i]].tobytes() for i in range(b)]
+    return out
+
+
+def decode_structures(frames, chunk: int, layout, options) -> list | None:
+    """Stage 1 of the 2-stage decode: per-frame command scripts.
+
+    The native C++ pass (native.decode_cmd_structure — line speed, the
+    analog of the reference's cmd-decode thread) handles every in-profile
+    frame; the golden Python pass is the correctness fallback.  Frames
+    are independent, and ctypes releases the GIL during the C call, so
+    the pass fans out across host cores (the same consumer parallelism
+    the reference gets from its decode threads).  Returns None when any
+    frame leaves the kernel envelope."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    from .deferred import decode_cmd_structure
+    from .. import native
+
+    def one(f):
+        sc = native.decode_cmd_structure(f.cmd, f.raw_len, layout, chunk)
+        if sc is None:
+            sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
+        return sc
+
+    if len(frames) > 1 and native.load() is not None:
+        with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+            scripts = list(ex.map(one, frames))
+    else:
+        scripts = [one(f) for f in frames]
+    if not all(sc.supported for sc in scripts):
+        return None
+    return scripts
+
+
+def _execute(script, lit_bytes: bytes) -> bytes:
+    from .deferred import execute_script
+    from .. import native
+
+    if isinstance(script, native.NativeScript):
+        return native.execute_script(script, lit_bytes)
+    return execute_script(script, lit_bytes)
 
 
 def decompress_frames(frames, chunk: int, layout, options,
                       interpret: bool | None = None) -> bytes | None:
     """Full 2-stage deferred decode of a frame list.
 
-    Host decodes command structure (deferred.decode_cmd_structure — the
-    reference's cmd thread), the device kernel decodes every literal
-    byte in 128-lane batches, and the host executes the command scripts
-    (memcpy speed).  Returns None when any frame leaves the kernel's
-    envelope (caller falls back to the serial decoders)."""
-    from .deferred import decode_cmd_structure, execute_script
-
+    Host decodes command structure (native C++ cmd pass at line speed —
+    the reference's cmd thread, src/parallel_decompressor.rs:99-133),
+    the device kernel decodes every literal byte in 128-lane batches,
+    and the host executes the command scripts (memcpy-speed C++).
+    Returns None when any frame leaves the kernel's envelope (caller
+    falls back to the serial decoders)."""
     if layout.profile.name != "cm" or not layout.lo_bucketed:
         return None
-    scripts = []
-    for f in frames:
-        sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
-        if not sc.supported:
-            return None
-        scripts.append(sc)
-    out = bytearray()
-    for base in range(0, len(frames), LANES):
+    scripts = decode_structures(frames, chunk, layout, options)
+    if scripts is None:
+        return None
+
+    def issue(base):
         sub = scripts[base:base + LANES]
         fb = frames[base:base + LANES]
-        lits = decode_literals_batch(
-            [f.lit for f in fb], [s.lit_total for s in sub],
+        n_lits = [s.lit_total for s in sub]
+        dev = _issue_lit_batch(
+            [f.lit for f in fb], n_lits,
             [s.lcmap for s in sub], [s.speeds for s in sub],
             chunk, layout, interpret=interpret)
-        for s, lb in zip(sub, lits):
-            out += execute_script(s, lb)
+        return sub, dev, n_lits
+
+    # one-batch pipelining: batch k+1's kernel runs on device (dispatch
+    # is async) while batch k's scripts execute on the host
+    out = bytearray()
+    bases = list(range(0, len(frames), LANES))
+    pending = issue(bases[0])
+    for nxt in bases[1:] + [None]:
+        sub, dev, n_lits = pending
+        nxt_pending = issue(nxt) if nxt is not None else None
+        for s, lb in zip(sub, _collect_lit_batch(dev, n_lits)):
+            out += _execute(s, lb)
+        pending = nxt_pending
     return bytes(out)
 
 
-def bench_decode(blob: bytes, reps: int, timed) -> float | None:
-    """Device literal-decode throughput over a compressed blob's frames,
-    replicated to fill 128 lanes.  Returns MB/s of *literal bytes*
-    decoded by the kernel (the device stage of the 2-stage pipeline; the
-    cmd-structure pass and script execution are host work, overlappable
-    per the reference's 2-thread design).  Host prep is untimed; the
-    timed region is the jitted chunk-scan with a scalar-pull sync."""
+def bench_decode(blob: bytes, n_iter: int = 3) -> float | None:
+    """END-TO-END 2-stage device decode throughput: container bytes in ->
+    raw bytes out, every stage timed (deserialize, native cmd-structure
+    pass, device literal kernel, script execution, CRC check).  This is
+    the metric the reference's 18.75 MB/s line speed defines (whole
+    pipeline, /root/reference/README.md:6).  The first run warms the
+    jit/Mosaic caches (compiles are per-shape-cached, as for any
+    persistent service); the result is the best of n_iter full decodes."""
+    import time
     from ..container import format as fmt
     from ..options import DivansOptions
     from .layout import ModelLayout, PROFILES, FLAG_PROFILES
-    from .deferred import flags_to_chunk, decode_cmd_structure
-    from .. import constants
+    from .deferred import flags_to_chunk
 
     _w, _mb, frames, _crc, flags = fmt.deserialize(blob)
     chunk = flags_to_chunk(flags)
@@ -553,60 +617,22 @@ def bench_decode(blob: bytes, reps: int, timed) -> float | None:
         return None
     layout = ModelLayout(PROFILES[profile], lo_bucketed=True)
     options = DivansOptions()
-    scripts = [decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
-               for f in frames]
-    if not all(s.supported for s in scripts):
-        return None
-    streams = [f.lit for f in frames]
-    del reps  # lanes are free: always fill the full 128-lane tile.
-    # Every lane decodes the longest-literal frame: lanes run in lockstep
-    # for the whole scan (no idle lanes under a ragged frame mix), so the
-    # measured number is the kernel's sustained per-chip rate.
-    i_max = max(range(len(frames)), key=lambda i: scripts[i].lit_total)
-    idxs = [i_max] * LANES
 
-    perm, offs = kernel_perm(layout)
-    lit_base = layout.segments["lit_hi"][0]
-    r_lit = layout.num_rows - lit_base + 1
-    states = np.zeros(LANES, np.int32)
-    n_lit = np.zeros(LANES, np.int32)
-    w_len = max(2, max((len(s) - 2) // 2 for s in streams))
-    words = np.zeros((LANES, w_len), np.int32)
-    lcmap_t = np.zeros((16, LANES), np.int32)
-    spd = np.zeros((LANES, 6), np.int32)
-    for lane, i in enumerate(idxs):
-        s = streams[i]
-        states[lane] = int.from_bytes(s[:4], "little")
-        ws = np.frombuffer(s[4:len(s) - (len(s) % 2)], dtype="<u2")
-        words[lane, :ws.shape[0]] = ws
-        n_lit[lane] = scripts[i].lit_total
-        lcmap_t[:, lane] = pack6(np.asarray(scripts[i].lcmap, np.int32)[:64])
-        sp = scripts[i].speeds
-        spd[lane] = [sp[0].inc, sp[0].lim, sp[2].inc, sp[2].lim,
-                     sp[3].inc, sp[3].lim]
-    words = pack16(words)
-    lut0 = np.asarray(constants.literal_lut0(
-        constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
-    lut1 = np.asarray(constants.literal_lut1(
-        constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
-    luts = np.repeat(pack6(np.concatenate([lut0, lut1]))[:, None],
-                     LANES, axis=1)
-    s_bytes = chunk // 2
-    n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
-    total_lit = int(n_lit.sum())
+    def run() -> bytes:
+        _w2, _mb2, fr, crc2, _fl2 = fmt.deserialize(blob)
+        raw = decompress_frames(fr, chunk, layout, options, interpret=False)
+        assert raw is not None, "frame left the device-decode envelope"
+        fmt.check_crc(raw, crc2)
+        return raw
 
-    args = [jnp.asarray(x) for x in
-            (states, words, n_lit, lcmap_t, luts, spd, perm)]
-
-    @jax.jit
-    def run(states, words, n_lit, lcmap_t, luts, spd, perm):
-        out, pulls = _decode_lit_scan(states, words, n_lit, lcmap_t, luts,
-                                      spd, perm, r_lit, chunk, n_chunks,
-                                      offs, False)
-        return jnp.sum(out) + jnp.sum(pulls)   # scalar-pull sync
-
-    dt = timed(run, *args)
-    return total_lit / dt / 1e6
+    raw = run()  # warm the jit/Mosaic caches
+    total = len(raw)
+    best = float("inf")
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return total / best / 1e6
 
 
 # ======================================================================

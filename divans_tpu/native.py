@@ -57,6 +57,8 @@ def load():
         lib.dtpu_build_trace.restype = ctypes.c_int32
         lib.dtpu_encode_streams.restype = ctypes.c_int32
         lib.dtpu_decode_metablock.restype = ctypes.c_int32
+        lib.dtpu_decode_cmd_structure.restype = ctypes.c_int32
+        lib.dtpu_execute_script.restype = ctypes.c_int32
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = False
@@ -206,6 +208,94 @@ def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
     if rc != 0:
         return None
     return out.tobytes()
+
+
+class NativeScript:
+    """Command structure decoded natively from the cmd stream alone — the
+    host half of the 2-stage device decode (the reference's cmd-decode
+    thread, src/parallel_decompressor.rs:99-133).  Drop-in for
+    deferred.CmdScript where pallas_decode needs it; ops stay native
+    (int32[n,3] + dict-word pool) so execution is memcpy-speed C++."""
+
+    __slots__ = ("ops", "pool", "raw_len", "lit_total", "lcmap", "speeds",
+                 "supported")
+
+    def __init__(self, ops, pool, raw_len, lit_total, lcmap, speeds,
+                 supported):
+        self.ops = ops
+        self.pool = pool
+        self.raw_len = raw_len
+        self.lit_total = lit_total
+        self.lcmap = lcmap
+        self.speeds = speeds
+        self.supported = supported
+
+
+def decode_cmd_structure(cmd: bytes, raw_len: int, layout: ModelLayout,
+                         chunk: int) -> NativeScript | None:
+    """Native cmd-structure pass; None = lib missing / out of profile
+    (caller falls back to deferred.decode_cmd_structure)."""
+    lib = load()
+    if lib is None or chunk <= 0:
+        return None
+    seg, lut0, lut1, nctx = _seg_luts(layout)
+    cbuf = (ctypes.c_uint8 * max(1, len(cmd))).from_buffer_copy(cmd or b"\0")
+    dct = _dict_arrays()
+    if dct is None:
+        dargs = (None, 0, None, None, None, 0)
+    else:
+        data, offs, pool_d, meta = dct
+        dargs = (data.ctypes.data_as(ctypes.c_void_p), data.shape[0],
+                 offs.ctypes.data_as(ctypes.c_void_p),
+                 pool_d.ctypes.data_as(ctypes.c_void_p),
+                 meta.ctypes.data_as(ctypes.c_void_p), meta.shape[0])
+    info = np.zeros(16, np.int32)
+    ops_cap = raw_len // 4 + 4096
+    while True:
+        ops = np.zeros((ops_cap, 3), np.int32)
+        pool = np.zeros(raw_len + 64, np.uint8)
+        n = lib.dtpu_decode_cmd_structure(
+            cbuf, len(cmd), raw_len,
+            1 if layout.profile.name == "cm" else 0,
+            layout.num_rows, chunk,
+            seg.ctypes.data_as(ctypes.c_void_p), nctx, layout.lo_shift,
+            lut0.ctypes.data_as(ctypes.c_void_p),
+            lut1.ctypes.data_as(ctypes.c_void_p),
+            *dargs,
+            ops.ctypes.data_as(ctypes.c_void_p), ops_cap,
+            pool.ctypes.data_as(ctypes.c_void_p), pool.shape[0],
+            info.ctypes.data_as(ctypes.c_void_p))
+        if n != -2:
+            break
+        ops_cap = 8 * raw_len + 8192  # guard bound; cannot overflow twice
+    if n < 0:
+        return None
+    from .probability.speed import Speed
+    speeds = [Speed(int(info[3 + 2 * i]), int(info[4 + 2 * i]))
+              for i in range(4)]
+    supported = info[2] == 1 and info[1] == 1  # one PM, mixing on
+    return NativeScript(ops[:n], pool[:info[11]].tobytes(), raw_len,
+                        int(info[0]), list(range(64)), speeds, supported)
+
+
+def execute_script(script: NativeScript, lit_bytes: bytes) -> bytes:
+    """Replay a NativeScript with the device-decoded literal bytes."""
+    from .codec.engine_np import CorruptStream
+    lib = load()
+    ops = np.ascontiguousarray(script.ops, np.int32)
+    out = np.zeros(max(1, script.raw_len), np.uint8)
+    lbuf = (ctypes.c_uint8 * max(1, len(lit_bytes))).from_buffer_copy(
+        lit_bytes or b"\0")
+    pbuf = (ctypes.c_uint8 * max(1, len(script.pool))).from_buffer_copy(
+        script.pool or b"\0")
+    rc = lib.dtpu_execute_script(
+        ops.ctypes.data_as(ctypes.c_void_p), ops.shape[0],
+        lbuf, ctypes.c_int64(len(lit_bytes)),
+        pbuf, len(script.pool),
+        out.ctypes.data_as(ctypes.c_void_p), script.raw_len)
+    if rc != 0:
+        raise CorruptStream("script execution failed")
+    return out[:script.raw_len].tobytes()
 
 
 # --------------------------------------------------- host-native engine

@@ -62,6 +62,24 @@ inline void sym_to_start_freq(const Cdf& cdf, int32_t sym, int32_t* start,
     *freq = r_sym - r_prev - 1;
 }
 
+// floor(x / d) for x < 2^30, d < 2^15, via M = ceil(2^45/d): the error
+// term e = M*d - 2^45 is in [0, d), so floor(x*M >> 45) = floor(x/d) +
+// floor(frac(x/d) + x*e/(d*2^45)) and x*e < 2^30 * 2^15 = 2^45 makes the
+// correction term < 1/d + (d-1)/d = 1.  Exact over the whole domain.
+static inline int32_t div_by_recip(int32_t x, uint64_t M) {
+    return (int32_t)((unsigned __int128)(uint32_t)x * M >> 45);
+}
+
+static inline void sym_to_start_freq_r(const Cdf& cdf, uint64_t M,
+                                       int32_t sym, int32_t* start,
+                                       int32_t* freq) {
+    int32_t r_sym = div_by_recip(cdf.c[sym] << LOG2_SCALE, M);
+    int32_t r_prev = sym > 0 ? div_by_recip(cdf.c[sym - 1] << LOG2_SCALE, M)
+                             : 0;
+    *start = r_prev + 1;
+    *freq = r_sym - r_prev - 1;
+}
+
 inline int32_t offset_to_sym(const Cdf& cdf, int32_t off) {
     int32_t rescaled = (off * cdf.c[15]) >> LOG2_SCALE;
     // branchless 15-way compare (vectorizes; cdf is monotone so the sum
@@ -164,48 +182,76 @@ static inline int32_t cmd_chunk(int32_t chunk) {
 }
 
 struct DeferredState {
-    static constexpr int32_t LAG = 1;
     static constexpr int32_t MAX_RENORM = 24;
     int32_t chunk = 0;               // 0 = per-nibble adaptive mode
-    int64_t t = 0;
+    int32_t rem = 0;                 // countdown to the chunk boundary
     std::vector<Cdf>* committed = nullptr;
+    std::vector<uint64_t>* recip = nullptr;  // per-row ceil(2^45/max) cache
     Weights cw[2];
 
+    // Flat double-buffered per-row accumulators (commit lag 1: at most
+    // two chunks in flight — the one being recorded and the queued one).
+    // A touched-row list keeps clear/apply proportional to rows actually
+    // hit, with zero per-chunk allocation (the unordered_map this
+    // replaces dominated the deferred decode profile).
     struct Upd {
-        int32_t add[16] = {0};
-        int32_t limsum = 0, cnt = 0;
+        int32_t add[16];
+        int32_t limsum, cnt;
+        uint8_t touched;
     };
-    struct ChunkUpd {
-        std::unordered_map<int32_t, Upd> rows;
-        uint32_t wadj[2][2] = {{0, 0}, {0, 0}};
+    struct Buf {
+        std::vector<Upd> rows;
+        std::vector<int32_t> touched;
+        uint32_t wadj[2][2];
     };
-    ChunkUpd cur;
-    std::deque<ChunkUpd> queue;
+    Buf bufs[2];
+    int cur = 0;
+    int queued = 0;
 
+    void init_rows(int32_t nrows) {
+        rem = chunk;
+        for (Buf& b : bufs) {
+            b.rows.assign((size_t)nrows, Upd{});
+            b.touched.clear();
+            b.touched.reserve(256);
+            memset(b.wadj, 0, sizeof b.wadj);
+        }
+    }
     void record_blend(int32_t flat, int32_t sym, int32_t inc, int32_t lim) {
         if (!inc) return;
-        Upd& u = cur.rows[flat];
+        Buf& b = bufs[cur];
+        Upd& u = b.rows[flat];
+        if (!u.touched) {
+            u.touched = 1;
+            b.touched.push_back(flat);
+        }
         for (int i = sym; i < 16; ++i) u.add[i] += inc;
         u.limsum += lim;
         u.cnt += 1;
     }
     void record_wadj(int which, int32_t a0, int32_t a1) {
-        cur.wadj[which][0] += (uint32_t)a0;  // mod-2^32 accumulation
-        cur.wadj[which][1] += (uint32_t)a1;
+        bufs[cur].wadj[which][0] += (uint32_t)a0;  // mod-2^32 accumulation
+        bufs[cur].wadj[which][1] += (uint32_t)a1;
     }
     void tick() {
-        if (++t % chunk) return;
-        queue.emplace_back(std::move(cur));
-        cur = ChunkUpd();
-        if ((int32_t)queue.size() > LAG) {
-            apply(queue.front());
-            queue.pop_front();
+        if (--rem > 0) return;
+        rem = chunk;
+        if (queued) {
+            apply(bufs[1 - cur]);
+            clear(bufs[1 - cur]);
         }
+        queued = 1;
+        cur = 1 - cur;  // record the next chunk into the cleared buffer
     }
-    void apply(const ChunkUpd& u) {
-        for (const auto& kv : u.rows) {
-            Cdf& row = (*committed)[kv.first];
-            const Upd& up = kv.second;
+    void clear(Buf& b) {
+        for (int32_t flat : b.touched) b.rows[flat] = Upd{};
+        b.touched.clear();
+        memset(b.wadj, 0, sizeof b.wadj);
+    }
+    void apply(const Buf& u) {
+        for (int32_t flat : u.touched) {
+            Cdf& row = (*committed)[flat];
+            const Upd& up = u.rows[flat];
             int32_t r[16];
             for (int i = 0; i < 16; ++i) r[i] = row.c[i] + up.add[i];
             int32_t lim = up.limsum / up.cnt;
@@ -215,6 +261,9 @@ struct DeferredState {
                     r[i] = cb - (cb >> 2);
                 }
             for (int i = 0; i < 16; ++i) row.c[i] = r[i];
+            if (recip)
+                (*recip)[flat] = ((1ULL << 45) + row.c[15] - 1)
+                    / (uint64_t)row.c[15];
         }
         for (int which = 0; which < 2; ++which) {
             Weights& w = cw[which];
@@ -310,6 +359,10 @@ int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
     dss[0].chunk = chunk ? cmd_chunk(chunk) : 0;
     dss[1].chunk = chunk;
     dss[0].committed = dss[1].committed = &model;
+    if (chunk) {
+        dss[0].init_rows(num_rows);
+        dss[1].init_rows(num_rows);
+    }
     for (int32_t t = 0; t < n; ++t) {
         const int32_t* r = trace + (int64_t)t * 10;
         int32_t flat = r[0], value = r[1], stream = r[2], inc = r[3],
@@ -379,25 +432,59 @@ struct DecCtx {
     uint8_t* out;
     int32_t raw_len, wpos = 0;
     bool err = false;
+    // structure-only mode (the 2-stage device decode's host cmd pass,
+    // mirroring the reference's cmd-decode thread,
+    // src/parallel_decompressor.rs:99-133): literal content is skipped
+    // (deferred-v2 per-stream clocks make the cmd FSM independent of
+    // literal values) and the command script is recorded instead.
+    bool structure = false;
+    int32_t* ops = nullptr;            // [cap][3]: see dtpu header comment
+    int32_t ops_cap = 0, n_ops = 0;
+    uint8_t* pool = nullptr;           // transformed dict word bytes
+    int32_t pool_cap = 0, pool_len = 0;
+    int64_t lit_total = 0;
+    int32_t pm_count = 0;
+
+    bool overflow = false;
+
+    bool push_op(int32_t ty, int32_t a, int32_t b) {
+        if (n_ops >= ops_cap) { err = true; overflow = true; return false; }
+        int32_t* r = ops + (int64_t)n_ops * 3;
+        r[0] = ty; r[1] = a; r[2] = b;
+        ++n_ops;
+        return true;
+    }
     // deferred-v2: per-stream chunk clocks (ds = cmd, ds_lit = lit;
     // mixer weights live on the lit clock) and self-fed literal history
     DeferredState ds;      // ds.chunk > 0 = deferred profile
     DeferredState ds_lit;
+    std::vector<uint64_t> recip;  // per-committed-row division cache
     int32_t lit_prev = 0, lit_prev2 = 0;
+
+    void init_recip(int32_t num_rows) {
+        recip.assign((size_t)num_rows,
+                     ((1ULL << 45) + CDF_INIT.c[15] - 1)
+                         / (uint64_t)CDF_INIT.c[15]);
+        ds.recip = &recip;
+        ds_lit.recip = &recip;
+    }
 
     int32_t nib(int32_t flat, int32_t inc, int32_t lim, AnsDec& ans) {
         Cdf& row = model[flat];  // committed snapshot in deferred mode
         int32_t off = ans.peek();
         int32_t sym = offset_to_sym(row, off);
         int32_t start, freq;
-        sym_to_start_freq(row, sym, &start, &freq);
-        ans.advance(start, freq);
         DeferredState& d = (&ans == &lit) ? ds_lit : ds;
         if (d.chunk) {
+            // rows are frozen within a chunk: cached-reciprocal division
+            sym_to_start_freq_r(row, recip[flat], sym, &start, &freq);
+            ans.advance(start, freq);
             d.record_blend(flat, sym, inc, lim);
             d.tick();
-        } else if (inc) {
-            blend(row, sym, inc, lim);
+        } else {
+            sym_to_start_freq(row, sym, &start, &freq);
+            ans.advance(start, freq);
+            if (inc) blend(row, sym, inc, lim);
         }
         return sym;
     }
@@ -548,8 +635,13 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
                 sym_to_start_freq(mixed, sym, &start, &freq);
                 c.lit.advance(start, freq);
                 int32_t s1, p_cm, s2, p_nib;
-                sym_to_start_freq(crow, sym, &s1, &p_cm);
-                sym_to_start_freq(nrow, sym, &s2, &p_nib);
+                if (c.ds_lit.chunk) {
+                    sym_to_start_freq_r(crow, c.recip[cf], sym, &s1, &p_cm);
+                    sym_to_start_freq_r(nrow, c.recip[nf], sym, &s2, &p_nib);
+                } else {
+                    sym_to_start_freq(crow, sym, &s1, &p_cm);
+                    sym_to_start_freq(nrow, sym, &s2, &p_nib);
+                }
                 if (c.ds_lit.chunk) {
                     int32_t a0, a1;
                     weight_adjustments(p_cm, p_nib, freq, &a0, &a1);
@@ -580,6 +672,7 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
 
 static void decode_prediction_mode(DecCtx& c) {
     const int32_t* seg = c.seg;
+    c.pm_count++;
     int32_t pm = c.nib(seg[SEG_PM_ONLY], sMED[0], sMED[1], c.cmd);
     if (pm != 3) { c.err = true; return; }  // only utf8 in this profile
     int32_t mix = c.nib(seg[SEG_PM_DCM], sMED[0], sMED[1], c.cmd);
@@ -643,45 +736,11 @@ static void decode_prediction_mode(DecCtx& c) {
     if (mv != (c.use_cm ? 0 : 1)) c.err = true;
 }
 
-// Serial decode of one metablock. Returns 0 ok, 1 out-of-profile/corrupt.
-// dict_*: the RFC 7932 static dictionary (divans_tpu/data/rfc7932_dict.bin
-// via native.py); dict_data may be null, in which case Dict commands are
-// out of profile (python fallback).
-int32_t dtpu_decode_metablock(
-        const uint8_t* cmd_bytes, int32_t cmd_n,
-        const uint8_t* lit_bytes, int32_t lit_n,
-        int32_t raw_len, int32_t use_cm, int32_t num_rows, int32_t chunk,
-        const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
-        const uint8_t* lut0, const uint8_t* lut1,
-        uint8_t* out_raw,
-        const uint8_t* dict_data, int32_t dict_size,
-        const uint32_t* dict_offsets, const uint8_t* dict_ps_pool,
-        const int32_t* dict_tr_meta, int32_t dict_ntr) {
-    DictRef dict;
-    dict.data = dict_data;
-    dict.data_size = dict_size;
-    dict.offsets = dict_offsets;
-    dict.ps_pool = dict_ps_pool;
-    dict.tr_meta = dict_tr_meta;
-    dict.ntr = dict_ntr;
-    DecCtx c;
-    c.model.assign((size_t)num_rows, CDF_INIT);
-    c.ds.chunk = chunk ? cmd_chunk(chunk) : 0;  // cmd-stream clock
-    c.ds_lit.chunk = chunk;                      // lit-stream clock
-    c.ds.committed = &c.model;
-    c.ds_lit.committed = &c.model;
-    c.cmd.init(cmd_bytes, cmd_n);
-    c.lit.init(lit_bytes, lit_n);
-    c.seg = seg_offsets;
-    c.lut0 = lut0;
-    c.lut1 = lut1;
-    c.nctx = nctx;
-    c.lo_shift = lo_shift;
-    c.use_cm = use_cm != 0;
-    c.out = out_raw;
-    c.raw_len = raw_len;
-    const int32_t* seg = seg_offsets;
-
+// Shared command-FSM decode loop: full decode (writes raw bytes) or
+// structure-only (records the command script; literal content untouched).
+static int32_t decode_loop(DecCtx& c, const DictRef& dict) {
+    const int32_t* seg = c.seg;
+    const int32_t raw_len = c.raw_len;
     int64_t guard = 8LL * raw_len + 4096;
     while (!c.err) {
         if (guard-- < 0) return 1;
@@ -722,7 +781,14 @@ int32_t dtpu_decode_metablock(
                     c.last_llen = nbytes;
                 }
             }
-            decode_literal_content(c, nbytes);
+            if (c.structure) {
+                if (c.wpos + nbytes > raw_len
+                    || !c.push_op(0, nbytes, 0)) return 1;
+                c.wpos += nbytes;
+                c.lit_total += nbytes;
+            } else {
+                decode_literal_content(c, nbytes);
+            }
         } else if (nib == 0x1) {               // copy
             c.l4s = ((c.l4s >> 2) | 64) & 0xFF;
             int32_t cs_index = ((c.l4s >> 4) & 3)
@@ -818,9 +884,14 @@ int32_t dtpu_decode_metablock(
             }
             if (distance < 1 || distance > c.wpos
                 || c.wpos + nbytes > raw_len) return 1;
-            for (int32_t i = 0; i < nbytes; ++i) {
-                c.out[c.wpos] = c.out[c.wpos - distance];
-                c.wpos++;
+            if (c.structure) {
+                if (!c.push_op(1, distance, nbytes)) return 1;
+                c.wpos += nbytes;
+            } else {
+                for (int32_t i = 0; i < nbytes; ++i) {
+                    c.out[c.wpos] = c.out[c.wpos - distance];
+                    c.wpos++;
+                }
             }
         } else if (nib == 0x2) {               // dict word
             // engine_np.code_dict (codec/dict.rs:77-170); ctype = 0 (the
@@ -853,7 +924,17 @@ int32_t dtpu_decode_metablock(
             uint8_t word[64];
             int32_t wl = transform_word(dict, ws, wid, (hi << 4) | lo, word);
             if (wl < 0 || c.wpos + wl > raw_len) return 1;
-            memcpy(c.out + c.wpos, word, wl);
+            if (c.structure) {
+                if (c.pool_len + wl > c.pool_cap) {
+                    c.overflow = true;
+                    return 1;
+                }
+                if (!c.push_op(2, c.pool_len, wl)) return 1;
+                memcpy(c.pool + c.pool_len, word, wl);
+                c.pool_len += wl;
+            } else {
+                memcpy(c.out + c.wpos, word, wl);
+            }
             c.wpos += wl;
         } else {
             return 1;  // block switches: python fallback
@@ -861,6 +942,157 @@ int32_t dtpu_decode_metablock(
     }
     if (c.err || c.wpos != raw_len) return 1;
     return 0;
+}
+
+// Serial decode of one metablock. Returns 0 ok, 1 out-of-profile/corrupt.
+// dict_*: the RFC 7932 static dictionary (divans_tpu/data/rfc7932_dict.bin
+// via native.py); dict_data may be null, in which case Dict commands are
+// out of profile (python fallback).
+int32_t dtpu_decode_metablock(
+        const uint8_t* cmd_bytes, int32_t cmd_n,
+        const uint8_t* lit_bytes, int32_t lit_n,
+        int32_t raw_len, int32_t use_cm, int32_t num_rows, int32_t chunk,
+        const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
+        const uint8_t* lut0, const uint8_t* lut1,
+        uint8_t* out_raw,
+        const uint8_t* dict_data, int32_t dict_size,
+        const uint32_t* dict_offsets, const uint8_t* dict_ps_pool,
+        const int32_t* dict_tr_meta, int32_t dict_ntr) {
+    DictRef dict;
+    dict.data = dict_data;
+    dict.data_size = dict_size;
+    dict.offsets = dict_offsets;
+    dict.ps_pool = dict_ps_pool;
+    dict.tr_meta = dict_tr_meta;
+    dict.ntr = dict_ntr;
+    DecCtx c;
+    c.model.assign((size_t)num_rows, CDF_INIT);
+    c.ds.chunk = chunk ? cmd_chunk(chunk) : 0;  // cmd-stream clock
+    c.ds_lit.chunk = chunk;                      // lit-stream clock
+    c.ds.committed = &c.model;
+    c.ds_lit.committed = &c.model;
+    if (chunk) {
+        c.ds.init_rows(num_rows);
+        c.ds_lit.init_rows(num_rows);
+        c.init_recip(num_rows);
+    }
+    c.cmd.init(cmd_bytes, cmd_n);
+    c.lit.init(lit_bytes, lit_n);
+    c.seg = seg_offsets;
+    c.lut0 = lut0;
+    c.lut1 = lut1;
+    c.nctx = nctx;
+    c.lo_shift = lo_shift;
+    c.use_cm = use_cm != 0;
+    c.out = out_raw;
+    c.raw_len = raw_len;
+    return decode_loop(c, dict);
+}
+
+// Cmd-structure decode — the host half of the 2-stage device decode
+// (match: the reference's cmd-decode worker thread,
+// /root/reference/src/parallel_decompressor.rs:99-133 feeding
+// src/codec/decoder.rs:120-163).  Decodes the cmd stream ONLY (valid for
+// deferred-v2 streams, whose per-stream chunk clocks decouple it from
+// literal values) and emits the command script:
+//   ops[i] = {0, lit_len, 0} | {1, distance, copy_len} | {2, pool_off, len}
+// with transformed dict-word bytes appended to pool_out.
+// info_out[16]: [0]=lit_total, [1]=combine(mixing on), [2]=pm_count,
+// [3..10]=adapt speeds (inc,lim)x4, [11]=pool_len.
+// Returns n_ops >= 0, or -1 (corrupt / out of profile -> caller falls back).
+int32_t dtpu_decode_cmd_structure(
+        const uint8_t* cmd_bytes, int32_t cmd_n,
+        int32_t raw_len, int32_t use_cm, int32_t num_rows, int32_t chunk,
+        const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
+        const uint8_t* lut0, const uint8_t* lut1,
+        const uint8_t* dict_data, int32_t dict_size,
+        const uint32_t* dict_offsets, const uint8_t* dict_ps_pool,
+        const int32_t* dict_tr_meta, int32_t dict_ntr,
+        int32_t* ops_out, int32_t ops_cap,
+        uint8_t* pool_out, int32_t pool_cap,
+        int32_t* info_out) {
+    DictRef dict;
+    dict.data = dict_data;
+    dict.data_size = dict_size;
+    dict.offsets = dict_offsets;
+    dict.ps_pool = dict_ps_pool;
+    dict.tr_meta = dict_tr_meta;
+    dict.ntr = dict_ntr;
+    DecCtx c;
+    c.model.assign((size_t)num_rows, CDF_INIT);
+    c.ds.chunk = chunk ? cmd_chunk(chunk) : 0;
+    c.ds_lit.chunk = chunk;
+    c.ds.committed = &c.model;
+    c.ds_lit.committed = &c.model;
+    if (chunk) {
+        c.ds.init_rows(num_rows);
+        c.ds_lit.init_rows(num_rows);
+        c.init_recip(num_rows);
+    }
+    c.cmd.init(cmd_bytes, cmd_n);
+    c.lit.init(nullptr, 0);
+    c.seg = seg_offsets;
+    c.lut0 = lut0;
+    c.lut1 = lut1;
+    c.nctx = nctx;
+    c.lo_shift = lo_shift;
+    c.use_cm = use_cm != 0;
+    c.out = nullptr;
+    c.raw_len = raw_len;
+    c.structure = true;
+    c.ops = ops_out;
+    c.ops_cap = ops_cap;
+    c.pool = pool_out;
+    c.pool_cap = pool_cap;
+    if (decode_loop(c, dict) != 0) return c.overflow ? -2 : -1;
+    info_out[0] = (int32_t)c.lit_total;
+    info_out[1] = c.combine ? 1 : 0;
+    info_out[2] = c.pm_count;
+    for (int i = 0; i < 4; ++i) {
+        info_out[3 + 2 * i] = c.adapt[i][0];
+        info_out[4 + 2 * i] = c.adapt[i][1];
+    }
+    info_out[11] = c.pool_len;
+    for (int i = 12; i < 16; ++i) info_out[i] = 0;
+    return c.n_ops;
+}
+
+// Replay a command script with device-decoded literal bytes (the host
+// tail of the 2-stage decode; memcpy speed).  Returns 0 ok, 1 corrupt.
+int32_t dtpu_execute_script(const int32_t* ops, int32_t n_ops,
+                            const uint8_t* lit, int64_t lit_n,
+                            const uint8_t* pool, int32_t pool_len,
+                            uint8_t* out, int32_t raw_len) {
+    int64_t wpos = 0, lpos = 0;
+    for (int32_t i = 0; i < n_ops; ++i) {
+        const int32_t* op = ops + (int64_t)i * 3;
+        if (op[0] == 0) {                       // literal run
+            int32_t n = op[1];
+            if (n < 0 || lpos + n > lit_n || wpos + n > raw_len) return 1;
+            memcpy(out + wpos, lit + lpos, n);
+            lpos += n;
+            wpos += n;
+        } else if (op[0] == 1) {                // copy
+            int32_t d = op[1], n = op[2];
+            if (d < 1 || d > wpos || n < 0 || wpos + n > raw_len) return 1;
+            if (d >= n) {
+                memcpy(out + wpos, out + wpos - d, n);
+                wpos += n;
+            } else {
+                for (int32_t k = 0; k < n; ++k, ++wpos)
+                    out[wpos] = out[wpos - d];
+            }
+        } else if (op[0] == 2) {                // dict word from pool
+            int32_t off = op[1], n = op[2];
+            if (off < 0 || n < 0 || off + n > pool_len
+                || wpos + n > raw_len) return 1;
+            memcpy(out + wpos, pool + off, n);
+            wpos += n;
+        } else {
+            return 1;
+        }
+    }
+    return wpos == raw_len ? 0 : 1;
 }
 
 }  // extern "C"
