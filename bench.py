@@ -170,10 +170,14 @@ def main():
     lit_counts = jnp.asarray(np.array([t.shape[0] for t in lit_ts], np.int32))
     lit_spd = jnp.asarray(jax_engine.lit_speeds_from_traces(lit_ts))
     assert jax_engine._lit_pass_usable(layout, lit_ts)
+    cspd = jax_engine.cmd_speeds_from_rows(cmd_ts, r_cmd)
+    assert cspd is not None
+    cmd_inc, cmd_lim = jnp.asarray(cspd[0]), jnp.asarray(cspd[1])
 
     @jax.jit
     def encode_step(cmd_pad, lit_pad, cmd_counts, lit_counts, lit_spd):
-        cs, cf = jax_engine.model_pass_deferred(cmd_pad, r_cmd, s_cmd)
+        cs, cf = jax_engine.model_pass_deferred_cmd(cmd_pad, cmd_inc,
+                                                    cmd_lim, r_cmd, s_cmd)
         ls, lf = jax_engine.model_pass_deferred_lit(lit_pad, lit_spd,
                                                     r_lit, CHUNK)
         acc = jnp.int32(0)

@@ -272,6 +272,99 @@ def model_pass_deferred(trace, num_rows, chunk):
     return starts, freqs
 
 
+def cmd_speeds_from_rows(cmd_ts: list[np.ndarray], num_rows: int):
+    """Per-row (inc, lim) for the cmd stream, verified constant.
+
+    On the cmd stream every coding site uses a fixed speed per model row
+    (the FSM's MUD/SLOW/MED/FAST/ROCKET constants — trace_builder.cpp /
+    codec/trace.py), so the deferred boundary histogram only needs per-row
+    *counts*.  Returns (inc_row, lim_row) int32[num_rows], or None when
+    any row is observed with two different speeds (caller uses the
+    generic pass) or any step mixes."""
+    inc_row = np.zeros(num_rows, np.int64)
+    lim_row = np.zeros(num_rows, np.int64)
+    for t in cmd_ts:
+        if t.shape[0] == 0:
+            continue
+        if (t[:, 5] != 0).any():
+            return None  # mixing on the cmd stream: not this pass
+        live = t[t[:, 3] != 0]
+        rows, inc, lim = live[:, 0], live[:, 3], live[:, 4]
+        seen = inc_row[rows] != 0
+        if ((inc_row[rows] != inc) & seen).any() \
+                or ((lim_row[rows] != lim) & seen).any():
+            return None
+        inc_row[rows] = inc
+        lim_row[rows] = lim
+    return inc_row.astype(np.int32), lim_row.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows", "chunk"))
+def model_pass_deferred_cmd(trace, inc_row, lim_row, num_rows, chunk):
+    """Deferred cmd-stream pass specialized to row-constant speeds.
+
+    Byte-identical to model_pass_deferred on cmd sub-traces, but exploits
+    the cmd stream's structure — no mixing (mix == 0 on every step) and
+    (inc, lim) a pure function of the row — so the [B, 2S, R] onehot and
+    35-wide contrib matmul of the generic pass collapse to ONE [B, S, R]
+    onehot (shared by the fetch and a 16-wide count matmul): ~4x less MXU
+    work and ~2x less HBM for the encode's wall stage (PERF_NOTES r2:
+    cmd nibbles ~8x lit nibbles on text)."""
+    b, n = trace.shape[:2]
+    assert n % chunk == 0, (n, chunk)
+    r = num_rows
+    s = chunk
+    cdf_init = jnp.asarray(np.asarray(cdf16.CDF_INIT, np.int32))
+
+    committed0 = jnp.broadcast_to(cdf_init, (b, r, 16))
+    weights0 = _weights_init(b)
+    pend0 = {
+        "add": jnp.zeros((b, r, 16), jnp.int32),
+        "limsum": jnp.zeros((b, r), jnp.int32),
+        "cnt": jnp.zeros((b, r), jnp.int32),
+        "wadj": jnp.zeros((b, 2, 2), jnp.int32),
+    }
+    dn = (((1,), (1,)), ((0,), (0,)))
+    row_iota = jnp.arange(r, dtype=jnp.int32)[None, None, :]
+    i16v = jnp.arange(16, dtype=jnp.int32)[None, None, :]
+    zwadj = jnp.zeros((b, 2, 2), jnp.int32)
+
+    def step(carry, xs):
+        committed, weights, pend = carry
+        flat = xs[:, :, 0]
+        value = xs[:, :, 1]
+        inc = xs[:, :, 3]
+        act = inc != 0
+        oh = ((row_iota == flat[:, :, None])
+              & act[:, :, None]).astype(jnp.bfloat16)             # [B, S, R]
+        rows = _onehot_mm_b(oh, committed)                        # [B, S, 16]
+        rows = jnp.where(act[:, :, None], rows, cdf_init)
+        start, freq = cdf16.sym_to_start_freq(rows, value, xp=jnp)
+
+        # per-row count histogram -> pend (the generic histogram's values
+        # for single-speed rows: add = inc*cumsum, lim_eff = lim)
+        vh = (i16v == value[:, :, None]).astype(jnp.bfloat16)
+        cnt = jax.lax.dot_general(
+            oh, vh, dn,
+            preferred_element_type=jnp.float32).astype(jnp.int32)  # [B, R, 16]
+        tot = jnp.sum(cnt, axis=2)
+        new_pend = {
+            "add": inc_row[None, :, None] * jnp.cumsum(cnt, axis=2),
+            "limsum": lim_row[None, :] * tot,
+            "cnt": tot,
+            "wadj": zwadj,
+        }
+        committed, weights = _apply_pend(committed, weights, pend)
+        return (committed, weights, new_pend), (start, freq)
+
+    xs = jnp.swapaxes(trace, 0, 1).reshape(n // chunk, chunk, b, 10)
+    xs = jnp.swapaxes(xs, 1, 2)
+    _, (starts, freqs) = jax.lax.scan(step, (committed0, weights0, pend0), xs)
+    starts = jnp.swapaxes(starts, 0, 1).reshape(b, n)
+    freqs = jnp.swapaxes(freqs, 0, 1).reshape(b, n)
+    return starts, freqs
+
+
 @functools.partial(jax.jit, static_argnames=("num_rows", "chunk"))
 def model_pass_deferred_lit(trace, spd, num_rows, chunk):
     """Deferred-v2 lit-stream pass specialized to the bucketed cm profile.
@@ -505,6 +598,11 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
         elif sid == 1 and lit_fast:
             spd = jnp.asarray(lit_speeds_from_traces(lit_ts))
             st, fr = model_pass_deferred_lit(padded, spd, num_rows, s)
+        elif sid == 0 and (cspd := cmd_speeds_from_rows(cmd_ts,
+                                                        num_rows)) is not None:
+            st, fr = model_pass_deferred_cmd(padded, jnp.asarray(cspd[0]),
+                                             jnp.asarray(cspd[1]),
+                                             num_rows, s)
         else:
             st, fr = model_pass_deferred(padded, num_rows, s)
         out.append((np.asarray(st), np.asarray(fr)))

@@ -157,3 +157,31 @@ def test_lit_pass_specialized_bit_equal():
     s2, f2 = jax_engine.model_pass_deferred_lit(padded, spd, r_lit, 64)
     assert (np.asarray(s1) == np.asarray(s2)).all()
     assert (np.asarray(f1) == np.asarray(f2)).all()
+
+
+def test_cmd_pass_specialized_bit_equal():
+    """model_pass_deferred_cmd (shared onehot + per-row count commits)
+    must be byte-identical to the generic deferred pass on cmd
+    sub-traces (cmd speeds are row-constant by construction)."""
+    import jax.numpy as jnp
+    from divans_tpu.ir.matcher import build_commands
+    from divans_tpu.codec import trace as trace_mod, jax_engine, deferred
+    from divans_tpu.codec.layout import ModelLayout, PROFILES
+
+    data = open("/root/reference/testdata/alice29", "rb").read()[:24000]
+    opts = DivansOptions(metablock_size=1 << 13, chunk_nibbles=64)
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+    traces = [trace_mod.build_trace(
+        data[o:o + (1 << 13)],
+        build_commands(data[o:o + (1 << 13)], opts), opts, layout)
+        for o in range(0, len(data), 1 << 13)]
+    cmd_ts, _, _, r_cmd, _ = jax_engine.split_stream_traces(traces, layout)
+    cspd = jax_engine.cmd_speeds_from_rows(cmd_ts, r_cmd)
+    assert cspd is not None
+    s_cmd = deferred.cmd_chunk(64)
+    padded = jnp.asarray(jax_engine._pad_traces(cmd_ts, multiple=s_cmd))
+    s1, f1 = jax_engine.model_pass_deferred(padded, r_cmd, s_cmd)
+    s2, f2 = jax_engine.model_pass_deferred_cmd(
+        padded, jnp.asarray(cspd[0]), jnp.asarray(cspd[1]), r_cmd, s_cmd)
+    assert (np.asarray(s1) == np.asarray(s2)).all()
+    assert (np.asarray(f1) == np.asarray(f2)).all()
