@@ -38,7 +38,8 @@ SEGS = ["cc", "ll_cs", "ll_beg", "ll_last", "ll_mant",
         "pm_only", "pm_dcm", "pm_pd", "pm_palette", "pm_mvmode",
         "pm_cmn", "pm_cf", "pm_cs",
         "lit_hi", "lit_lo", "cm_first", "cm_second",
-        "d_sbeg", "d_slast", "d_idx", "d_tr"]
+        "d_sbeg", "d_slast", "d_idx", "d_tr",
+        "pm_mix"]
 
 _lib = None
 
@@ -68,7 +69,6 @@ def load():
 def supports(options: DivansOptions) -> bool:
     """Can the native front-end produce this options profile?"""
     return (options.quality < 11                # dict matching is Python-side
-            and options.force_stride_value == 0
             and options.prior_bitmask_detection == 0
             and options.prior_depth == 0
             and options.external_probs is None
@@ -107,6 +107,7 @@ def build_trace(raw: bytes, options: DivansOptions,
         1 if options.use_context_map else 0,
         min(options.dynamic_context_mixing, 7),
         options.prior_depth,
+        max(1, options.force_stride_value),
         adapt.ctypes.data_as(ctypes.c_void_p),
         seg.ctypes.data_as(ctypes.c_void_p), nctx, layout.lo_shift,
         1 if layout.lo_bucketed else 0,  # deferred-v2 self-fed lit history
@@ -312,8 +313,9 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     options = options or DivansOptions()
     if (options.stride_detection_quality or options.speed_detection_quality
             or options.force_stride_value):
-        # resolve detection before supports(): a detected stride > 1
-        # means the stride profile, which stays on the Python engines
+        # resolve detection before profile selection: a detected stride
+        # > 1 selects the stride profile (native handles any constant
+        # stride; only explicit per-context masks stay Python-side)
         from .ir.detect import apply_detection
         options = apply_detection(data, options)
     if load() is None or not supports(options):

@@ -459,7 +459,8 @@ struct DecCtx {
     DeferredState ds;      // ds.chunk > 0 = deferred profile
     DeferredState ds_lit;
     std::vector<uint64_t> recip;  // per-committed-row division cache
-    int32_t lit_prev = 0, lit_prev2 = 0;
+    uint64_t l8 = 0;       // last 8 literal bytes, newest in the top 8
+    int32_t stride = 1;    // constant mask 4+s-1 (mv_mode 1/3), cm off
 
     void init_recip(int32_t num_rows) {
         recip.assign((size_t)num_rows,
@@ -500,6 +501,7 @@ enum Seg {
     SEG_PM_CMN, SEG_PM_CF, SEG_PM_CS,
     SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
     SEG_D_SBEG, SEG_D_SLAST, SEG_D_IDX, SEG_D_TR,
+    SEG_PM_MIX,
     SEG_COUNT
 };
 
@@ -600,10 +602,11 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
         if (c.wpos >= c.raw_len) { c.err = true; return; }
         // deferred-v2 streams feed literal history from the literal
         // stream itself; adaptive streams use the window (reference)
-        int32_t prev = c.ds.chunk ? c.lit_prev
-                                  : (c.wpos >= 1 ? c.out[c.wpos - 1] : 0);
-        int32_t prev2 = c.ds.chunk ? c.lit_prev2
-                                   : (c.wpos >= 2 ? c.out[c.wpos - 2] : 0);
+        bool self_fed = c.ds.chunk != 0;
+        int32_t prev = self_fed ? (int32_t)((c.l8 >> 0x38) & 0xFF)
+                                : (c.wpos >= 1 ? c.out[c.wpos - 1] : 0);
+        int32_t prev2 = self_fed ? (int32_t)((c.l8 >> 0x30) & 0xFF)
+                                 : (c.wpos >= 2 ? c.out[c.wpos - 2] : 0);
         int32_t ctx = c.use_cm ? (c.lut0[prev] | c.lut1[prev2]) : 0;
         int32_t hi_flat, lo_base;
         // deferred layouts bucket the lo-nibble ctx (engine_np.py)
@@ -612,8 +615,13 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
             hi_flat = seg[SEG_LIT_HI] + ctx;
             lo_base = seg[SEG_LIT_LO] + ctx_lo * 16;
         } else {
-            hi_flat = seg[SEG_LIT_HI] + prev;
-            lo_base = seg[SEG_LIT_LO] + prev * 16;
+            // stride-s prior (engine_np._literal_nibble stride_offset)
+            int32_t s = c.stride;
+            int32_t sb = self_fed
+                ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3))) & 0xFF)
+                : (c.wpos >= s ? c.out[c.wpos - s] : 0);
+            hi_flat = seg[SEG_LIT_HI] + sb;
+            lo_base = seg[SEG_LIT_LO] + sb * 16;
         }
         int32_t hi = 0, lo = 0;
         if (c.combine) {
@@ -665,8 +673,7 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
             lo = c.nib(lo_base + hi, c.adapt[0][0], c.adapt[0][1], c.lit);
         }
         c.out[c.wpos++] = (uint8_t)((hi << 4) | lo);
-        c.lit_prev2 = c.lit_prev;
-        c.lit_prev = (hi << 4) | lo;
+        c.l8 = (c.l8 >> 8) | ((uint64_t)((hi << 4) | lo) << 0x38);
     }
 }
 
@@ -733,7 +740,19 @@ static void decode_prediction_mode(DecCtx& c) {
         if (which == 0 && idx == limit && !c.use_cm) { c.err = true; return; }
     }
     int32_t mv = c.nib(seg[SEG_PM_MVMODE], sMED[0], sMED[1], c.cmd);
-    if (mv != (c.use_cm ? 0 : 1)) c.err = true;
+    if (c.use_cm) {
+        if (mv != 0) c.err = true;        // cm profile: all-zero mask
+    } else if (mv == 1) {
+        c.stride = 1;                      // all-fours mask: stride 1
+    } else if (mv == 3) {
+        // constant mask value 4+s-1 (engine_np mv_mode=3 + one nibble)
+        static const int32_t sPLANE[2] = {0x80, 0x4000};
+        int32_t v = c.nib(seg[SEG_PM_MIX] + 16, sPLANE[0], sPLANE[1], c.cmd);
+        if (v < 4) { c.err = true; return; }  // opt1/fast_cm masks: python
+        c.stride = (v ^ 4) < 7 ? (v ^ 4) + 1 : 8;
+    } else {
+        c.err = true;                      // explicit/per-btype: python
+    }
 }
 
 // Shared command-FSM decode loop: full decode (writes raw bytes) or

@@ -137,7 +137,9 @@ enum Seg {
     SEG_PM_ONLY, SEG_PM_DCM, SEG_PM_PD, SEG_PM_PALETTE, SEG_PM_MVMODE,
     SEG_PM_CMN, SEG_PM_CF, SEG_PM_CS,
     SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
-    SEG_COUNT
+    SEG_D_SBEG, SEG_D_SLAST, SEG_D_IDX, SEG_D_TR,  // (decoder-only segs,
+    SEG_PM_MIX,                                    //  kept for index parity
+    SEG_COUNT                                      //  with codec_core.cpp)
 };
 
 
@@ -289,7 +291,7 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
 
 struct Speed { int32_t inc, lim; };
 static const Speed MUD{0x10, 0x2000}, SLOW{0x20, 0x1000}, MED{0x30, 0x4000},
-    FAST{0x60, 0x4000}, ROCKET{0x180, 0x4000};
+    FAST{0x60, 0x4000}, PLANE{0x80, 0x4000}, ROCKET{0x180, 0x4000};
 static const int32_t NOOP_LIM = 0x4000;
 
 struct TraceCtx {
@@ -310,7 +312,9 @@ struct TraceCtx {
     int32_t nctx;              // layout cm_second minor dim
     int32_t lo_shift = 0;      // deferred layouts bucket lo ctx 64 -> 8
     int32_t self_fed = 0;      // deferred-v2: lit history = lit bytes only
-    int32_t lit_prev = 0, lit_prev2 = 0;
+    uint64_t l8 = 0;           // last 8 literal bytes, newest in the top 8
+    int32_t stride = 1;        // EFFECTIVE stride (min(7, v^4) + 1), cm off
+    int32_t mv_value = 0;      // wire mask value v = 4 + min(7, s-1)
 };
 
 static inline void rec(TraceCtx& c, int32_t flat, int32_t value,
@@ -351,14 +355,14 @@ static void code_literal_content(TraceCtx& c, const uint8_t* raw,
     for (int32_t k = 0; k < nbytes; ++k) {
         int32_t p = pos + k;
         // deferred-v2 streams feed literal history from the literal
-        // stream itself; adaptive streams use the window (reference)
-        int32_t prev = c.self_fed ? c.lit_prev
+        // stream itself; adaptive streams use the window (reference).
+        // On the encode side window bytes ARE raw bytes, so the window
+        // reads index raw[] directly.
+        int32_t prev = c.self_fed ? (int32_t)((c.l8 >> 0x38) & 0xFF)
                                   : (p >= 1 ? raw[p - 1] : 0);
-        int32_t prev2 = c.self_fed ? c.lit_prev2
+        int32_t prev2 = c.self_fed ? (int32_t)((c.l8 >> 0x30) & 0xFF)
                                    : (p >= 2 ? raw[p - 2] : 0);
         int32_t byte = raw[p];
-        c.lit_prev2 = c.lit_prev;
-        c.lit_prev = byte;
         int32_t hi = byte >> 4, lo = byte & 0xF;
         if (c.use_cm) {   // mm_opts == 0: ctx-indexed tables, sel 0
             int32_t ctx = c.lut0[prev] | c.lut1[prev2];  // identity lcm
@@ -375,9 +379,14 @@ static void code_literal_content(TraceCtx& c, const uint8_t* raw,
                 rec(c, hi_flat, hi, 1, c.adapt[0]);
                 rec(c, lo_flat, lo, 1, c.adapt[0]);
             }
-        } else {          // mm_opts == 4: stride-1 prior, sel 1, ctx 0
-            int32_t hi_flat = seg[SEG_LIT_HI] + prev;
-            int32_t lo_flat = seg[SEG_LIT_LO] + prev * 16 + hi;
+        } else {          // mm_opts == 4+s-1: stride-s prior, sel 1, ctx 0
+            // engine_np._literal_nibble: stride_byte = l8 byte s back
+            int32_t s = c.stride;
+            int32_t sb = c.self_fed
+                ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3))) & 0xFF)
+                : (p >= s ? raw[p - s] : 0);
+            int32_t hi_flat = seg[SEG_LIT_HI] + sb;
+            int32_t lo_flat = seg[SEG_LIT_LO] + sb * 16 + hi;
             if (c.combine) {
                 rec(c, hi_flat, hi, 1, c.adapt[0], 1, 1,
                     seg[SEG_CM_FIRST] + 0, c.adapt[3]);
@@ -388,6 +397,7 @@ static void code_literal_content(TraceCtx& c, const uint8_t* raw,
                 rec(c, lo_flat, lo, 1, c.adapt[0]);
             }
         }
+        c.l8 = (c.l8 >> 8) | ((uint64_t)byte << 0x38);
     }
 }
 
@@ -573,7 +583,10 @@ static void code_prediction_mode(TraceCtx& c, int32_t mixing,
     code_map(0, c.use_cm ? 64 : 0);
     reset_lru();
     code_map(1, c.use_cm ? 4 : 0);
-    rec(c, seg[SEG_PM_MVMODE], c.use_cm ? 0 : 1, 0, MED);
+    int32_t mv_mode = c.use_cm ? 0 : (c.stride == 1 ? 1 : 3);
+    rec(c, seg[SEG_PM_MVMODE], mv_mode, 0, MED);
+    if (mv_mode == 3)  // constant mask value 4+min(7,s-1) (engine_np)
+        rec(c, seg[SEG_PM_MIX] + 16, c.mv_value, 0, PLANE);
 }
 
 // Build the full per-metablock trace. matches: triples from dtpu_match.
@@ -582,6 +595,7 @@ int32_t dtpu_build_trace(
         const uint8_t* raw, int32_t raw_len,
         const Match* matches, int32_t n_matches,
         int32_t use_cm, int32_t mixing, int32_t prior_depth,
+        int32_t stride,               // constant literal stride (cm off)
         const int32_t* adapt_speeds,  // [4][2] inc,lim
         const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
         int32_t self_fed,
@@ -590,6 +604,16 @@ int32_t dtpu_build_trace(
     TraceCtx c{};
     c.lo_shift = lo_shift;
     c.self_fed = self_fed;
+    // The wire carries mask value v = 4 + min(7, s-1) and the engine
+    // fetches min(7, v^4) + 1 back (engine_np stride_offset) — so the
+    // EFFECTIVE stride for s in 5..7 is 8 (v^4 jumps to 12..14).  Mirror
+    // that exactly or traces diverge from the golden twin.
+    if (stride > 1) {
+        int32_t v = 4 + (stride - 1 < 7 ? stride - 1 : 7);
+        int32_t x = v ^ 4;
+        c.stride = x < 7 ? x + 1 : 8;
+        c.mv_value = v;
+    }
     c.seg = seg_offsets;
     c.out = out;
     c.cap = out_cap;

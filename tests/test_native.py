@@ -142,3 +142,51 @@ def test_native_decodes_q11_dict_streams():
     from divans_tpu.ir import commands as cmds
     assert any(isinstance(c, cmds.Dict)
                for c in build_commands(data, DivansOptions(quality=11)))
+
+
+def _stride_fixture(n=6000):
+    rng = np.random.default_rng(7)
+    rec = np.zeros((n, 4), np.uint8)
+    rec[:, 0] = np.arange(n) % 17
+    rec[:, 1] = (np.arange(n) // 7) % 251
+    rec[:, 2] = rng.integers(0, 8, n)
+    rec[:, 3] = 0x42
+    return rec.tobytes()
+
+
+@pytest.mark.parametrize("chunk", [0, 256])
+@pytest.mark.parametrize("fs", [2, 4, 8])
+def test_stride_traces_and_roundtrip(chunk, fs):
+    """Constant-stride streams (mv_mode=3) on the native fast path:
+    traces identical to the Python twin, native decode bit-exact, golden
+    decode agrees (VERDICT r2 item 4)."""
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    data = _stride_fixture()
+    opts = DivansOptions(force_stride_value=fs, use_context_map=False,
+                         metablock_size=1 << 15, chunk_nibbles=chunk)
+    layout = ModelLayout(PROFILES["stride"], lo_bucketed=chunk > 0)
+    tn = native.build_trace(data, opts, layout)
+    assert tn is not None
+    tp = trace_mod.build_trace(data, build_commands(data, opts), opts, layout)
+    assert tn.shape == tp.shape and (tn == tp).all()
+    blob = native.compress(data, opts)
+    assert blob is not None
+    assert native.decompress(blob) == data
+    assert engine_np.decompress(blob) == data
+
+
+def test_stride_detection_stays_native():
+    """Detected-stride streams encode AND decode natively — detection's
+    ratio win no longer costs the golden fallback."""
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    data = _stride_fixture()
+    opts = DivansOptions(stride_detection_quality=2,
+                         metablock_size=1 << 15, chunk_nibbles=256)
+    blob = native.compress(data, opts)
+    assert blob is not None  # would be None if detection forced a fallback
+    assert native.decompress(blob) == data
+    base = native.compress(data, DivansOptions(metablock_size=1 << 15,
+                                               chunk_nibbles=256))
+    assert len(blob) < 0.7 * len(base)  # the stride model must actually win
