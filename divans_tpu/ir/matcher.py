@@ -128,7 +128,7 @@ def find_matches_optimal(data: bytes, quality: int):
             out.ctypes.data_as(ctypes.c_void_p), out.shape[0])
         if nm < 0:
             return None
-        return [tuple(int(x) for x in row) for row in out[:nm]]
+        return out[:nm].tolist()
 
     matches = parse(lit16, dist16)
     if matches is not None:
@@ -142,6 +142,22 @@ def find_matches_optimal(data: bytes, quality: int):
     # experimentation via research scripts.
 
 
+_DICT_PREFIX4 = None
+
+
+def _dict_prefix4():
+    """Sorted uint32 array of the big-endian 4-byte prefixes of every
+    index key — a vectorized prefilter so per-position dict probing only
+    pays the Python dict.get at positions that can possibly hit."""
+    global _DICT_PREFIX4
+    if _DICT_PREFIX4 is None:
+        import numpy as np
+        keys = _dict_index().keys()
+        _DICT_PREFIX4 = np.unique(np.frombuffer(
+            b"".join(k[:4] for k in keys), ">u4")) if keys else             np.zeros(0, ">u4")
+    return _DICT_PREFIX4
+
+
 def _dict_candidate_arrays(data):
     """Per-position static-dictionary edge (final length + estimated cost
     in 1/16 bits) for the DP; 0 length = no candidate."""
@@ -153,8 +169,15 @@ def _dict_candidate_arrays(data):
     dlen = np.zeros(n, np.int32)
     dcost = np.zeros(n, np.int32)
     index = _dict_index()
-    if index:
-        for i in range(n):
+    if index and n >= 4:
+        a = np.frombuffer(data, np.uint8).astype(np.uint32)
+        grams = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+        pref = _dict_prefix4()
+        pos = np.searchsorted(pref, grams)
+        cand = np.nonzero((pos < pref.shape[0])
+                          & (pref[np.minimum(pos, pref.shape[0] - 1)]
+                             == grams))[0]
+        for i in cand:
             for wl in (9, 8, 7, 6, 5, 4):
                 if i + wl <= n:
                     hit = index.get(data[i:i + wl])
@@ -299,7 +322,10 @@ def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
     if quality >= 11:
         opt = find_matches_optimal(data, quality)
         if opt is not None:
-            greedy = _find_matches_greedy(data, quality)
+            from .. import native
+            greedy = native.find_matches(data, quality)
+            if greedy is None:
+                greedy = _find_matches_greedy(data, quality)
             # selection only needs a representative prefix: both parses
             # measure over the same bytes, so the comparison stays fair
             # while the trace-build cost stays bounded per metablock
@@ -348,7 +374,9 @@ def _measured_total_bits(data, matches):
         opts = DivansOptions()
         layout = ModelLayout(PROFILES["cm"])
         commands = _commands_from_matches(data, matches, opts)
-        tr = trace_mod.build_trace(data, commands, opts, layout)
+        tr = native.build_trace_cmds(data, commands, opts, layout)
+        if tr is None:
+            tr = trace_mod.build_trace(data, commands, opts, layout)
         streams = native.encode_streams(tr, layout.num_rows, 256)
         if streams is not None:
             return 8.0 * (len(streams[0]) + len(streams[1]))

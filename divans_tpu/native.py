@@ -3,13 +3,15 @@
 The native library implements the LZ matcher and the trace-builder FSM —
 the host-side encode hot path (the reference's equivalent front-end is
 its Rust engine + the brotli encoder).  Encode covers the profiles our
-encoder emits mechanically (PM + Literal/Copy, identity context maps);
-q11's dict matching and the IR optimizer stay Python-side and feed the
-golden engine.  Decode covers everything our encoder can emit at any
-quality (incl. Dict commands, with the vendored RFC 7932 data passed
-into C++); only foreign streams (block switches, custom context maps)
-fall back to the golden engine.  Traces are asserted identical to the
-Python twin by tests/test_native.py.
+encoder emits: mechanical streams build straight from matches
+(dtpu_build_trace), while q11 / IR-optimizer streams route their
+Python-assembled command lists (dict edges included) through
+dtpu_build_trace_cmds — either way the rANS back-end is C++.  Decode
+covers everything our encoder can emit at any quality (incl. Dict
+commands, with the vendored RFC 7932 data passed into C++, and constant
+stride masks); only foreign streams (block switches, explicit
+per-context masks, custom context maps) fall back to the golden engine.
+Traces are asserted identical to the Python twin by tests/test_native.py.
 
 Builds on demand with `make -C native`; absence of a compiler simply
 disables the fast path.
@@ -115,6 +117,90 @@ def build_trace(raw: bytes, options: DivansOptions,
         lut1.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p), cap)
     assert ns >= 0, "trace buffer overflow"
+    return out[:ns]
+
+
+def find_matches(raw: bytes, quality: int) -> list | None:
+    """Greedy+lazy matches via dtpu_match (the ir/matcher.py twin);
+    None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(raw)
+    buf = (ctypes.c_uint8 * max(1, n)).from_buffer_copy(raw or b"\0")
+    matches = np.zeros((max(1, n // 4 + 8), 3), np.int32)
+    nm = lib.dtpu_match(buf, n, quality,
+                        matches.ctypes.data_as(ctypes.c_void_p),
+                        matches.shape[0])
+    assert nm >= 0, "match buffer overflow"
+    return matches[:nm].tolist()
+
+
+def _cmd_rows(commands, options) -> np.ndarray | None:
+    """Command list -> int32[n,5] rows for dtpu_build_trace_cmds, or None
+    when a command falls outside the native FSM (block switches, custom
+    PredictionMode fields)."""
+    from .ir import commands as cmds
+    from .ir.matcher import default_prediction_mode
+
+    if not commands or not isinstance(commands[0], cmds.PredictionMode):
+        return None
+    if commands[0] != default_prediction_mode(options):
+        return None  # detection masks / custom maps: python path
+    rows = np.zeros((len(commands) - 1, 5), np.int32)
+    for i, c in enumerate(commands[1:]):
+        if isinstance(c, cmds.Literal):
+            rows[i] = (0, len(c.data), 0, 0, 0)
+        elif isinstance(c, cmds.Copy):
+            rows[i] = (1, c.distance, c.num_bytes, 0, 0)
+        elif isinstance(c, cmds.Dict):
+            rows[i] = (2, c.word_size, c.word_id, c.transform, c.final_size)
+        else:
+            return None
+    return rows
+
+
+def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
+                     layout: ModelLayout) -> np.ndarray | None:
+    """Explicit command list -> int32[n,10] trace via the C++ FSM (covers
+    Dict commands — the q11 / IR-optimizer encode path)."""
+    lib = load()
+    if lib is None:
+        return None
+    rows = _cmd_rows(commands, options)
+    if rows is None:
+        return None
+    n = len(raw)
+    buf = (ctypes.c_uint8 * max(1, n)).from_buffer_copy(raw or b"\0")
+    seg = np.array([layout.idx(s, *([0] * len(layout.segments[s][1])))
+                    for s in SEGS], np.int32)
+    speeds = options.literal_adaptation or (MUD, MUD, Speed(8, 8192),
+                                            Speed(8, 8192))
+    adapt = np.array([[s.inc, s.lim] for s in speeds], np.int32)
+    lut0 = np.ascontiguousarray(
+        constants.literal_lut0(constants.LITERAL_PREDICTION_MODE_UTF8))
+    lut1 = np.ascontiguousarray(
+        constants.literal_lut1(constants.LITERAL_PREDICTION_MODE_UTF8))
+    cap = 4 * n + 16384
+    out = np.zeros((cap, 10), np.int32)
+    nctx = layout.segments["cm_second"][1][1]
+    lib.dtpu_build_trace_cmds.restype = ctypes.c_int32
+    ns = lib.dtpu_build_trace_cmds(
+        buf, n,
+        np.ascontiguousarray(rows).ctypes.data_as(ctypes.c_void_p),
+        rows.shape[0],
+        1 if options.use_context_map else 0,
+        min(options.dynamic_context_mixing, 7),
+        options.prior_depth,
+        max(1, options.force_stride_value),
+        adapt.ctypes.data_as(ctypes.c_void_p),
+        seg.ctypes.data_as(ctypes.c_void_p), nctx, layout.lo_shift,
+        1 if layout.lo_bucketed else 0,
+        lut0.ctypes.data_as(ctypes.c_void_p),
+        lut1.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if ns < 0:
+        return None
     return out[:ns]
 
 
@@ -318,7 +404,14 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
         # stride; only explicit per-context masks stay Python-side)
         from .ir.detect import apply_detection
         options = apply_detection(data, options)
-    if load() is None or not supports(options):
+    # command-level profile: the trace can come from an explicit command
+    # list (q11 DP with dict edges, IR-optimizer merges) even when the
+    # mechanical trace builder abstains
+    supports_cmds = (options.prior_bitmask_detection == 0
+                     and options.prior_depth == 0
+                     and options.external_probs is None
+                     and not options.block_split)
+    if load() is None or not (supports(options) or supports_cmds):
         return None
     from . import tracelog
     profile = profile_for_options(options)
@@ -332,6 +425,10 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
             if not raw:
                 break
             trace = build_trace(raw, options, layout)
+            if trace is None and supports_cmds:
+                from .ir.matcher import build_commands
+                trace = build_trace_cmds(raw, build_commands(raw, options),
+                                         options, layout)
             if trace is None:
                 return None
             cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk)

@@ -654,4 +654,104 @@ int32_t dtpu_build_trace(
     return c.overflow ? -1 : c.nsteps;
 }
 
+// ------------------------------------------- trace from a command array
+// The q11 / IR-optimizer front-end assembles commands in Python (DP with
+// dict edges, measured merges); this entry codes an explicit command
+// array — including Dict commands — so high-quality encodes stay on the
+// native back-end end-to-end (engine_np.code_dict is the Python twin,
+// codec/dict.rs:77-170 the reference).
+
+static const int32_t DICT_BITS_TB[25] = {0, 0, 0, 0, 10, 10, 11, 11, 10, 10,
+                                         10, 10, 10, 9, 9, 8, 7, 7, 8, 7,
+                                         7, 6, 6, 5, 5};
+
+static void code_dict_cmd(TraceCtx& c, int32_t ws, int32_t wid, int32_t tid) {
+    const int32_t* seg = c.seg;
+    int32_t ws_in = (ws - 4) < 15 ? (ws - 4) : 15;
+    rec(c, seg[SEG_D_SBEG], ws_in, 0, MUD);
+    if (ws_in == 15)
+        rec(c, seg[SEG_D_SLAST], (ws - 19) & 0xF, 0, MUD);
+    int32_t bits = DICT_BITS_TB[ws];
+    // identity distance cmap: prior = min(max(ws,2)-2, 3)
+    int32_t prior = (ws > 2 ? ws : 2) - 2;
+    if (prior > 3) prior = 3;
+    mantissa(c, seg[SEG_D_IDX] + prior * 5 + 0,
+             seg[SEG_D_IDX] + prior * 5 + (bits % 4) + 1,
+             wid, rum4(bits), 0, MUD, MUD);
+    rec(c, seg[SEG_D_TR] + (ws >> 1), tid >> 4, 0, FAST);
+    rec(c, seg[SEG_D_TR] + 16 + (tid >> 4), tid & 0xF, 0, FAST);
+}
+
+// cmd_rows: int32[n,5] = (type, a, b, c, d):
+//   0 Literal (a = len) | 1 Copy (a = dist, b = len)
+//   2 Dict (a = word_size, b = word_id, c = transform, d = final_size)
+// Returns n_steps, or -1 on overflow / malformed command.
+int32_t dtpu_build_trace_cmds(
+        const uint8_t* raw, int32_t raw_len,
+        const int32_t* cmd_rows, int32_t n_cmds,
+        int32_t use_cm, int32_t mixing, int32_t prior_depth,
+        int32_t stride,
+        const int32_t* adapt_speeds,
+        const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
+        int32_t self_fed,
+        const uint8_t* lut0, const uint8_t* lut1,
+        int32_t* out, int32_t out_cap) {
+    TraceCtx c{};
+    c.lo_shift = lo_shift;
+    c.self_fed = self_fed;
+    if (stride > 1) {
+        int32_t v = 4 + (stride - 1 < 7 ? stride - 1 : 7);
+        int32_t x = v ^ 4;
+        c.stride = x < 7 ? x + 1 : 8;
+        c.mv_value = v;
+    }
+    c.seg = seg_offsets;
+    c.out = out;
+    c.cap = out_cap;
+    c.lut0 = lut0;
+    c.lut1 = lut1;
+    c.use_cm = use_cm != 0;
+    c.combine = (mixing & 3) != 0;
+    c.nctx = nctx;
+    for (int i = 0; i < 4; ++i)
+        c.adapt[i] = Speed{adapt_speeds[2 * i], adapt_speeds[2 * i + 1]};
+
+    auto cmd_type = [&](int32_t nib) {
+        rec(c, c.seg[SEG_CC] + (c.l4s >> 4), nib, 0, ROCKET);
+    };
+    cmd_type(0x7);
+    code_prediction_mode(c, (mixing > 7 ? 7 : mixing) & 3, prior_depth);
+
+    int32_t pos = 0;
+    for (int32_t i = 0; i < n_cmds; ++i) {
+        const int32_t* r = cmd_rows + (int64_t)i * 5;
+        if (r[0] == 0) {                     // literal
+            int32_t len = r[1];
+            if (len <= 0 || pos + len > raw_len) return -1;
+            cmd_type(0x3);
+            c.l4s = ((c.l4s >> 2) | 128) & 0xFF;
+            code_literal(c, raw, pos, len);
+            pos += len;
+        } else if (r[0] == 1) {              // copy
+            cmd_type(0x1);
+            c.l4s = ((c.l4s >> 2) | 64) & 0xFF;
+            code_copy(c, r[1], r[2]);
+            pos += r[2];
+        } else if (r[0] == 2) {              // dict word
+            int32_t ws = r[1];
+            if (ws < 4 || ws > 24 || pos + r[4] > raw_len) return -1;
+            cmd_type(0x2);
+            c.l4s = ((c.l4s >> 2) | 192) & 0xFF;
+            code_dict_cmd(c, ws, r[2], r[3]);
+            pos += r[4];                      // transformed word length
+        } else {
+            return -1;
+        }
+        if (pos > raw_len) return -1;
+    }
+    if (pos != raw_len) return -1;
+    cmd_type(0xF);  // END
+    return c.overflow ? -1 : c.nsteps;
+}
+
 }  // extern "C"

@@ -75,10 +75,10 @@ def test_native_engine_full_path():
     blob = native.compress(data, opts)
     assert blob == engine_np.compress(data, opts)
     assert native.decompress(blob) == data
-    # q11 (dict commands) is out of native profile: compress returns None,
-    # golden-encoded streams still decode via the per-metablock fallback
+    # q11 (dict commands) routes through the command-array trace builder
+    # and stays byte-identical; golden-encoded streams decode natively too
     opts11 = DivansOptions(quality=11)
-    assert native.compress(data, opts11) is None
+    assert native.compress(data, opts11) == engine_np.compress(data, opts11)
     blob11 = engine_np.compress(data[:6000], opts11)
     assert native.decompress(blob11) == data[:6000]
 
@@ -190,3 +190,31 @@ def test_stride_detection_stays_native():
     base = native.compress(data, DivansOptions(metablock_size=1 << 15,
                                                chunk_nibbles=256))
     assert len(blob) < 0.7 * len(base)  # the stride model must actually win
+
+
+def test_q11_native_end_to_end():
+    """q11 (dict edges, DP parse) encodes natively via the command-array
+    trace builder: bytes identical to the golden engine, native decode
+    (VERDICT r2 item 6 — the 6.5 s Python q11 encode is now C++-backed)."""
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    data = open("/root/reference/testdata/alice29", "rb").read()[:40000]
+    opts = DivansOptions(quality=11)
+    blob = native.compress(data, opts)
+    assert blob is not None
+    assert blob == engine_np.compress(data, opts)
+    assert native.decompress(blob) == data
+
+
+def test_build_trace_cmds_matches_python_twin():
+    from divans_tpu.codec import trace as trace_mod
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    data = open("/root/reference/testdata/alice29", "rb").read()[:20000]
+    opts = DivansOptions(quality=11)
+    layout = ModelLayout(PROFILES["cm"])
+    commands = build_commands(data, opts)
+    tn = native.build_trace_cmds(data, commands, opts, layout)
+    assert tn is not None
+    tp = trace_mod.build_trace(data, commands, opts, layout)
+    assert tn.shape == tp.shape and (tn == tp).all()
