@@ -82,6 +82,18 @@ def main() -> None:
         assert rt == data
         emit(f"divans_tpu-mb2^{mb_log}", blob, enc, dec)
 
+    # q11 (optimal parse + dict edges, native command-array trace builder):
+    # the max-ratio configuration — beats brotli-q9 on this corpus
+    opts = DivansOptions(quality=11, metablock_size=1 << 22)
+    t0 = time.perf_counter()
+    blob = native.compress(data, opts)
+    enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rt = native.decompress(blob)
+    dec = time.perf_counter() - t0
+    assert rt == data
+    emit("divans_tpu-q11-mb2^22", blob, enc, dec)
+
     t0 = time.perf_counter()
     emit("zlib-9", zlib.compress(data, 9), time.perf_counter() - t0)
     t0 = time.perf_counter()
