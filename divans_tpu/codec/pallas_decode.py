@@ -460,31 +460,24 @@ def _collect_lit_batch(out, n_lits) -> list[bytes]:
     return [out[i, :n_lits[i]].tobytes() for i in range(len(n_lits))]
 
 
-def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
-                     lcmaps, speeds_list, chunk: int, layout,
-                     interpret: bool | None = None):
-    """Dispatch one ≤128-lane literal-decode scan; returns the device
-    array (async — jax dispatch returns before the kernel completes, so
-    callers can overlap host work before materializing)."""
+def pack_lit_lanes(lit_streams: list[bytes], n_lits: list[int],
+                   lcmaps, speeds_list, lanes: int = LANES):
+    """Pack literal streams + per-metablock model config into the kernel's
+    lane arrays (states, packed words, n_lit, lcmap_t, luts, spd).
+
+    `lanes` may be any multiple of 128 — the sharded decode step widens
+    the lane axis to n_devices * 128 (parallel/dist.sharded_decode_step).
+    Shapes are pow2-padded: Mosaic compiles are expensive (minutes) and
+    cached per shape, so shape diversity must stay bounded."""
     from .. import constants
 
     b = len(lit_streams)
-    assert b <= LANES, b
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    perm, offs = kernel_perm(layout)
-    lit_base = layout.segments["lit_hi"][0]
-    r_lit = layout.num_rows - lit_base + 1
-
-    states = np.zeros(LANES, np.int32)
-    n_lit = np.zeros(LANES, np.int32)
-    # pow2-pad the traced shapes: Mosaic compiles are expensive (minutes)
-    # and cached per shape, so shape diversity must stay bounded for the
-    # kernel to be selectable automatically. Over-run lanes/chunks are
-    # already the normal case (ragged n_lit) — outputs slice to n_lits.
+    assert b <= lanes, (b, lanes)
+    states = np.zeros(lanes, np.int32)
+    n_lit = np.zeros(lanes, np.int32)
     w_len = max(2, max((max(0, len(s) - 4) + 1) // 2 for s in lit_streams))
     w_len = 1 << (w_len - 1).bit_length()
-    words = np.zeros((LANES, w_len), np.int32)
+    words = np.zeros((lanes, w_len), np.int32)
     for i, s in enumerate(lit_streams):
         if len(s) >= 4:
             states[i] = int.from_bytes(s[:4], "little")
@@ -492,8 +485,8 @@ def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
             words[i, :ws.shape[0]] = ws
         n_lit[i] = n_lits[i]
     words = pack16(words)
-    lcmap_t = np.zeros((16, LANES), np.int32)
-    spd = np.zeros((LANES, 6), np.int32)
+    lcmap_t = np.zeros((16, lanes), np.int32)
+    spd = np.zeros((lanes, 6), np.int32)
     for i in range(b):
         lcmap_t[:, i] = pack6(np.asarray(lcmaps[i], np.int32)[:64])
         sp = speeds_list[i]
@@ -505,7 +498,22 @@ def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
         constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
     luts = np.repeat(pack6(np.concatenate([lut0, lut1]))[:, None],
                      LANES, axis=1)
+    return states, words, n_lit, lcmap_t, luts, spd
 
+
+def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
+                     lcmaps, speeds_list, chunk: int, layout,
+                     interpret: bool | None = None):
+    """Dispatch one ≤128-lane literal-decode scan; returns the device
+    array (async — jax dispatch returns before the kernel completes, so
+    callers can overlap host work before materializing)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    perm, offs = kernel_perm(layout)
+    lit_base = layout.segments["lit_hi"][0]
+    r_lit = layout.num_rows - lit_base + 1
+    states, words, n_lit, lcmap_t, luts, spd = pack_lit_lanes(
+        lit_streams, n_lits, lcmaps, speeds_list)
     s_bytes = chunk // 2
     n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
     n_chunks = 1 << (n_chunks - 1).bit_length()

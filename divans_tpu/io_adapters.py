@@ -46,11 +46,27 @@ class CompressorWriter(io.RawIOBase):
             self._started = True
 
     def _emit_block(self, raw: bytes) -> None:
-        from .codec import engine_np
-        from .ir.matcher import build_commands
         self._emit_header()
-        commands = build_commands(raw, self.options)
-        cmd_b, lit_b = engine_np.encode_metablock(raw, commands, self.options)
+        cmd_b = lit_b = None
+        if self.engine in ("auto", "native"):
+            from . import native
+            from .codec.layout import ModelLayout, PROFILES
+            layout = ModelLayout(
+                PROFILES[profile_for_options(self.options)])
+            trace = native.build_trace(raw, self.options, layout)
+            if trace is None and native.load() is not None:
+                from .ir.matcher import build_commands
+                trace = native.build_trace_cmds(
+                    raw, build_commands(raw, self.options), self.options,
+                    layout)
+            if trace is not None:
+                cmd_b, lit_b = native.encode_streams(trace, layout.num_rows)
+        if cmd_b is None:
+            from .codec import engine_np
+            from .ir.matcher import build_commands
+            commands = build_commands(raw, self.options)
+            cmd_b, lit_b = engine_np.encode_metablock(raw, commands,
+                                                      self.options)
         self.sink.write(fmt.write_frame(fmt.MetablockFrame(len(raw), cmd_b,
                                                            lit_b)))
         self._crc = crc32c(raw, self._crc)
@@ -63,6 +79,21 @@ class CompressorWriter(io.RawIOBase):
             self._emit_block(bytes(self._buf[:mb]))
             del self._buf[:mb]
         return len(data)
+
+    def flush(self) -> None:
+        """Mid-stream flush: everything written so far becomes decodable
+        by a reader NOW — the buffered remainder is emitted as a (short)
+        metablock frame.  The reference's analog is flush-at-any-byte
+        (src/interface.rs:104-143); here the resume granularity is one
+        frame, which a flush creates on demand.  Flushing early costs
+        ratio (a fresh model per frame), exactly like the reference's
+        flush costs a coder reset."""
+        if self._finished:
+            return  # no-op after flush_final (io.IOBase.close flushes)
+        self._emit_header()
+        if self._buf:
+            self._emit_block(bytes(self._buf))
+            self._buf.clear()
 
     def flush_final(self) -> None:
         if self._finished:
@@ -102,6 +133,7 @@ class DecompressorReader(io.RawIOBase):
         self._eof = False
         self._crc = 0
         self._stored_crc = None
+        self._flags = 0
 
     def readable(self) -> bool:
         return True
@@ -128,7 +160,7 @@ class DecompressorReader(io.RawIOBase):
             while len(data) < 16:
                 if not self._fill():
                     return self._dry("truncated header")
-            fmt.parse_header(bytes(data[:16]))
+            _w, _mb, self._flags = fmt.parse_header(bytes(data[:16]))
             self._pos = 16
             self._header_done = True
         while True:
@@ -162,7 +194,30 @@ class DecompressorReader(io.RawIOBase):
                 continue
             cmd = bytes(data[p:p + cmd_len])
             lit = bytes(data[p + cmd_len:p + cmd_len + lit_len])
-            raw = engine_np.decode_metablock(cmd, lit, raw_len, self.options)
+            raw = None
+            if self.options.external_probs is None:
+                # native line-speed decode; golden fallback per frame
+                from . import native
+                from .codec.deferred import flags_to_chunk
+                from .codec.layout import (ModelLayout, PROFILES,
+                                           FLAG_PROFILES)
+                profile = FLAG_PROFILES.get(self._flags & 0b11)
+                chunk = flags_to_chunk(self._flags)
+                if profile is not None:
+                    layout = ModelLayout(PROFILES[profile],
+                                         lo_bucketed=chunk > 0)
+                    raw = native.decode_metablock(cmd, lit, raw_len,
+                                                  profile == "cm", layout,
+                                                  chunk)
+            if raw is None:
+                from .codec.deferred import flags_to_chunk, decode_metablock
+                chunk = flags_to_chunk(self._flags)
+                if chunk:
+                    raw = decode_metablock(cmd, lit, raw_len, self.options,
+                                           chunk)
+                else:
+                    raw = engine_np.decode_metablock(cmd, lit, raw_len,
+                                                     self.options)
             self._crc = crc32c(raw, self._crc)
             self._out += raw
             del self._in[:p + cmd_len + lit_len]

@@ -78,3 +78,36 @@ def sharded_encode_step(mesh: Mesh, r_cmd: int, r_lit: int, chunk: int = 0):
         return out[0], out[1]
 
     return step
+
+
+def sharded_decode_step(mesh: Mesh, layout, chunk: int, n_chunks: int,
+                        interpret: bool = False):
+    """Build the jitted multi-chip decode stage 2: each device runs its
+    own 128-lane literal-decode kernel tile via shard_map — metablock
+    data parallelism on the decode side, zero collectives (the host cmd
+    pass and script execution are per-host and shard with the frames).
+
+    Inputs are the global lane arrays (pallas_decode._decode_lit_scan
+    shapes with the lane axis widened to n_devices * 128); returns the
+    decoded byte matrix [lanes, n_chunks * chunk // 2]."""
+    from jax.experimental.shard_map import shard_map
+    from ..codec import pallas_decode
+
+    perm, offs = pallas_decode.kernel_perm(layout)
+    lit_base = layout.segments["lit_hi"][0]
+    r_lit = layout.num_rows - lit_base + 1
+    perm_a = jnp.asarray(perm)
+
+    def tile(states, words, n_lit, lcmap_t, luts, spd):
+        out, pulls = pallas_decode._decode_lit_scan(
+            states, words, n_lit, lcmap_t, luts, spd, perm_a,
+            r_lit, chunk, n_chunks, offs, interpret)
+        return out, pulls
+
+    sm = shard_map(
+        tile, mesh=mesh,
+        in_specs=(P("data"), P("data", None), P("data"), P(None, "data"),
+                  P(None, None), P("data", None)),
+        out_specs=(P("data", None), P("data")),
+        check_rep=False)
+    return jax.jit(sm)

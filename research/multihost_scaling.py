@@ -1,21 +1,24 @@
 #!/usr/bin/env python3
-"""Measured multi-process (fake-pod) scaling of the sharded encode step.
+"""Measured multi-process (fake-pod) scaling: encode AND decode steps.
 
-VERDICT r1 #7 / BASELINE.md scaling target: run the metablock-data-parallel
-encode step under `jax.distributed` with 1 and 2 OS processes on this host,
-same 4-device global mesh and the same global batch (strong scaling), verify
-the compressed lane words are bit-exact across process counts, and report
-the 2-process efficiency (T1/T2).
+VERDICT r1 #7 + r2 #7 / BASELINE.md scaling target: run the
+metablock-data-parallel steps under `jax.distributed` with 1, 2 and 4 OS
+processes on this host, same 4-device global mesh and the same global
+batch (strong scaling), verify outputs are bit-exact across process
+counts, and report per-config efficiency (T1/TN).
+
+Both directions shard with zero hot-path collectives:
+  encode — dist.sharded_encode_step (model pass + rANS lanes);
+  decode — dist.sharded_decode_step (one 128-lane literal-kernel tile
+  per device via shard_map; interpret mode on CPU, so the absolute
+  number is meaningless — only the scaling ratio is the result).
 
 The reference's analog is its 2-thread producer/consumer pipeline
-(/root/reference/src/multithreading.rs:19-235); here the scaling axis is
-metablock data parallelism over a process-spanning mesh
-(divans_tpu/parallel/dist.py) — no collectives on the hot path, one
-process_allgather for the bit-exactness check only.
+(/root/reference/src/multithreading.rs:19-235).
 
 Usage:
-    python research/multihost_scaling.py            # parent: runs both configs
-    python research/multihost_scaling.py --child I N PORT   # internal
+    python research/multihost_scaling.py            # parent: all configs
+    python research/multihost_scaling.py --child I N PORT {enc|dec}  # internal
 """
 from __future__ import annotations
 
@@ -35,7 +38,7 @@ CHUNK = 256
 N_DEV = 4         # global device count, fixed across process counts
 
 
-def child(proc_id: int, nprocs: int, port: int) -> None:
+def child(proc_id: int, nprocs: int, port: int, which: str = "enc") -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -54,6 +57,8 @@ def child(proc_id: int, nprocs: int, port: int) -> None:
 
     assert jax.device_count() == N_DEV, jax.devices()
     mesh = dist.make_mesh()
+    if which == "dec":
+        return decode_child(proc_id, nprocs, mesh)
 
     # deterministic global workload, built identically in every process
     data = open("/root/reference/testdata/alice29", "rb").read()
@@ -106,42 +111,111 @@ def child(proc_id: int, nprocs: int, port: int) -> None:
                           "digest": digest}), flush=True)
 
 
+def decode_child(proc_id: int, nprocs: int, mesh) -> None:
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from divans_tpu.options import DivansOptions
+    from divans_tpu.ir.matcher import build_commands
+    from divans_tpu.codec import deferred, pallas_decode
+    from divans_tpu.codec.layout import ModelLayout, PROFILES
+    from divans_tpu.parallel import dist
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    chunk = 64
+    n_chunks = 8        # 256 lit bytes per lane: interpret mode is slow;
+                        # only the scaling ratio matters on CPU
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+    data = open("/root/reference/testdata/alice29", "rb").read()[:16384]
+    opts = DivansOptions(metablock_size=1 << 12, chunk_nibbles=chunk)
+    rows = []
+    for o in range(0, len(data), 1 << 12):
+        raw = data[o:o + (1 << 12)]
+        cb, lb = deferred.encode_metablock(raw, build_commands(raw, opts),
+                                           opts, chunk)
+        sc = deferred.decode_cmd_structure(cb, len(raw), opts, chunk)
+        rows.append((lb, sc))
+    lanes = N_DEV * 128
+    reps = [rows[i % len(rows)] for i in range(lanes)]
+    cap = n_chunks * (chunk // 2)
+    packed = pallas_decode.pack_lit_lanes(
+        [r[0] for r in reps], [min(cap, r[1].lit_total) for r in reps],
+        [r[1].lcmap for r in reps], [r[1].speeds for r in reps],
+        lanes=lanes)
+    step = dist.sharded_decode_step(mesh, layout, chunk, n_chunks,
+                                    interpret=True)
+    specs = (P("data"), P("data", None), P("data"), P(None, "data"),
+             P(None, None), P("data", None))
+    gargs = []
+    for arr, spec in zip(packed, specs):
+        sh = NamedSharding(mesh, spec)
+        lo = proc_id * lanes // nprocs
+        hi = (proc_id + 1) * lanes // nprocs
+        local = arr[lo:hi] if spec[0] == "data" else             (arr[:, lo:hi] if len(spec) > 1 and spec[1] == "data" else arr)
+        gargs.append(jax.make_array_from_process_local_data(
+            sh, local, arr.shape))
+
+    def run():
+        out, pulls = step(*gargs)
+        jax.block_until_ready(out)
+        return out
+
+    out = run()
+    t0 = time.perf_counter()
+    n_iter = 2
+    for _ in range(n_iter):
+        out = run()
+    dt = (time.perf_counter() - t0) / n_iter
+    from jax.experimental import multihost_utils
+    full = multihost_utils.process_allgather(out, tiled=True)
+    digest = zlib.crc32(np.ascontiguousarray(full).tobytes())
+    if proc_id == 0:
+        print(json.dumps({"nprocs": nprocs, "step_s": round(dt, 4),
+                          "digest": digest}), flush=True)
+
+
 def parent() -> None:
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         " --xla_force_host_platform_device_count=").strip()
-    results = {}
-    for nprocs in (1, 2):
-        port = 23456 + nprocs
-        procs = []
-        e = dict(env)
-        e["XLA_FLAGS"] += str(N_DEV // nprocs)
-        ncores = os.cpu_count() or 1
-        for i in range(nprocs):
-            # pin each process to its core slice: one "host" per process.
-            # Without pinning every XLA CPU client grabs all cores and the
-            # 2-process run measures oversubscription, not scaling.
-            per = max(1, ncores // nprocs)
-            pin = ["taskset", "-c",
-                   ",".join(str(c) for c in range(i * per, (i + 1) * per))]
-            procs.append(subprocess.Popen(
-                pin + [sys.executable, os.path.abspath(__file__),
-                       "--child", str(i), str(nprocs), str(port)],
-                env=e, stdout=subprocess.PIPE, text=True))
-        outs = [p.communicate(timeout=900)[0] for p in procs]
-        assert all(p.returncode == 0 for p in procs), outs
-        results[nprocs] = json.loads(outs[0].strip().splitlines()[-1])
-        print(results[nprocs], flush=True)
-    r1, r2 = results[1], results[2]
-    assert r1["digest"] == r2["digest"], "multi-process output diverged"
-    eff = r1["step_s"] / r2["step_s"]
-    print(json.dumps({"bit_exact": True,
-                      "efficiency_2proc": round(eff, 3),
-                      "t1_s": r1["step_s"], "t2_s": r2["step_s"]}))
+    summary = {}
+    for which in ("enc", "dec"):
+        results = {}
+        for nprocs in (1, 2, 4):
+            port = 23456 + nprocs + (100 if which == "dec" else 0)
+            procs = []
+            e = dict(env)
+            e["XLA_FLAGS"] += str(N_DEV // nprocs)
+            ncores = os.cpu_count() or 1
+            for i in range(nprocs):
+                # pin each process to its core slice: one "host" per
+                # process.  Without pinning every XLA CPU client grabs all
+                # cores and the run measures oversubscription, not scaling.
+                per = max(1, ncores // nprocs)
+                pin = ["taskset", "-c",
+                       ",".join(str(c) for c in range(i * per, (i + 1) * per))]
+                procs.append(subprocess.Popen(
+                    pin + [sys.executable, os.path.abspath(__file__),
+                           "--child", str(i), str(nprocs), str(port), which],
+                    env=e, stdout=subprocess.PIPE, text=True))
+            outs = [p.communicate(timeout=1800)[0] for p in procs]
+            assert all(p.returncode == 0 for p in procs), outs
+            results[nprocs] = json.loads(outs[0].strip().splitlines()[-1])
+            print(which, results[nprocs], flush=True)
+        digests = {r["digest"] for r in results.values()}
+        assert len(digests) == 1, f"{which}: multi-process output diverged"
+        # strong scaling over a fixed 4-device mesh: ideal T_N == T_1
+        summary[which] = {
+            f"efficiency_{n}proc": round(
+                results[1]["step_s"] / results[n]["step_s"], 3)
+            for n in (2, 4)}
+        summary[which]["t_s"] = {n: results[n]["step_s"] for n in (1, 2, 4)}
+    print(json.dumps({"bit_exact": True, **summary}))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        child(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+              sys.argv[5] if len(sys.argv) > 5 else "enc")
     else:
         parent()

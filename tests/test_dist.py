@@ -108,3 +108,43 @@ def test_sharded_e2e_container_roundtrip(mesh8):
     assert engine_np.decompress(blob) == data
     # and the container equals the single-process engine's
     assert blob == engine_np.compress(data, opts)
+
+
+def test_sharded_decode_matches_oracle(mesh8):
+    """Decode stage 2 sharded over the mesh (shard_map, one 128-lane
+    kernel tile per device, zero collectives) must match the numpy
+    oracle per lane — VERDICT r2 item 7's decode direction."""
+    from divans_tpu.codec import deferred, pallas_decode
+
+    devs = jax.devices()[:2]   # 2 tiles = 256 lanes keeps interpret fast
+    mesh = dist.make_mesh(devs)
+    chunk = 64
+    data = open("/root/reference/testdata/alice29", "rb").read()[:16384]
+    opts = DivansOptions(metablock_size=1 << 12, chunk_nibbles=chunk)
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+    blocks = [data[o:o + (1 << 12)] for o in range(0, len(data), 1 << 12)]
+    rows = []
+    for raw in blocks:
+        cmds_ = build_commands(raw, opts)
+        cb, lb = deferred.encode_metablock(raw, cmds_, opts, chunk)
+        sc = deferred.decode_cmd_structure(cb, len(raw), opts, chunk)
+        assert sc.supported
+        rows.append((lb, sc))
+    lanes = len(devs) * 128
+    reps = [rows[i % len(rows)] for i in range(6)]  # a few live lanes
+    states, words, n_lit, lcmap_t, luts, spd = pallas_decode.pack_lit_lanes(
+        [r[0] for r in reps], [r[1].lit_total for r in reps],
+        [r[1].lcmap for r in reps], [r[1].speeds for r in reps],
+        lanes=lanes)
+    s_bytes = chunk // 2
+    n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
+    step = dist.sharded_decode_step(mesh, layout, chunk, n_chunks,
+                                    interpret=True)
+    out, _pulls = step(jnp.asarray(states), jnp.asarray(words),
+                       jnp.asarray(n_lit), jnp.asarray(lcmap_t),
+                       jnp.asarray(luts), jnp.asarray(spd))
+    out = np.asarray(out).astype(np.uint8)
+    for i, (lb, sc) in enumerate(reps):
+        want = pallas_decode.decode_literals_np(
+            lb, sc.lit_total, sc.lcmap, sc.speeds, chunk)
+        assert out[i, :sc.lit_total].tobytes() == want

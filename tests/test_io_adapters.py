@@ -62,3 +62,28 @@ def test_empty_stream():
     w.flush_final()
     r = DecompressorReader(io.BytesIO(sink.getvalue()))
     assert r.read(-1) == b""
+
+
+def test_mid_stream_flush():
+    """flush() makes every byte written so far decodable immediately
+    (the reference's flush-at-any-byte contract, src/interface.rs:104-143,
+    at frame granularity)."""
+    import io
+    from divans_tpu.io_adapters import CompressorWriter, DecompressorReader
+    from divans_tpu.options import DivansOptions
+
+    data = open("/root/reference/testdata/alice29", "rb").read()[:30000]
+    sink = io.BytesIO()
+    w = CompressorWriter(sink, DivansOptions(metablock_size=8192))
+    w.write(data[:5000])
+    w.flush()                     # mid-stream: not at a metablock boundary
+    flushed_at = sink.tell()
+    assert flushed_at > 16        # header + one short frame emitted
+    # a reader over ONLY the flushed prefix recovers every written byte
+    r = DecompressorReader(io.BytesIO(sink.getvalue()), partial=True)
+    assert r.read() == data[:5000]
+    # stream continues and still round-trips end-to-end
+    w.write(data[5000:])
+    w.flush_final()
+    r2 = DecompressorReader(io.BytesIO(sink.getvalue()))
+    assert r2.read() == data
