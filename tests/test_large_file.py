@@ -67,3 +67,17 @@ def test_q11_beats_brotli_q9_ratio(corpus):
         pytest.skip("libbrotlienc unavailable")
     br = cc.brotli_compress(data, 9, 24)
     assert len(blob) < len(br), (len(blob), len(br))
+
+
+def test_bench_suite_configs():
+    """The multi-config suite (research/bench_suite.py — the reference's
+    benchmark.rs:446-560 analog) must round-trip and hold its ratio
+    ceilings; run small here (256 KiB) so CI stays fast."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "research",
+                      "bench_suite.py"), "--size", str(256 << 10)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
