@@ -216,9 +216,12 @@ def main():
         td = "/root/reference/testdata/"
         base = b"".join(open(td + f, "rb").read() for f in
                         ("alice29", "asyoulik", "random_then_unicode"))
-        dec_data = base * (-(-(128 << 18) // len(base)))
+        # 64 MiB in 256 KiB metablocks = two 128-lane batches, so the
+        # threaded cmd pass and host script execution overlap the device
+        # kernels (steady-state pipeline, as a decode service would run)
+        dec_data = base * (-(-(256 << 18) // len(base)))
         dec_opts = DivansOptions(metablock_size=1 << 18, chunk_nibbles=CHUNK)
-        blob = native.compress(dec_data[:128 << 18], dec_opts)
+        blob = native.compress(dec_data[:256 << 18], dec_opts)
         if blob is not None:
             dec_mbps = pallas_decode.bench_decode(blob)
         if dec_mbps is not None:

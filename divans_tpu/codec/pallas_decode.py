@@ -456,8 +456,18 @@ def decode_literals_batch(lit_streams: list[bytes], n_lits: list[int],
 
 
 def _collect_lit_batch(out, n_lits) -> list[bytes]:
-    out = np.asarray(out).astype(np.uint8)
+    out = np.asarray(out)
+    if out.dtype != np.uint8:
+        out = out.astype(np.uint8)
     return [out[i, :n_lits[i]].tobytes() for i in range(len(n_lits))]
+
+
+@functools.partial(jax.jit, static_argnames=("ncols",))
+def _trim_cast(out, ncols):
+    """Shrink the D2H transfer: slice to the live columns and cast the
+    one-byte-per-int32 kernel output to uint8 (4x fewer wire bytes —
+    the axon tunnel's ~50 MB/s D2H path is a decode pipeline stage)."""
+    return out[:, :ncols].astype(jnp.uint8)
 
 
 def pack_lit_lanes(lit_streams: list[bytes], n_lits: list[int],
@@ -515,13 +525,16 @@ def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
     states, words, n_lit, lcmap_t, luts, spd = pack_lit_lanes(
         lit_streams, n_lits, lcmaps, speeds_list)
     s_bytes = chunk // 2
-    n_chunks = max(1, -(-int(n_lit.max()) // s_bytes))
+    max_lit = int(n_lit.max())
+    n_chunks = max(1, -(-max_lit // s_bytes))
     n_chunks = 1 << (n_chunks - 1).bit_length()
     out, _ = _decode_lit_scan(
         jnp.asarray(states), jnp.asarray(words), jnp.asarray(n_lit),
         jnp.asarray(lcmap_t), jnp.asarray(luts), jnp.asarray(spd),
         jnp.asarray(perm), r_lit, chunk, n_chunks, offs, interpret)
-    return out
+    # bound shape diversity: columns padded to 4 KiB multiples
+    ncols = min(out.shape[1], max(4096, -(-max_lit // 4096) * 4096))
+    return _trim_cast(out, ncols)
 
 
 def decode_structures(frames, chunk: int, layout, options) -> list | None:
@@ -572,35 +585,60 @@ def decompress_frames(frames, chunk: int, layout, options,
     the reference's cmd thread, src/parallel_decompressor.rs:99-133),
     the device kernel decodes every literal byte in 128-lane batches,
     and the host executes the command scripts (memcpy-speed C++).
+
+    Pipelining: all frames' structure decodes are queued on a thread
+    pool up front; batch k's kernel launches the moment its 128 scripts
+    are ready, so later batches' cmd passes overlap earlier batches'
+    device work.  Every batch stays in flight (the device queues the
+    kernels back-to-back) with its D2H copy enqueued asynchronously —
+    per-batch blocking round trips over the axon tunnel were the round-3
+    profile's biggest single cost (research/probe_decode_pipeline.py).
     Returns None when any frame leaves the kernel's envelope (caller
     falls back to the serial decoders)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    from .deferred import decode_cmd_structure
+    from .. import native
+
     if layout.profile.name != "cm" or not layout.lo_bucketed:
         return None
-    scripts = decode_structures(frames, chunk, layout, options)
-    if scripts is None:
-        return None
+    have_native = native.load() is not None
 
-    def issue(base):
-        sub = scripts[base:base + LANES]
-        fb = frames[base:base + LANES]
-        n_lits = [s.lit_total for s in sub]
-        dev = _issue_lit_batch(
-            [f.lit for f in fb], n_lits,
-            [s.lcmap for s in sub], [s.speeds for s in sub],
-            chunk, layout, interpret=interpret)
-        return sub, dev, n_lits
+    def one(f):
+        sc = native.decode_cmd_structure(f.cmd, f.raw_len, layout,
+                                         chunk) if have_native else None
+        if sc is None:
+            sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
+        return sc
 
-    # one-batch pipelining: batch k+1's kernel runs on device (dispatch
-    # is async) while batch k's scripts execute on the host
     out = bytearray()
-    bases = list(range(0, len(frames), LANES))
-    pending = issue(bases[0])
-    for nxt in bases[1:] + [None]:
-        sub, dev, n_lits = pending
-        nxt_pending = issue(nxt) if nxt is not None else None
-        for s, lb in zip(sub, _collect_lit_batch(dev, n_lits)):
-            out += _execute(s, lb)
-        pending = nxt_pending
+    # leave one core for the main thread's kernel-issue path (H2D packing
+    # competes with the cmd pass for cores; the pool's native calls
+    # release the GIL)
+    n_workers = max(1, min(8, (os.cpu_count() or 2) - 1))
+    with ThreadPoolExecutor(n_workers) as ex:
+        script_iter = ex.map(one, frames)
+        issued = []
+        for base in range(0, len(frames), LANES):
+            fb = frames[base:base + LANES]
+            sub = [next(script_iter) for _ in fb]
+            if not all(s.supported for s in sub):
+                for _ in script_iter:
+                    pass  # drain the pool before falling back
+                return None
+            n_lits = [s.lit_total for s in sub]
+            dev = _issue_lit_batch(
+                [f.lit for f in fb], n_lits,
+                [s.lcmap for s in sub], [s.speeds for s in sub],
+                chunk, layout, interpret=interpret)
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            issued.append((sub, dev, n_lits))
+        for sub, dev, n_lits in issued:
+            for s, lb in zip(sub, _collect_lit_batch(dev, n_lits)):
+                out += _execute(s, lb)
     return bytes(out)
 
 
