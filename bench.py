@@ -139,7 +139,9 @@ def main():
     traces = [trace_mod.build_trace(b, build_commands(b, opts), opts, layout)
               for b in blocks]
 
-    reps = 22  # replicate blocks into a wider batch (66 metablocks, ~10 MB)
+    reps = 88  # replicate blocks into a wider batch (264 metablocks, ~13 MB):
+    # the ANS lanes amortize to >150 MB/s and the model passes gain ~35%
+    # per-step efficiency at this width (research/probe_encode_stages.py)
     traces = traces * reps
     raw_bytes = sum(len(b) for b in blocks) * reps
 

@@ -622,8 +622,21 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
 _PALLAS_MODEL_READY = False  # flipped when pallas_model beats XLA on-chip
 
 
+def _padded_len(n_max: int, multiple: int) -> int:
+    """Quarter-pow2 grid: the smallest 2^k * m/4 (m in 5..8) >= n_max.
+    Bounds shape diversity (~4 variants per octave, so jit compiles stay
+    cached) while capping padding waste at 25% — padding straight to the
+    next power of two cost ~2x wall time on real trace-length mixes."""
+    p = _next_pow2(n_max)
+    for m in (5, 6, 7):
+        cand = (p >> 3) * m
+        if cand >= n_max and cand % multiple == 0:
+            return cand
+    return p
+
+
 def _pad_traces(traces: list[np.ndarray], multiple: int = 1) -> np.ndarray:
-    n = _next_pow2(max(t.shape[0] for t in traces))
+    n = _padded_len(max(t.shape[0] for t in traces), max(multiple, 16))
     n = max(n, multiple)
     assert n % multiple == 0, (n, multiple)
     out = np.zeros((len(traces), n, trace_mod.NCOLS), np.int32)
