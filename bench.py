@@ -149,10 +149,13 @@ def main():
     # deferred-v2 model passes over the split traces, then the Pallas
     # wide-rANS lanes
     from divans_tpu.codec import deferred as deferred_mod
+    from divans_tpu.codec import pallas_cmd_pass as pcp
     cmd_ts, lit_ts, _masks, r_cmd, r_lit = \
         jax_engine.split_stream_traces(traces, layout)
     s_cmd = deferred_mod.cmd_chunk(CHUNK)
-    cmd_pad = jnp.asarray(jax_engine._pad_traces(cmd_ts, multiple=s_cmd))
+    n_cmd_padded = jax_engine._padded_len(
+        max(t.shape[0] for t in cmd_ts), max(s_cmd, 16))
+    cmd_packed = jnp.asarray(pcp.pack_cmd_traces(cmd_ts, n_cmd_padded, s_cmd))
     lit_pad = jnp.asarray(jax_engine._pad_traces(lit_ts, multiple=CHUNK))
 
     def lanes_to_pallas(st, fr, counts):
@@ -174,12 +177,14 @@ def main():
     assert jax_engine._lit_pass_usable(layout, lit_ts)
     cspd = jax_engine.cmd_speeds_from_rows(cmd_ts, r_cmd)
     assert cspd is not None
-    cmd_inc, cmd_lim = jnp.asarray(cspd[0]), jnp.asarray(cspd[1])
+    inc_bd, lim_bd = pcp.build_speed_planes(cspd[0], cspd[1], r_cmd)
+    inc_bd, lim_bd = jnp.asarray(inc_bd), jnp.asarray(lim_bd)
 
     @jax.jit
-    def encode_step(cmd_pad, lit_pad, cmd_counts, lit_counts, lit_spd):
-        cs, cf = jax_engine.model_pass_deferred_cmd(cmd_pad, cmd_inc,
-                                                    cmd_lim, r_cmd, s_cmd)
+    def encode_step(cmd_packed, lit_pad, cmd_counts, lit_counts, lit_spd):
+        cs, cf = pcp._cmd_pass_call(cmd_packed, inc_bd, lim_bd, r_cmd,
+                                    s_cmd, interpret)
+        cs, cf = cs[:cmd_counts.shape[0]], cf[:cmd_counts.shape[0]]
         ls, lf = jax_engine.model_pass_deferred_lit(lit_pad, lit_spd,
                                                     r_lit, CHUNK)
         acc = jnp.int32(0)
@@ -199,7 +204,8 @@ def main():
         return (time.perf_counter() - t0) / n_iter
 
     results = []
-    dt = timed(encode_step, cmd_pad, lit_pad, cmd_counts, lit_counts, lit_spd)
+    dt = timed(encode_step, cmd_packed, lit_pad, cmd_counts, lit_counts,
+               lit_spd)
     enc_mbps = raw_bytes / dt / 1e6
     results.append(("device_encode_throughput", enc_mbps))
 

@@ -589,6 +589,18 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
     out = []
     for sid, (ts, num_rows, s) in enumerate(
             ((cmd_ts, r_cmd, s_cmd), (lit_ts, r_lit, chunk))):
+        cspd = cmd_speeds_from_rows(cmd_ts, num_rows) if sid == 0 else None
+        if (sid == 0 and cspd is not None and not pallas
+                and jax.default_backend() == "tpu"):
+            # packed-lane Pallas kernel: VMEM-resident model, ~3x the
+            # XLA pass on chip and 10x less H2D (no [B, N, 10] array)
+            from .pallas_cmd_pass import model_pass_cmd_pallas
+            n_padded = _padded_len(
+                max((t.shape[0] for t in ts), default=1), max(s, 16))
+            st, fr = model_pass_cmd_pallas(ts, cspd[0], cspd[1],
+                                           num_rows, s, n_padded)
+            out.append((np.asarray(st), np.asarray(fr)))
+            continue
         padded = jnp.asarray(_pad_traces(ts, multiple=s))
         if pallas or (pallas is None and jax.default_backend() == "tpu"
                       and _PALLAS_MODEL_READY):
@@ -598,8 +610,7 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
         elif sid == 1 and lit_fast:
             spd = jnp.asarray(lit_speeds_from_traces(lit_ts))
             st, fr = model_pass_deferred_lit(padded, spd, num_rows, s)
-        elif sid == 0 and (cspd := cmd_speeds_from_rows(cmd_ts,
-                                                        num_rows)) is not None:
+        elif sid == 0 and cspd is not None:
             st, fr = model_pass_deferred_cmd(padded, jnp.asarray(cspd[0]),
                                              jnp.asarray(cspd[1]),
                                              num_rows, s)
