@@ -156,7 +156,6 @@ def main():
     n_cmd_padded = jax_engine._padded_len(
         max(t.shape[0] for t in cmd_ts), max(s_cmd, 16))
     cmd_packed = jnp.asarray(pcp.pack_cmd_traces(cmd_ts, n_cmd_padded, s_cmd))
-    lit_pad = jnp.asarray(jax_engine._pad_traces(lit_ts, multiple=CHUNK))
 
     def lanes_to_pallas(st, fr, counts):
         nlanes, n = st.shape
@@ -171,9 +170,16 @@ def main():
         return pk.encode_lanes_pallas(st, fr, cnt.reshape(g, 128),
                                       interpret=interpret)
 
+    from divans_tpu.codec import pallas_lit_pass as plp
+    n_lit_padded = max(jax_engine._padded_len(
+        max(t.shape[0] for t in lit_ts), CHUNK), CHUNK)
+    lit_res = plp.pack_lit_traces(lit_ts, n_lit_padded, CHUNK)
+    assert lit_res is not None
+    lit_packed = jnp.asarray(lit_res[0])
+    lit_spd_pl = jnp.asarray(lit_res[1])
+
     cmd_counts = jnp.asarray(np.array([t.shape[0] for t in cmd_ts], np.int32))
     lit_counts = jnp.asarray(np.array([t.shape[0] for t in lit_ts], np.int32))
-    lit_spd = jnp.asarray(jax_engine.lit_speeds_from_traces(lit_ts))
     assert jax_engine._lit_pass_usable(layout, lit_ts)
     cspd = jax_engine.cmd_speeds_from_rows(cmd_ts, r_cmd)
     assert cspd is not None
@@ -181,12 +187,14 @@ def main():
     inc_bd, lim_bd = jnp.asarray(inc_bd), jnp.asarray(lim_bd)
 
     @jax.jit
-    def encode_step(cmd_packed, lit_pad, cmd_counts, lit_counts, lit_spd):
+    def encode_step(cmd_packed, lit_packed, lit_spd_pl, cmd_counts,
+                    lit_counts):
         cs, cf = pcp._cmd_pass_call(cmd_packed, inc_bd, lim_bd, r_cmd,
                                     s_cmd, interpret)
         cs, cf = cs[:cmd_counts.shape[0]], cf[:cmd_counts.shape[0]]
-        ls, lf = jax_engine.model_pass_deferred_lit(lit_pad, lit_spd,
-                                                    r_lit, CHUNK)
+        ls, lf = plp._lit_pass_call(lit_packed, lit_spd_pl, CHUNK,
+                                    interpret)
+        ls, lf = ls[:lit_counts.shape[0]], lf[:lit_counts.shape[0]]
         acc = jnp.int32(0)
         for st, fr, cnt in ((cs, cf, cmd_counts), (ls, lf, lit_counts)):
             words, flags, states = lanes_to_pallas(st, fr, cnt)
@@ -204,8 +212,8 @@ def main():
         return (time.perf_counter() - t0) / n_iter
 
     results = []
-    dt = timed(encode_step, cmd_packed, lit_pad, cmd_counts, lit_counts,
-               lit_spd)
+    dt = timed(encode_step, cmd_packed, lit_packed, lit_spd_pl, cmd_counts,
+               lit_counts)
     enc_mbps = raw_bytes / dt / 1e6
     results.append(("device_encode_throughput", enc_mbps))
 

@@ -601,6 +601,18 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
                                            num_rows, s, n_padded)
             out.append((np.asarray(st), np.asarray(fr)))
             continue
+        if (sid == 1 and lit_fast and not pallas
+                and jax.default_backend() == "tpu"):
+            # packed-lane Pallas lit kernel: ~6.7x the XLA lit pass on
+            # chip (research/probe_lit_pallas.py); packing returns None
+            # for out-of-envelope traces -> XLA fallback below
+            from .pallas_lit_pass import model_pass_lit_pallas
+            n_p = max(_padded_len(
+                max((t.shape[0] for t in ts), default=1), max(s, 16)), s)
+            res = model_pass_lit_pallas(ts, s, n_p)
+            if res is not None:
+                out.append((np.asarray(res[0]), np.asarray(res[1])))
+                continue
         padded = jnp.asarray(_pad_traces(ts, multiple=s))
         if pallas or (pallas is None and jax.default_backend() == "tpu"
                       and _PALLAS_MODEL_READY):

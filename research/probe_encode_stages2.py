@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Stage split of the CURRENT production device encode (bench.py config):
+Pallas packed-lane cmd pass + XLA lit pass + Pallas ANS lanes, B=264."""
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from divans_tpu.options import DivansOptions
+from divans_tpu.codec import jax_engine, trace as trace_mod
+from divans_tpu.codec import deferred as deferred_mod
+from divans_tpu.codec import pallas_cmd_pass as pcp
+from divans_tpu.codec.layout import ModelLayout, PROFILES
+from divans_tpu.ir.matcher import build_commands
+from divans_tpu.ans import pallas_kernels as pk
+
+interpret = jax.default_backend() != "tpu"
+CHUNK = 256
+data = open("/root/reference/testdata/alice29", "rb").read()
+opts = DivansOptions(metablock_size=1 << 16, chunk_nibbles=CHUNK)
+layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+mb = opts.metablock_size
+blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
+traces = [trace_mod.build_trace(b, build_commands(b, opts), opts, layout)
+          for b in blocks]
+reps = 88
+traces = traces * reps
+raw_bytes = sum(len(b) for b in blocks) * reps
+
+cmd_ts, lit_ts, _m, r_cmd, r_lit = jax_engine.split_stream_traces(traces, layout)
+s_cmd = deferred_mod.cmd_chunk(CHUNK)
+n_cmd_padded = jax_engine._padded_len(max(t.shape[0] for t in cmd_ts),
+                                      max(s_cmd, 16))
+cmd_packed = jnp.asarray(pcp.pack_cmd_traces(cmd_ts, n_cmd_padded, s_cmd))
+lit_pad = jnp.asarray(jax_engine._pad_traces(lit_ts, multiple=CHUNK))
+cmd_counts = jnp.asarray(np.array([t.shape[0] for t in cmd_ts], np.int32))
+lit_counts = jnp.asarray(np.array([t.shape[0] for t in lit_ts], np.int32))
+lit_spd = jnp.asarray(jax_engine.lit_speeds_from_traces(lit_ts))
+cspd = jax_engine.cmd_speeds_from_rows(cmd_ts, r_cmd)
+inc_bd, lim_bd = pcp.build_speed_planes(cspd[0], cspd[1], r_cmd)
+inc_bd, lim_bd = jnp.asarray(inc_bd), jnp.asarray(lim_bd)
+
+cmd_nibs = sum(int(t.shape[0]) for t in cmd_ts)
+lit_nibs = sum(int(t.shape[0]) for t in lit_ts)
+print(f"B={len(traces)} raw={raw_bytes/1e6:.1f}MB cmd_nibs={cmd_nibs/1e6:.2f}M "
+      f"lit_nibs={lit_nibs/1e6:.2f}M r_cmd={r_cmd} r_lit={r_lit} "
+      f"cmd_packed={cmd_packed.shape} lit_pad={lit_pad.shape}")
+
+
+def lanes_to_pallas(st, fr, counts):
+    nlanes, n = st.shape
+    g = -(-nlanes // 128)
+    lpad = g * 128 - nlanes
+    npad = -(-n // pk.BLOCK_T) * pk.BLOCK_T - n
+    st = jnp.pad(st, ((0, lpad), (0, npad)))
+    fr = jnp.pad(fr, ((0, lpad), (0, npad)), constant_values=1)
+    cnt = jnp.pad(counts, ((0, lpad),))
+    st = jnp.swapaxes(st, 0, 1).reshape(-1, g, 128)
+    fr = jnp.swapaxes(fr, 0, 1).reshape(-1, g, 128)
+    return pk.encode_lanes_pallas(st, fr, cnt.reshape(g, 128),
+                                  interpret=interpret)
+
+
+@jax.jit
+def cmd_pass():
+    cs, cf = pcp._cmd_pass_call(cmd_packed, inc_bd, lim_bd, r_cmd, s_cmd,
+                                interpret)
+    return jnp.sum(cs) + jnp.sum(cf)
+
+
+@jax.jit
+def lit_pass():
+    ls, lf = jax_engine.model_pass_deferred_lit(lit_pad, lit_spd, r_lit, CHUNK)
+    return jnp.sum(ls) + jnp.sum(lf)
+
+
+@jax.jit
+def ans_cmd():
+    cs, cf = pcp._cmd_pass_call(cmd_packed, inc_bd, lim_bd, r_cmd, s_cmd,
+                                interpret)
+    cs, cf = cs[:cmd_counts.shape[0]], cf[:cmd_counts.shape[0]]
+    w, f, s = lanes_to_pallas(cs, cf, cmd_counts)
+    return jnp.sum(s) + jnp.sum(f.astype(jnp.int32)) + jnp.sum(w.astype(jnp.int32))
+
+
+@jax.jit
+def ans_lit():
+    ls, lf = jax_engine.model_pass_deferred_lit(lit_pad, lit_spd, r_lit, CHUNK)
+    w, f, s = lanes_to_pallas(ls, lf, lit_counts)
+    return jnp.sum(s) + jnp.sum(f.astype(jnp.int32)) + jnp.sum(w.astype(jnp.int32))
+
+
+def timed(fn, n_iter=3):
+    int(fn())
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        int(fn())
+    return (time.perf_counter() - t0) / n_iter
+
+
+t_cmd = timed(cmd_pass)
+t_lit = timed(lit_pass)
+t_ac = timed(ans_cmd)
+t_al = timed(ans_lit)
+for name, t in (("cmd pass (pallas)", t_cmd), ("lit pass (xla)", t_lit),
+                ("cmd pass+ans", t_ac), ("lit pass+ans", t_al)):
+    print(f"{name:26s} {t*1e3:8.1f} ms  {raw_bytes/t/1e6:8.2f} MB/s")
+print(f"cmd: {cmd_nibs/t_cmd/1e6:.1f} Mnib/s  lit: {lit_nibs/t_lit/1e6:.1f} Mnib/s")
+print(f"sum(pass+ans) {(t_ac+t_al)*1e3:.1f} ms -> {raw_bytes/(t_ac+t_al)/1e6:.2f} MB/s")
