@@ -35,6 +35,7 @@ _BUCKETS = {
     "pm_cs": "PredModeCtxMap",
     "lit_hi": "LiteralCommand(data)", "lit_lo": "LiteralCommand(data)",
     "cm_first": "LiteralCommand(data)", "cm_second": "LiteralCommand(data)",
+    "lit_hi_s": "LiteralCommand(data)", "lit_lo_s": "LiteralCommand(data)",
 }
 
 

