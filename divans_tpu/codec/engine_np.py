@@ -724,7 +724,7 @@ def _decode_loop(codec: MetablockCodec, raw_len: int) -> bytes:
 
 def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     from ..ir.matcher import build_commands
-    from .layout import profile_for_options, PROFILE_FLAGS
+    from .layout import emitted_profile, PROFILE_FLAGS
     from . import deferred
     options = options or DivansOptions()
     if (options.stride_detection_quality or options.speed_detection_quality
@@ -738,17 +738,21 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     chunk = (0 if options.block_split or options.prior_bitmask_detection
              else options.chunk_nibbles)
     frames = []
+    command_lists = []
     for off in range(0, len(data), mb):
         raw = data[off:off + mb]
         mb_opts = _slice_external_probs(options, off, mb)
         commands = build_commands(raw, mb_opts)
+        command_lists.append(commands)
         if chunk:
             cmd_b, lit_b = deferred.encode_metablock(raw, commands, mb_opts,
                                                      chunk)
         else:
             cmd_b, lit_b = encode_metablock(raw, commands, mb_opts)
         frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
-    flags = (PROFILE_FLAGS[profile_for_options(options)]
+    # the flag records what the streams actually used (a block_split
+    # encode that emitted no switches stays a plain cm container)
+    flags = (PROFILE_FLAGS[emitted_profile(options, command_lists)]
              | deferred.chunk_to_flags(chunk))
     return fmt.serialize(frames, options.window_size, options.mb_log2,
                          crc32c(data), flags=flags)

@@ -54,6 +54,12 @@ PROFILE_STRIDE = Profile("stride", nb=1, nd=4, nctx=1, lit_sel=1,
 PROFILE_MIX = Profile("mix", nb=1, nd=4, nctx=64, lit_sel=0,
                       hi_shape=(1, 64), lo_shape=(64, 16),
                       hi_s_shape=(256, 64), lo_s_shape=(256, 16))
+# block-split streams (<= 4 literal block types, ir/blocks.py): each type
+# owns 64 context rows (lcm values t*64 + ctx) and may carry a per-type
+# stride in the mask (mv_mode=4) — reference src/codec/block_type.rs
+PROFILE_SPLIT = Profile("split", nb=1, nd=4, nctx=256, lit_sel=0,
+                        hi_shape=(1, 256), lo_shape=(256, 16),
+                        hi_s_shape=(256, 256), lo_s_shape=(256, 16))
 
 # Deferred (chunked) streams bucket the lo-nibble context dimension
 # 64 -> 8 (ctx >> LO_BUCKET_SHIFT): measured +0.25% ratio
@@ -63,8 +69,10 @@ PROFILE_MIX = Profile("mix", nb=1, nd=4, nctx=64, lit_sel=0,
 # max-ratio q11 path) keeps full 64-way resolution.
 LO_BUCKET_SHIFT = 3
 
-PROFILES = {p.name: p for p in (PROFILE_CM, PROFILE_STRIDE, PROFILE_MIX)}
-PROFILE_FLAGS = {"cm": 0, "stride": 1, "mix": 2}
+PROFILES = {p.name: p
+            for p in (PROFILE_CM, PROFILE_STRIDE, PROFILE_MIX,
+                      PROFILE_SPLIT)}
+PROFILE_FLAGS = {"cm": 0, "stride": 1, "mix": 2, "split": 3}
 FLAG_PROFILES = {v: k for k, v in PROFILE_FLAGS.items()}
 
 
@@ -75,6 +83,8 @@ def profile_for_options(options, mask: bytes | None = None) -> str:
     the caller has already run prior-bitmask detection."""
     if not options.use_context_map:
         return "stride"
+    if options.block_split:
+        return "split"
     if mask is not None and any(mask):
         return "mix"
     if options.force_stride_value > 1:
@@ -82,6 +92,28 @@ def profile_for_options(options, mask: bytes | None = None) -> str:
     if options.prior_bitmask_detection:
         return "mix"  # detection may emit a mask; stay in the wide profile
     return "cm"
+
+
+def emitted_profile(options, command_lists) -> str:
+    """The narrowest profile the *emitted* streams stay within.
+
+    profile_for_options sizes the encode layout by what the options MAY
+    produce; the container flag records what the metablocks actually
+    used, so e.g. block_split on homogeneous data (no switches emitted)
+    stays a plain cm container, byte-identical to the default encode."""
+    from ..ir import commands as cmds
+    if not options.use_context_map:
+        return "stride"
+    split = masked = False
+    for cl in command_lists:
+        for c in cl:
+            if isinstance(c, cmds.BlockSwitchLiteral):
+                split = True
+            elif isinstance(c, cmds.PredictionMode) and any(c.mixing_values):
+                masked = True
+    if split:
+        return "split"
+    return "mix" if masked else "cm"
 
 
 class ModelLayout:

@@ -42,7 +42,8 @@ SEGS = ["cc", "ll_cs", "ll_beg", "ll_last", "ll_mant",
         "lit_hi", "lit_lo", "cm_first", "cm_second",
         "d_sbeg", "d_slast", "d_idx", "d_tr",
         "pm_mix",
-        "lit_hi_s", "lit_lo_s"]   # mix profile only (-1 when absent)
+        "lit_hi_s", "lit_lo_s",   # mix/split profiles only (-1 when absent)
+        "bt_mn", "bt_f", "bt_s"]  # literal block-switch priors
 
 
 def _seg_array(layout: ModelLayout) -> np.ndarray:
@@ -86,7 +87,7 @@ def supports(options: DivansOptions) -> bool:
     return (options.quality < 11                # dict matching is Python-side
             and options.prior_depth == 0
             and options.external_probs is None
-            and not options.block_split         # splitter is Python-side
+            and not options.block_split         # switches: cmds path only
             and options.divans_ir_optimizer == 0)  # actuary is Python-side
 
 
@@ -170,12 +171,20 @@ def _cmd_rows(commands, options) -> np.ndarray | None:
     pm = commands[0]
     default = default_prediction_mode(options)
     mask = None
+    nb = 1
     if pm != default:
-        # a PM differing only by its mixing mask is native (the masked
-        # literal FSM); anything else stays on the golden engine
-        if dataclasses.replace(pm, mixing_values=default.mixing_values) \
-                != default:
+        # a PM differing only by its mixing mask and/or an identity
+        # nb-type literal map (block-split) is native; anything else
+        # stays on the golden engine
+        if dataclasses.replace(pm, mixing_values=default.mixing_values,
+                               literal_context_map=default
+                               .literal_context_map) != default:
             return None, None
+        lcm = pm.literal_context_map
+        if lcm != default.literal_context_map:
+            nb = len(lcm) // 64
+            if not (1 <= nb <= 4 and lcm == bytes(range(nb * 64))):
+                return None, None
         mv = pm.mixing_values
         if mv and any(mv):
             if not _mask_ok(mv) or len(mv) != 8192:
@@ -189,9 +198,11 @@ def _cmd_rows(commands, options) -> np.ndarray | None:
             rows[i] = (1, c.distance, c.num_bytes, 0, 0)
         elif isinstance(c, cmds.Dict):
             rows[i] = (2, c.word_size, c.word_id, c.transform, c.final_size)
+        elif isinstance(c, cmds.BlockSwitchLiteral):
+            rows[i] = (3, c.block_type, c.stride, 0, 0)
         else:
             return None, None
-    return rows, mask
+    return rows, mask, nb
 
 
 def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
@@ -201,11 +212,14 @@ def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
     lib = load()
     if lib is None:
         return None
-    rows, mask = _cmd_rows(commands, options)
-    if rows is None:
+    res = _cmd_rows(commands, options)
+    if res[0] is None:
         return None
+    rows, mask, nb = res
     if mask is not None and "lit_hi_s" not in layout.segments:
-        return None  # masked stream needs the mix layout
+        return None  # masked stream needs the mix/split layout
+    if nb * 64 > layout.segments["cm_first"][1][0]:
+        return None  # more block types than the layout's context rows
     n = len(raw)
     buf = (ctypes.c_uint8 * max(1, n)).from_buffer_copy(raw or b"\0")
     seg = _seg_array(layout)
@@ -235,6 +249,7 @@ def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
         lut1.ctypes.data_as(ctypes.c_void_p),
         (ctypes.c_uint8 * 8192).from_buffer_copy(mask)
         if mask is not None else None,
+        nb,
         out.ctypes.data_as(ctypes.c_void_p), cap)
     if ns < 0:
         return None
@@ -445,12 +460,12 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     # list (q11 DP with dict edges, IR-optimizer merges) even when the
     # mechanical trace builder abstains
     supports_cmds = (options.prior_depth == 0
-                     and options.external_probs is None
-                     and not options.block_split)
+                     and options.external_probs is None)
     if load() is None or not (supports(options) or supports_cmds):
         return None
     from . import tracelog
-    profile = profile_for_options(options)
+    from .ir import commands as ir_cmds
+    profile = profile_for_options(options)   # encode-layout capacity
     mb = options.metablock_size
     # masked / block-split streams stay per-nibble adaptive — must mirror
     # engine_np.compress exactly (byte-identical containers)
@@ -458,6 +473,9 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
              else options.chunk_nibbles)
     layout = ModelLayout(PROFILES[profile], lo_bucketed=chunk > 0)
     frames = []
+    used_split = used_mask = False
+    if options.use_context_map and options.force_stride_value > 1:
+        used_mask = True   # constant stride-with-cm mask in every PM
     with tracelog.span("encode/native_serial", bytes=len(data)):
         for off in range(0, max(len(data), 1), mb):
             raw = data[off:off + mb]
@@ -469,18 +487,35 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
                 from .ir.detect import detect_prior_bitmask
                 mask = detect_prior_bitmask(raw,
                                             options.prior_bitmask_detection)
+                if mask is not None and any(mask):
+                    used_mask = True
             trace = build_trace(raw, options, layout, mask=mask)
             if trace is None and supports_cmds:
                 from .ir.matcher import build_commands
-                trace = build_trace_cmds(raw, build_commands(raw, options),
-                                         options, layout)
+                commands = build_commands(raw, options)
+                for c in commands:
+                    if isinstance(c, ir_cmds.BlockSwitchLiteral):
+                        used_split = True
+                    elif (isinstance(c, ir_cmds.PredictionMode)
+                          and any(c.mixing_values)):
+                        used_mask = True
+                trace = build_trace_cmds(raw, commands, options, layout)
             if trace is None:
                 return None
             cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk)
             frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
+    # flag = what the streams actually used (mirrors emitted_profile)
+    if not options.use_context_map:
+        emitted = "stride"
+    elif used_split:
+        emitted = "split"
+    elif used_mask:
+        emitted = "mix"
+    else:
+        emitted = "cm"
     return fmt.serialize(frames, options.window_size, options.mb_log2,
                          crc32c(data),
-                         flags=PROFILE_FLAGS[profile] | chunk_to_flags(chunk))
+                         flags=PROFILE_FLAGS[emitted] | chunk_to_flags(chunk))
 
 
 def decompress(blob: bytes) -> bytes:
@@ -504,7 +539,7 @@ def decompress(blob: bytes) -> bytes:
         if layout is not None:
             with tracelog.span("decode/native_serial", bytes=f.raw_len):
                 raw = decode_metablock(f.cmd, f.lit, f.raw_len,
-                                       profile in ("cm", "mix"), layout,
+                                       profile != "stride", layout,
                                        chunk)
         if raw is None:
             with tracelog.span("decode/golden_fallback", bytes=f.raw_len):

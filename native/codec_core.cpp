@@ -463,6 +463,12 @@ struct DecCtx {
     int32_t stride = 1;    // constant mask 4+s-1 (mv_mode 1/3), cm off
     bool masked = false;   // mix profile: per-context masks with cm on
     std::vector<uint8_t> mask;  // 8192 entries when masked streams seen
+    int32_t nb = 1;        // literal block types (from the decoded lcm)
+    int32_t nctx_hi = 64;  // lit_hi / lit_hi_s minor dim (64 * nb)
+    int32_t nb_cap = 1;    // layout capacity: (nctx << lo_shift) / 64
+    int32_t btype_last = 0;
+    int32_t bt_lru0 = 0, bt_lru1 = 1;
+    int32_t bt_max_seen = 0;
 
     // effective mask value per literal nibble (engine_np mm_opts)
     inline int32_t mask_at(int32_t idx) const {
@@ -510,6 +516,7 @@ enum Seg {
     SEG_D_SBEG, SEG_D_SLAST, SEG_D_IDX, SEG_D_TR,
     SEG_PM_MIX,
     SEG_LIT_HI_S, SEG_LIT_LO_S,
+    SEG_BT_MN, SEG_BT_F, SEG_BT_S,
     SEG_COUNT
 };
 
@@ -615,7 +622,8 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
                                 : (c.wpos >= 1 ? c.out[c.wpos - 1] : 0);
         int32_t prev2 = self_fed ? (int32_t)((c.l8 >> 0x30) & 0xFF)
                                  : (c.wpos >= 2 ? c.out[c.wpos - 2] : 0);
-        int32_t ctx = c.use_cm ? (c.lut0[prev] | c.lut1[prev2]) : 0;
+        int32_t ctx = c.use_cm
+            ? (c.lut0[prev] | c.lut1[prev2]) + (c.btype_last << 6) : 0;
         int32_t hi_flat, lo_base;
         // deferred layouts bucket the lo-nibble ctx (engine_np.py)
         int32_t ctx_lo = c.use_cm ? (ctx >> c.lo_shift) : ctx;
@@ -632,7 +640,7 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
                 int32_t sb = self_fed
                     ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3))) & 0xFF)
                     : (c.wpos >= s ? c.out[c.wpos - s] : 0);
-                hi_flat = seg[SEG_LIT_HI_S] + sb * 64 + ctx;
+                hi_flat = seg[SEG_LIT_HI_S] + sb * c.nctx_hi + ctx;
             }
             lo_base = seg[SEG_LIT_LO] + ctx_lo * 16;
             lo_masked = !c.mask.empty();
@@ -747,7 +755,7 @@ static void decode_prediction_mode(DecCtx& c) {
     for (int which = 0; which < 2; ++which) {
         int32_t lru[13];
         for (int i = 0; i < 13; ++i) lru[i] = i;
-        int32_t limit = which == 0 ? 64 : 4;
+        int32_t limit = which == 0 ? 64 * c.nb_cap : 4;
         int32_t idx = 0;
         for (;;) {
             int32_t mn = c.nib(seg[SEG_PM_CMN] + which, sMED[0], sMED[1],
@@ -780,9 +788,16 @@ static void decode_prediction_mode(DecCtx& c) {
             }
             idx++;
         }
-        if (idx != 0 && idx != limit) { c.err = true; return; }
-        if (which == 0 && idx == 0 && c.use_cm) { c.err = true; return; }
-        if (which == 0 && idx == limit && !c.use_cm) { c.err = true; return; }
+        if (which == 0) {
+            // literal map: identity over nb*64 values, nb <= capacity
+            if (idx % 64 != 0 || idx > limit) { c.err = true; return; }
+            if (idx == 0 && c.use_cm) { c.err = true; return; }
+            if (idx != 0 && !c.use_cm) { c.err = true; return; }
+            c.nb = idx ? idx / 64 : 1;
+            c.nctx_hi = 64 * c.nb;
+        } else {
+            if (idx != 0 && idx != limit) { c.err = true; return; }
+        }
     }
     int32_t mv = c.nib(seg[SEG_PM_MVMODE], sMED[0], sMED[1], c.cmd);
     static const int32_t sPLANE[2] = {0x80, 0x4000};
@@ -791,12 +806,29 @@ static void decode_prediction_mode(DecCtx& c) {
             c.mask.clear();                // all-zero mask: pure cm
         } else if (!c.masked) {
             c.err = true;                  // cm layout: masks -> python
-        } else if (mv == 3 || mv == 4) {
-            // constant mask value (mv 4 with nb=1 degenerates to 3)
+        } else if (mv == 3) {
             int32_t v = c.nib(seg[SEG_PM_MIX] + 16, sPLANE[0], sPLANE[1],
                               c.cmd);
             if (v < 4 || v > 11) { c.err = true; return; }
             c.mask.assign(8192, (uint8_t)v);
+        } else if (mv == 4) {
+            // one mask value per literal block type (engine_np mv_mode=4)
+            uint8_t vals[4] = {0, 0, 0, 0};
+            for (int32_t t = 0; t < c.nb; ++t) {
+                int32_t v = c.nib(seg[SEG_PM_MIX] + 16, sPLANE[0],
+                                  sPLANE[1], c.cmd);
+                if (v != 0 && (v < 4 || v > 11)) { c.err = true; return; }
+                vals[t] = (uint8_t)v;
+            }
+            c.mask.assign(8192, 0);
+            for (int32_t i = 0; i < 8192; ++i) {
+                int32_t t = (i & 0xFF) >> 6;
+                if (t > c.nb - 1) t = c.nb - 1;
+                c.mask[i] = vals[t];
+            }
+            bool anyv = false;
+            for (int t = 0; t < c.nb; ++t) if (vals[t]) anyv = true;
+            if (!anyv) c.mask.clear();
         } else if (mv == 2) {
             // explicit 8192 nibbles, prior = value 256 back (engine_np)
             c.mask.assign(8192, 0);
@@ -1022,8 +1054,30 @@ static int32_t decode_loop(DecCtx& c, const DictRef& dict) {
                 memcpy(c.out + c.wpos, word, wl);
             }
             c.wpos += wl;
+        } else if (nib == 0x4) {               // literal block switch
+            if (c.structure) return 1;  // device kernel: nb=1 only
+            int32_t mn = c.nib(seg[SEG_BT_MN] + 0, sSLOW[0], sSLOW[1],
+                               c.cmd);
+            int32_t value;
+            if (mn == 0) value = c.bt_lru1;
+            else if (mn == 1) value = (c.bt_max_seen + 1) & 0xFF;
+            else if (mn != 15) value = mn - 2;
+            else {
+                int32_t f = c.nib(seg[SEG_BT_F] + 0, sSLOW[0], sSLOW[1],
+                                  c.cmd);
+                int32_t s = c.nib(seg[SEG_BT_S] + 0, sSLOW[0], sSLOW[1],
+                                  c.cmd);
+                value = (s << 4) | f;
+            }
+            c.nib(seg[SEG_BT_STRIDE], sSLOW[0], sSLOW[1], c.cmd);
+            if (value < 0 || value >= c.nb) return 1;  // beyond the lcm
+            c.bt_lru1 = c.bt_lru0;
+            c.bt_lru0 = value;
+            if (value > c.bt_max_seen) c.bt_max_seen = value;
+            c.btype_last = value;
+            c.l4s >>= 2;   // _obs_btype shifts a 0 state tag in
         } else {
-            return 1;  // block switches: python fallback
+            return 1;  // cmd/dist block switches: python fallback
         }
     }
     if (c.err || c.wpos != raw_len) return 1;
@@ -1070,7 +1124,8 @@ int32_t dtpu_decode_metablock(
     c.nctx = nctx;
     c.lo_shift = lo_shift;
     c.use_cm = (use_cm & 1) != 0;
-    c.masked = (use_cm & 2) != 0;   // mix profile (per-context masks)
+    c.masked = (use_cm & 2) != 0;   // mix/split profile (masks present)
+    c.nb_cap = ((nctx << lo_shift) + 63) / 64;  // lcm capacity in types
     c.out = out_raw;
     c.raw_len = raw_len;
     return decode_loop(c, dict);

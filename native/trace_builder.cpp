@@ -139,7 +139,8 @@ enum Seg {
     SEG_LIT_HI, SEG_LIT_LO, SEG_CM_FIRST, SEG_CM_SECOND,
     SEG_D_SBEG, SEG_D_SLAST, SEG_D_IDX, SEG_D_TR,  // (decoder-only segs,
     SEG_PM_MIX,                                    //  kept for index parity
-    SEG_LIT_HI_S, SEG_LIT_LO_S,                    //  with codec_core.cpp)
+    SEG_LIT_HI_S, SEG_LIT_LO_S,
+    SEG_BT_MN, SEG_BT_F, SEG_BT_S,                    //  with codec_core.cpp)
     SEG_COUNT
 };
 
@@ -317,6 +318,11 @@ struct TraceCtx {
     int32_t stride = 1;        // EFFECTIVE stride (min(7, v^4) + 1), cm off
     int32_t mv_value = 0;      // wire mask value v = 4 + min(7, s-1)
     const uint8_t* mask = nullptr;  // per-context mask (8192), cm on
+    int32_t nb = 1;            // literal block types (split profile <= 4)
+    int32_t nctx_hi = 64;      // lit_hi / lit_hi_s minor dim (64 * nb)
+    int32_t btype_last = 0;    // current literal block type
+    int32_t bt_lru0 = 0, bt_lru1 = 1;  // literal btype LRU (model.py)
+    int32_t bt_max_seen = 0;
 
     // effective mask value for one literal nibble (engine_np mm_opts):
     // explicit per-context mask, else the constant stride-with-cm mask
@@ -374,7 +380,10 @@ static void code_literal_content(TraceCtx& c, const uint8_t* raw,
         int32_t byte = raw[p];
         int32_t hi = byte >> 4, lo = byte & 0xF;
         if (c.use_cm) {   // ctx tables (sel 0) or masked stride (sel 1)
-            int32_t ctx = c.lut0[prev] | c.lut1[prev2];  // identity lcm
+            // identity lcm: actual ctx = selected + btype*64 (engine_np
+            // cmap_index = selected + btype_last << 6)
+            int32_t ctx = (c.lut0[prev] | c.lut1[prev2])
+                + (c.btype_last << 6);
             int32_t ctx_lo = ctx >> c.lo_shift;  // deferred lo bucketing
             // per-nibble mixing mask (engine_np._literal_nibble):
             // mm_index = ctx | (hi prior << 8) [| 4096 for the low nibble]
@@ -389,7 +398,7 @@ static void code_literal_content(TraceCtx& c, const uint8_t* raw,
                 int32_t sb = c.self_fed
                     ? (int32_t)((c.l8 >> (0x38 - ((s - 1) << 3))) & 0xFF)
                     : (p >= s ? raw[p - s] : 0);
-                hi_flat = seg[SEG_LIT_HI_S] + sb * 64 + ctx;
+                hi_flat = seg[SEG_LIT_HI_S] + sb * c.nctx_hi + ctx;
             }
             if (mo_lo == 0) {
                 lo_flat = seg[SEG_LIT_LO] + ctx_lo * 16 + hi;
@@ -611,7 +620,7 @@ static void code_prediction_mode(TraceCtx& c, int32_t mixing,
         rec(c, seg[SEG_PM_CMN] + which, 14, 0, MED);  // eof
     };
     reset_lru();
-    code_map(0, c.use_cm ? 64 : 0);
+    code_map(0, c.use_cm ? 64 * c.nb : 0);
     reset_lru();
     code_map(1, c.use_cm ? 4 : 0);
     // mixing-value mode selection mirrors the golden encoder exactly
@@ -626,8 +635,15 @@ static void code_prediction_mode(TraceCtx& c, int32_t mixing,
             if (c.mask[i]) anyv = true;
             if (c.mask[i] != c.mask[0]) constant = false;
         }
+        bool per_t = c.nb >= 1;
+        for (int i = 0; i < 8192 && per_t; ++i) {
+            int32_t t = (i & 0xFF) >> 6;
+            if (t > c.nb - 1) t = c.nb - 1;
+            if (c.mask[i] != c.mask[t * 64]) per_t = false;
+        }
         if (!anyv) { mv_mode = 0; c.mask = nullptr; }
         else if (constant) { mv_mode = 3; c.mv_value = c.mask[0]; }
+        else if (per_t) { mv_mode = 4; }
         else if (!c.combine) { mv_mode = 0; c.mask = nullptr; }
         else mv_mode = 2;
     } else if (c.stride > 1) {
@@ -638,6 +654,9 @@ static void code_prediction_mode(TraceCtx& c, int32_t mixing,
     rec(c, seg[SEG_PM_MVMODE], mv_mode, 0, MED);
     if (mv_mode == 3) {  // constant mask value 4+min(7,s-1) (engine_np)
         rec(c, seg[SEG_PM_MIX] + 16, c.mv_value, 0, PLANE);
+    } else if (mv_mode == 4) {  // one value per literal block type
+        for (int32_t t = 0; t < c.nb; ++t)
+            rec(c, seg[SEG_PM_MIX] + 16, c.mask[t * 64], 0, PLANE);
     } else if (mv_mode == 2) {
         for (int32_t i = 0; i < 8192; ++i) {
             int32_t prior = i >= 256 ? (c.mask[i - 256] & 0xF) : 16;
@@ -741,9 +760,33 @@ static void code_dict_cmd(TraceCtx& c, int32_t ws, int32_t wid, int32_t tid) {
     rec(c, seg[SEG_D_TR] + 16 + (tid >> 4), tid & 0xF, 0, FAST);
 }
 
+static void code_block_switch_lit(TraceCtx& c, int32_t value,
+                                  int32_t stride_nib) {
+    // BlockTypeState FSM, literal variant (engine_np.code_block_switch +
+    // code_stride_nibble; reference src/codec/block_type.rs:18-195)
+    const int32_t* seg = c.seg;
+    int32_t mn;
+    if (value == c.bt_lru1) mn = 0;
+    else if (value == ((c.bt_max_seen + 1) & 0xFF)) mn = 1;
+    else if (value <= 12) mn = value + 2;
+    else mn = 15;
+    rec(c, seg[SEG_BT_MN] + 0, mn, 0, SLOW);
+    if (mn == 15) {
+        rec(c, seg[SEG_BT_F] + 0, value & 0xF, 0, SLOW);
+        rec(c, seg[SEG_BT_S] + 0, value >> 4, 0, SLOW);
+    }
+    rec(c, seg[SEG_BT_STRIDE], stride_nib, 0, SLOW);
+    c.bt_lru1 = c.bt_lru0;
+    c.bt_lru0 = value;
+    if (value > c.bt_max_seen) c.bt_max_seen = value;
+    c.btype_last = value;
+    c.l4s >>= 2;   // _obs_btype shifts a 0 state tag in (model.py:81)
+}
+
 // cmd_rows: int32[n,5] = (type, a, b, c, d):
 //   0 Literal (a = len) | 1 Copy (a = dist, b = len)
 //   2 Dict (a = word_size, b = word_id, c = transform, d = final_size)
+//   3 BlockSwitchLiteral (a = block_type, b = stride nibble)
 // Returns n_steps, or -1 on overflow / malformed command.
 int32_t dtpu_build_trace_cmds(
         const uint8_t* raw, int32_t raw_len,
@@ -754,12 +797,16 @@ int32_t dtpu_build_trace_cmds(
         const int32_t* seg_offsets, int32_t nctx, int32_t lo_shift,
         int32_t self_fed,
         const uint8_t* lut0, const uint8_t* lut1,
-        const uint8_t* mask,
+        const uint8_t* mask, int32_t nb,
         int32_t* out, int32_t out_cap) {
     TraceCtx c{};
     c.lo_shift = lo_shift;
     c.self_fed = self_fed;
     c.mask = mask;
+    if (nb < 1) nb = 1;
+    if (nb > 4) return -1;
+    c.nb = nb;
+    c.nctx_hi = 64 * nb;
     if (stride > 1) {
         int32_t v = 4 + (stride - 1 < 7 ? stride - 1 : 7);
         int32_t x = v ^ 4;
@@ -798,6 +845,10 @@ int32_t dtpu_build_trace_cmds(
             c.l4s = ((c.l4s >> 2) | 64) & 0xFF;
             code_copy(c, r[1], r[2]);
             pos += r[2];
+        } else if (r[0] == 3) {              // literal block switch
+            if (r[1] < 0 || r[1] >= nb) return -1;
+            cmd_type(0x4);
+            code_block_switch_lit(c, r[1], r[2]);
         } else if (r[0] == 2) {              // dict word
             int32_t ws = r[1];
             if (ws < 4 || ws > 24 || pos + r[4] > raw_len) return -1;

@@ -60,8 +60,8 @@ class TestBlockSplitStreams:
         assert len(out[0].literal_context_map) > 64
 
     def test_api_auto_round_trips_with_fallback(self):
-        """native/jax decline block_split encode; every decoder falls back
-        to golden on the switches without mis-decoding."""
+        """block_split containers are byte-identical across engines (the
+        native split profile encodes/decodes switches directly now)."""
         from divans_tpu import api
         data = _hetero(40000, 40000)
         blob = api.compress(data, DivansOptions(block_split=True))

@@ -96,3 +96,34 @@ def test_mix_ratio_beats_cm_on_strided_binary():
     base = engine_np.compress(data, DivansOptions())
     mix = engine_np.compress(data, DivansOptions(stride_detection_quality=1))
     assert len(mix) < 0.85 * len(base)
+
+
+def _hetero():
+    text = open("/root/reference/testdata/alice29", "rb").read()[:60000]
+    t = np.arange(20000)
+    wave = (9000 * np.sin(t / 40.0)).astype("<i2").tobytes()
+    return text + wave + b"\0" * 20000 + text[:20000]
+
+
+def test_split_profile_native_byte_identical_and_roundtrips():
+    """Block-split streams (nb<=4 literal switches + per-type strides in
+    the mask) encode and decode on the native fast path — VERDICT r2
+    item 8's -blocksplit ask.  Reference: src/codec/block_type.rs."""
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    from divans_tpu.container import format as fmt
+    data = _hetero()
+    opts = DivansOptions(block_split=True)
+    golden = engine_np.compress(data, opts)
+    nat = native.compress(data, opts)
+    assert nat is not None and nat == golden
+    _w, _mb, frames, _crc, flags = fmt.deserialize(nat)
+    assert FLAG_PROFILES[flags & 0b11] == "split"
+    assert native.decompress(nat) == data
+    layout = ModelLayout(PROFILES["split"])
+    out = b"".join(
+        native.decode_metablock(f.cmd, f.lit, f.raw_len, True, layout, 0)
+        for f in frames)
+    assert out == data  # no golden fallback needed
+    base = engine_np.compress(data, DivansOptions())
+    assert len(nat) < len(base)  # the split buys ratio on heterogeneous data
