@@ -193,16 +193,23 @@ def _make_kernel(s, r_pad, n_chunks):
         out_ref[0, 0, s // T_FOLD:, :] = jnp.zeros(
             (8 - s // T_FOLD, 128), jnp.int32)
 
-        # ---- this chunk's histogram -> next pend
-        vh_hist = ((val_rep == cm_s) & (act_rep != 0)).astype(jnp.bfloat16)
+        # ---- this chunk's histogram -> next pend.  The ge-mask matmul
+        # yields the per-row CUMULATIVE counts directly (add[i] sums
+        # hits with sym <= i) and the act-matmul yields the row totals
+        # broadcast across each group — replacing the [KR, 128]
+        # prefix16/bcast15 vector scans with two MXU products (counts
+        # <= S < 2^8, so single bf16 matmuls are exact)
+        vh_ge = ((val_rep <= cm_s) & (act_rep != 0)).astype(jnp.bfloat16)
         dn_t = (((0,), (0,)), ((), ()))
-        cnt = jax.lax.dot_general(
-            oh, vh_hist, dn_t,
+        cnt_cum = jax.lax.dot_general(
+            oh, vh_ge, dn_t,
             preferred_element_type=jnp.float32).astype(jnp.int32)  # [KR, 128]
-        cnt = jnp.where(bd_mask, cnt, 0)
-        cnt_cum = _prefix16(cnt)
+        tot = jax.lax.dot_general(
+            oh, act_rep.astype(jnp.bfloat16), dn_t,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        cnt_cum = jnp.where(bd_mask, cnt_cum, 0)
         new_add = inc_ref[:] * cnt_cum
-        new_tot = _bcast15(cnt_cum)
+        new_tot = jnp.where(bd_mask, tot, 0)
 
         # ---- apply the lagged pend (jax_engine._apply_pend, no weights)
         committed = model_ref[:] + pend_add_ref[:]

@@ -239,33 +239,43 @@ def _make_kernel(s_bytes, n_chunks):
                 acc = acc + pltpu.roll(pl_[t:t + 1, :], 2 * k + 1, 1)
             out_ref[0, 0, r:r + 1, :] = acc
 
-        # ---- histograms (counts < 2^8: single bf16 matmuls are exact)
+        # ---- histograms (counts < 2^8: single bf16 matmuls are exact).
+        # ge-mask matmuls give the per-row cumulative counts directly;
+        # the act-matmuls give row totals broadcast across each group —
+        # no [K, 128] prefix16/bcast15 vector scans
         dn_t = (((0,), (0,)), ((), ()))
-        vh_h = ((val_hi == cm_s) & live).astype(jnp.bfloat16)
-        vh_l = ((val_lo == cm_s) & live).astype(jnp.bfloat16)
-        cnt_hi = jax.lax.dot_general(
+        vh_h = ((val_hi <= cm_s) & live).astype(jnp.bfloat16)
+        vh_l = ((val_lo <= cm_s) & live).astype(jnp.bfloat16)
+        cum_hi = jax.lax.dot_general(
             oh_hi, vh_h, dn_t,
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        cnt_lo = jax.lax.dot_general(
+        cum_lo = jax.lax.dot_general(
             oh_lo, vh_l, dn_t,
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        cnt_hi = jnp.where(bd_hi, cnt_hi, 0)
-        cnt_lo = jnp.where(bd_lo, cnt_lo, 0)
-        cum_hi = _prefix16(cnt_hi)
-        cum_lo = _prefix16(cnt_lo)
+        tot_hi = jax.lax.dot_general(
+            oh_hi, live.astype(jnp.bfloat16), dn_t,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        tot_lo = jax.lax.dot_general(
+            oh_lo, live.astype(jnp.bfloat16), dn_t,
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        cum_hi = jnp.where(bd_hi, cum_hi, 0)
+        cum_lo = jnp.where(bd_lo, cum_lo, 0)
+        tot_hi = jnp.where(bd_hi, tot_hi, 0)
+        tot_lo = jnp.where(bd_lo, tot_lo, 0)
 
         def spd_plane(row, kr):
             return jnp.broadcast_to(spd_ref[0, row:row + 1, :], (kr, 128))
 
-        def pend(cum, inc_row, kr):
+        def pend(cum_tot, inc_row, kr):
+            cum, tot = cum_tot
             inc = spd_plane(inc_row, kr)
             liv = (inc != 0).astype(jnp.int32)
-            return inc * cum * liv, _bcast15(cum) * liv
+            return inc * cum * liv, tot * liv
 
-        new_add_hi, new_tot_hi = pend(cum_hi, 0, k_hi)
-        new_add_lo, new_tot_lo = pend(cum_lo, 0, k_lo)
-        new_add_cm1, new_tot_cm1 = pend(cum_hi, 4, k_hi)
-        new_add_cm2, new_tot_cm2 = pend(cum_lo, 2, k_lo)
+        new_add_hi, new_tot_hi = pend((cum_hi, tot_hi), 0, k_hi)
+        new_add_lo, new_tot_lo = pend((cum_lo, tot_lo), 0, k_lo)
+        new_add_cm1, new_tot_cm1 = pend((cum_hi, tot_hi), 4, k_hi)
+        new_add_cm2, new_tot_cm2 = pend((cum_lo, tot_lo), 2, k_lo)
 
         # ---- apply the lagged pend (jax_engine._apply_pend)
         def commit(model_ref, add_ref, tot_ref, lim_row, kr, mask):
