@@ -94,12 +94,14 @@ def _match_len(data: bytes, a: int, b: int, limit: int) -> int:
 
 
 def find_matches_optimal(data: bytes, quality: int):
-    """Cost-model optimal parse (native DP, quality 11) or None.
+    """Cost-model optimal parse (native DP, quality >= 10) or None.
 
-    The reference reaches its q11 ratio through brotli's optimal parse
-    (backward references chosen by a shortest-path cost model); this is
-    the equivalent front-end, implemented in native/trace_builder.cpp
-    (dtpu_match_optimal) with billing-calibrated integer costs."""
+    The reference reaches its q10/q11 ratio through brotli's optimal
+    parse (backward references chosen by a shortest-path cost model);
+    this is the equivalent front-end, implemented in
+    native/trace_builder.cpp (dtpu_match_optimal) with
+    billing-calibrated integer costs.  Static-dictionary edges join at
+    quality 11 (their candidate probing is the expensive part)."""
     import ctypes
 
     import numpy as np
@@ -112,10 +114,14 @@ def find_matches_optimal(data: bytes, quality: int):
         return None
     lib.dtpu_match_optimal.restype = ctypes.c_int32
     n = len(data)
-    depth = max(1, min(64, 1 << max(0, quality - 4)))
+    depth = max(1, min(64, 1 << max(0, quality - 5)))  # q10: 32, q11: 64
     lit16 = max(8, int(order1_bits_per_byte(data) * 0.92 * 16))
     dist16 = np.array([64 + 9 * bl for bl in range(33)], np.int32)
-    dlen, dcost = _dict_candidate_arrays(data)
+    if quality >= 11:
+        dlen, dcost = _dict_candidate_arrays(data)
+    else:
+        dlen = np.zeros(n, np.int32)
+        dcost = np.zeros(n, np.int32)
     buf = (ctypes.c_uint8 * n).from_buffer_copy(data)
     out = np.zeros((n // 4 + 8, 3), np.int32)
 
@@ -128,12 +134,13 @@ def find_matches_optimal(data: bytes, quality: int):
             out.ctypes.data_as(ctypes.c_void_p), out.shape[0])
         if nm < 0:
             return None
+        # repeat-distance LRU rewrite, in place (C++ twin of
+        # _prefer_repeat_distances — bit-identical, tests/test_native.py)
+        lib.dtpu_prefer_repeat(buf, n,
+                               out.ctypes.data_as(ctypes.c_void_p), nm)
         return out[:nm].tolist()
 
-    matches = parse(lit16, dist16)
-    if matches is not None:
-        matches = _prefer_repeat_distances(data, matches)
-    return matches
+    return parse(lit16, dist16)
     # NOTE: a Zopfli-style second iteration with costs measured from a
     # replay of the first parse (_measured_costs below) was tried and is
     # ratio-neutral-to-slightly-negative here: the adaptive distance
@@ -307,12 +314,15 @@ def _commands_from_matches(data, matches, options):
 
 
 def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
-    """Greedy+lazy hash-chain matching; cost-model optimal parse at q11.
+    """Greedy+lazy hash-chain matching (q <= 9); cost-model optimal
+    parse at q10+ (the default quality).
 
-    At q11 both parses are measured (exact model replay) and the cheaper
-    wins: the DP dominates on text, greedy on ultra-repetitive data where
-    the adaptive model rewards max-length matches beyond the static cost
-    model's horizon.
+    The DP with the repeat-distance credit (rep_bonus) plus the LRU
+    post-pass beats or ties the greedy parse on every fixture measured
+    (research: alice -3.2%, 11.5 MB mixed corpus 0.2336 -> 0.2234 —
+    past brotli-q9's 0.2246), so q10 takes it outright; q11 still
+    measures DP-with-dict vs greedy per metablock (exact stream bytes)
+    because dict edges change the tradeoff on ultra-repetitive data.
 
     Returns [(position, distance, length)] sorted by position, non-overlapping.
     """
@@ -335,6 +345,10 @@ def find_matches(data: bytes, quality: int) -> list[tuple[int, int, int]]:
             if bo is not None and (bg is None or bo <= bg):
                 return opt
             return greedy
+    elif quality >= 10:
+        opt = find_matches_optimal(data, quality)
+        if opt is not None:
+            return opt
     return _find_matches_greedy(data, quality)
 
 

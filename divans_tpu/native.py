@@ -105,11 +105,23 @@ def build_trace(raw: bytes, options: DivansOptions,
         return None
     n = len(raw)
     buf = (ctypes.c_uint8 * n).from_buffer_copy(raw)
-    matches = np.zeros((max(1, n // 4 + 8), 3), np.int32)
-    nm = lib.dtpu_match(buf, n, options.quality,
-                        matches.ctypes.data_as(ctypes.c_void_p),
-                        matches.shape[0])
-    assert nm >= 0, "match buffer overflow"
+    if options.quality >= 10 and n >= 4:
+        # default quality takes the cost-model optimal parse — the same
+        # matches the golden engine's build_commands uses (ir/matcher
+        # find_matches), so containers stay byte-identical
+        from .ir.matcher import find_matches
+        m = find_matches(raw, options.quality)
+        matches = np.ascontiguousarray(
+            np.array(m, np.int32).reshape(-1, 3))
+        nm = matches.shape[0]
+        if nm == 0:
+            matches = np.zeros((1, 3), np.int32)
+    else:
+        matches = np.zeros((max(1, n // 4 + 8), 3), np.int32)
+        nm = lib.dtpu_match(buf, n, options.quality,
+                            matches.ctypes.data_as(ctypes.c_void_p),
+                            matches.shape[0])
+        assert nm >= 0, "match buffer overflow"
     seg = _seg_array(layout)
     speeds = options.literal_adaptation or (MUD, MUD, Speed(8, 8192),
                                             Speed(8, 8192))

@@ -42,6 +42,50 @@ extern "C" int32_t dtpu_match_optimal(const uint8_t* data, int32_t n,
 
 struct Match { int32_t pos, dist, len; };
 
+// Repeat-distance post-pass (ir/matcher._prefer_repeat_distances): swap
+// a copy's distance for a distance-LRU hit when the same bytes are
+// available there — an LRU mnemonic costs ~3 bits vs 4+0.55*log2(d) for
+// an explicit distance (codec/copy.rs mnemonics).  The LRU is simulated
+// exactly as the codec maintains it (codec/model.py).
+extern "C" void dtpu_prefer_repeat(const uint8_t* data, int32_t n,
+                                   Match* m, int32_t nm) {
+    int32_t lru[4] = {4, 11, 15, 16};
+    for (int32_t i = 0; i < nm; ++i) {
+        int32_t pos = m[i].pos, dist = m[i].dist, len = m[i].len;
+        int32_t best = dist;
+        if (dist == 0) continue;            // dict edge marker
+        bool in_lru = dist == lru[0] || dist == lru[1] || dist == lru[2]
+            || dist == lru[3];
+        if (!in_lru) {
+            int32_t bl = 32 - __builtin_clz((uint32_t)dist);
+            if (16 + 9 * bl - 48 > 0) {
+                for (int k = 0; k < 4; ++k) {
+                    int32_t d = lru[k];
+                    if (d != dist && d <= pos && pos + len <= n
+                        && memcmp(data + pos - d, data + pos,
+                                  (size_t)len) == 0) {
+                        best = d;
+                        break;
+                    }
+                }
+            }
+        }
+        m[i].dist = best;
+        if (best != lru[0]) {
+            if (best == lru[1]) {
+                int32_t t[4] = {best, lru[0], lru[2], lru[3]};
+                memcpy(lru, t, sizeof t);
+            } else if (best == lru[2]) {
+                int32_t t[4] = {best, lru[0], lru[1], lru[3]};
+                memcpy(lru, t, sizeof t);
+            } else {
+                int32_t t[4] = {best, lru[0], lru[1], lru[2]};
+                memcpy(lru, t, sizeof t);
+            }
+        }
+    }
+}
+
 static inline uint32_t hash4(const uint8_t* p) {
     uint32_t v;
     memcpy(&v, p, 4);
@@ -171,8 +215,28 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     const int MIN_MATCH = 4;
     if (n < MIN_MATCH) return 0;
     if (depth < 1) depth = 1;
-    static thread_local std::vector<std::vector<int32_t>> chains;
-    chains.assign(1 << 15, {});
+    // head/prev hash chains (cache-friendly; no per-bucket allocation)
+    static thread_local std::vector<int32_t> head, prev;
+    head.assign(1 << 15, -1);
+    prev.assign((size_t)n, -1);
+
+    auto match_len = [&](int32_t a0, int32_t b0, int32_t maxl) -> int32_t {
+        // 8-byte XOR compares (the match-extension loop dominates the
+        // candidate search)
+        int32_t l = 0;
+        const uint8_t* a = data + a0;
+        const uint8_t* b = data + b0;
+        while (l + 8 <= maxl) {
+            uint64_t xa, xb;
+            memcpy(&xa, a + l, 8);
+            memcpy(&xb, b + l, 8);
+            uint64_t x = xa ^ xb;
+            if (x) return l + (__builtin_ctzll(x) >> 3);
+            l += 8;
+        }
+        while (l < maxl && a[l] == b[l]) ++l;
+        return l;
+    };
 
     // per-position candidates: the longest match, and the nearest
     // occurrence (short distance = cheap explicit coding) when distinct
@@ -182,16 +246,16 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         uint32_t v;
         memcpy(&v, data + i, 4);
         uint32_t h = (v * 0x1E35A7BDu) >> 17;
-        auto& lst = chains[h];
         int32_t best_len = 0, best_dist = 0, nl = 0, nd = 0;
-        int32_t lo = (int32_t)lst.size() > depth ? (int32_t)lst.size() - depth
-                                                 : 0;
-        for (int32_t k = (int32_t)lst.size() - 1; k >= lo; --k) {
-            int32_t j = lst[k];
-            int32_t l = 0, maxl = n - i;
-            const uint8_t* a = data + j;
-            const uint8_t* b = data + i;
-            while (l < maxl && a[l] == b[l]) ++l;
+        int32_t j = head[h];
+        int32_t maxl = n - i;
+        for (int32_t k = 0; k < depth && j >= 0; ++k, j = prev[j]) {
+            // cheap reject: a longer match must extend past best_len
+            // (also records the nearest candidate before rejecting)
+            if (best_len > 0 && nl != 0 && best_len < maxl
+                && data[j + best_len] != data[i + best_len])
+                continue;
+            int32_t l = match_len(j, i, maxl);
             if (l >= MIN_MATCH && nl == 0) { nl = l; nd = i - j; }
             if (l > best_len || (l == best_len && i - j < best_dist)) {
                 best_len = l;
@@ -204,9 +268,8 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
             cand_dist[i] = best_dist;
             if (nd != best_dist) { near_len[i] = nl; near_dist[i] = nd; }
         }
-        lst.push_back(i);
-        if ((int32_t)lst.size() > 4 * depth)
-            lst.erase(lst.begin(), lst.begin() + 2 * depth);
+        prev[i] = head[h];
+        head[h] = i;
     }
 
     // backward DP: cost[i] = cheapest coding of data[i:]

@@ -47,6 +47,27 @@ def test_metablock_size_monotonic_ratio(corpus):
     assert sizes[1] < sizes[0]
 
 
+def test_default_quality_beats_brotli_q9_ratio(corpus):
+    """Round 3: the DEFAULT quality (q10, cost-model optimal parse) must
+    beat brotli-q9 on the mixed >=10 MB corpus at metablock <= 4 MiB.
+    Measured: q10 0.2234 vs brotli-q9-w24 0.2246
+    (research/large_file_study.py).  Gated on a 3 MiB slice."""
+    data = corpus[: 3 << 20]
+    blob = native.compress(data, DivansOptions(metablock_size=4 << 20))
+    assert blob is not None
+    assert native.decompress(blob) == data
+    spec = importlib.util.spec_from_file_location(
+        "compare_corpora",
+        os.path.join(os.path.dirname(__file__), "..", "research",
+                     "compare_corpora.py"))
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+    if cc._BROTLI is None:
+        pytest.skip("libbrotlienc unavailable")
+    br = cc.brotli_compress(data, 9, 24)
+    assert len(blob) < len(br), (len(blob), len(br))
+
+
 def test_q11_beats_brotli_q9_ratio(corpus):
     """VERDICT r2 item 5: the max-ratio configuration must beat brotli-q9
     on the mixed >=10 MB corpus at metablock <= 4 MiB.  Measured: q11
