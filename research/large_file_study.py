@@ -71,6 +71,17 @@ def main() -> None:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # q9: the greedy+lazy speed point (the old default)
+    opts = DivansOptions(quality=9, metablock_size=1 << 22)
+    t0 = time.perf_counter()
+    blob = native.compress(data, opts)
+    enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rt = native.decompress(blob)
+    dec = time.perf_counter() - t0
+    assert rt == data
+    emit("divans_tpu-q9-mb2^22", blob, enc, dec)
+
     for mb_log in (18, 20, 22, 24):
         opts = DivansOptions(metablock_size=1 << mb_log)
         t0 = time.perf_counter()
