@@ -53,9 +53,41 @@ inline void blend(Cdf& cdf, int32_t sym, int32_t inc, int32_t lim) {
     }
 }
 
+// Reciprocal table: RECIP45[d] = ceil(2^45/d) for d in [1, 32767] —
+// div_by_recip below is exact over the codec's whole domain, replacing
+// two idiv instructions per range extraction (~26 cycles each; the
+// literal hot loop extracts 3 ranges per nibble).  This is the host
+// analog of the reference's div_lut (src/probability/numeric.rs) — on
+// TPU the XLA int32 divide is native, on x86 the LUT wins.
+static uint64_t RECIP45[32768];
+static const bool RECIP45_INIT = [] {
+    RECIP45[0] = 0;
+    for (uint64_t d = 1; d < 32768; ++d)
+        RECIP45[d] = ((1ULL << 45) + d - 1) / d;
+    return true;
+}();
+
 inline void sym_to_start_freq(const Cdf& cdf, int32_t sym, int32_t* start,
                               int32_t* freq) {
     int32_t maxv = cdf.c[15];
+    // LUT path only on the sane domain (nonnegative numerators, 15-bit
+    // max); corrupt-stream junk falls back to the trunc-division the
+    // golden engine computes, keeping cross-engine fuzz bit-equal
+    if ((uint32_t)maxv - 1 < 32767u && cdf.c[sym] >= 0
+        && (sym == 0 || cdf.c[sym - 1] >= 0)) {
+        uint64_t M = RECIP45[maxv];
+        int32_t r_sym =
+            (int32_t)((unsigned __int128)(uint32_t)(cdf.c[sym] << LOG2_SCALE)
+                      * M >> 45);
+        int32_t r_prev = sym > 0
+            ? (int32_t)((unsigned __int128)(uint32_t)(cdf.c[sym - 1]
+                                                      << LOG2_SCALE)
+                        * M >> 45)
+            : 0;
+        *start = r_prev + 1;
+        *freq = r_sym - r_prev - 1;
+        return;
+    }
     int32_t r_sym = (cdf.c[sym] << LOG2_SCALE) / maxv;
     int32_t r_prev = sym > 0 ? (cdf.c[sym - 1] << LOG2_SCALE) / maxv : 0;
     *start = r_prev + 1;
