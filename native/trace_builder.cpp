@@ -215,9 +215,11 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     const int MIN_MATCH = 4;
     if (n < MIN_MATCH) return 0;
     if (depth < 1) depth = 1;
-    // head/prev hash chains (cache-friendly; no per-bucket allocation)
+    // head/prev hash chains (cache-friendly; no per-bucket allocation);
+    // 17-bit buckets: 4x fewer collisions than the greedy matcher's
+    // 15-bit hash, so a given depth wastes fewer compares on false hits
     static thread_local std::vector<int32_t> head, prev;
-    head.assign(1 << 15, -1);
+    head.assign(1 << 18, -1);
     prev.assign((size_t)n, -1);
 
     auto match_len = [&](int32_t a0, int32_t b0, int32_t maxl) -> int32_t {
@@ -245,7 +247,7 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     for (int32_t i = 0; i + MIN_MATCH <= n; ++i) {
         uint32_t v;
         memcpy(&v, data + i, 4);
-        uint32_t h = (v * 0x1E35A7BDu) >> 17;
+        uint32_t h = (v * 0x1E35A7BDu) >> 14;
         int32_t best_len = 0, best_dist = 0, nl = 0, nd = 0;
         int32_t j = head[h];
         int32_t maxl = n - i;
