@@ -114,18 +114,25 @@ def _make_kernel(s, r_pad, n_chunks):
     kr = G * r_pad
 
     def kernel(trace_ref, inc_ref, lim_ref, out_ref, model_ref,
-               pend_add_ref, pend_tot_ref):
+               pend_add_ref, pend_tot_ref, bias_ref, bd_ref):
         c = pl.program_id(1)
-        cm_kr = _colmod((kr, 128))
-        lane_c = jax.lax.broadcasted_iota(jnp.int32, (kr, 128), 1) // 16
-        _, lane_k = _lane_of_k((kr, 128), 0, r_pad)
-        bd_mask = lane_k == lane_c                            # [KR, 128]
 
         @pl.when(c == 0)
         def _():
-            model_ref[:] = jnp.where(bd_mask, 4 * (cm_kr + 1), 0)
+            # cache the [KR, 128] iota-derived constants: recomputing
+            # them every chunk cost ~1.9k vector ops per step
+            cm_kr = _colmod((kr, 128))
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (kr, 128), 1) // 16
+            _, lane_k = _lane_of_k((kr, 128), 0, r_pad)
+            bd0 = lane_k == lane_c
+            bias_ref[:] = cm_kr + 1
+            bd_ref[:] = bd0.astype(jnp.int32)
+            model_ref[:] = jnp.where(bd0, 4 * (cm_kr + 1), 0)
             pend_add_ref[:] = jnp.zeros((kr, 128), jnp.int32)
             pend_tot_ref[:] = jnp.zeros((kr, 128), jnp.int32)
+
+        bias = bias_ref[:]
+        bd_mask = bd_ref[:] != 0                              # [KR, 128]
 
         tp = trace_ref[0, 0]                                   # [S, G]
         flat8 = tp & 0xFF
@@ -214,8 +221,7 @@ def _make_kernel(s, r_pad, n_chunks):
         # ---- apply the lagged pend (jax_engine._apply_pend, no weights)
         committed = model_ref[:] + pend_add_ref[:]
         lim_eff = jnp.where(pend_tot_ref[:] > 0, lim_ref[:], 0x8000)
-        cm15 = cm_kr == 15
-        bias = cm_kr + 1
+        cm15 = bias == 16
 
         def cond(carry):
             i, arr = carry
@@ -261,6 +267,8 @@ def _cmd_pass_call(packed, inc_bd, lim_bd, num_rows, chunk, interpret):
             pltpu.VMEM((kr, 128), jnp.int32),   # model (block-diagonal)
             pltpu.VMEM((kr, 128), jnp.int32),   # lagged pend add
             pltpu.VMEM((kr, 128), jnp.int32),   # lagged pend tot
+            pltpu.VMEM((kr, 128), jnp.int32),   # cached bias (colmod+1)
+            pltpu.VMEM((kr, 128), jnp.int32),   # cached block-diag mask
         ],
         interpret=interpret,
     )(packed, inc_bd, lim_bd)

@@ -33,12 +33,18 @@ reps = 88
 traces = traces * reps
 raw_bytes = sum(len(b) for b in blocks) * reps
 
+from divans_tpu.codec import pallas_lit_pass as plp
 cmd_ts, lit_ts, _m, r_cmd, r_lit = jax_engine.split_stream_traces(traces, layout)
 s_cmd = deferred_mod.cmd_chunk(CHUNK)
 n_cmd_padded = jax_engine._padded_len(max(t.shape[0] for t in cmd_ts),
                                       max(s_cmd, 16))
 cmd_packed = jnp.asarray(pcp.pack_cmd_traces(cmd_ts, n_cmd_padded, s_cmd))
 lit_pad = jnp.asarray(jax_engine._pad_traces(lit_ts, multiple=CHUNK))
+n_lit_padded = max(jax_engine._padded_len(max(t.shape[0] for t in lit_ts),
+                                          CHUNK), CHUNK)
+_lr = plp.pack_lit_traces(lit_ts, n_lit_padded, CHUNK)
+lit_packed = jnp.asarray(_lr[0])
+lit_spd_pl = jnp.asarray(_lr[1])
 cmd_counts = jnp.asarray(np.array([t.shape[0] for t in cmd_ts], np.int32))
 lit_counts = jnp.asarray(np.array([t.shape[0] for t in lit_ts], np.int32))
 lit_spd = jnp.asarray(jax_engine.lit_speeds_from_traces(lit_ts))
@@ -68,20 +74,20 @@ def lanes_to_pallas(st, fr, counts):
 
 
 @jax.jit
-def cmd_pass():
+def cmd_pass(cmd_packed):
     cs, cf = pcp._cmd_pass_call(cmd_packed, inc_bd, lim_bd, r_cmd, s_cmd,
                                 interpret)
     return jnp.sum(cs) + jnp.sum(cf)
 
 
 @jax.jit
-def lit_pass():
-    ls, lf = jax_engine.model_pass_deferred_lit(lit_pad, lit_spd, r_lit, CHUNK)
+def lit_pass(lit_packed):
+    ls, lf = plp._lit_pass_call(lit_packed, lit_spd_pl, CHUNK, interpret)
     return jnp.sum(ls) + jnp.sum(lf)
 
 
 @jax.jit
-def ans_cmd():
+def ans_cmd(cmd_packed):
     cs, cf = pcp._cmd_pass_call(cmd_packed, inc_bd, lim_bd, r_cmd, s_cmd,
                                 interpret)
     cs, cf = cs[:cmd_counts.shape[0]], cf[:cmd_counts.shape[0]]
@@ -90,25 +96,26 @@ def ans_cmd():
 
 
 @jax.jit
-def ans_lit():
-    ls, lf = jax_engine.model_pass_deferred_lit(lit_pad, lit_spd, r_lit, CHUNK)
+def ans_lit(lit_packed):
+    ls, lf = plp._lit_pass_call(lit_packed, lit_spd_pl, CHUNK, interpret)
+    ls, lf = ls[:lit_counts.shape[0]], lf[:lit_counts.shape[0]]
     w, f, s = lanes_to_pallas(ls, lf, lit_counts)
     return jnp.sum(s) + jnp.sum(f.astype(jnp.int32)) + jnp.sum(w.astype(jnp.int32))
 
 
-def timed(fn, n_iter=3):
-    int(fn())
+def timed(fn, arg, n_iter=3):
+    int(fn(arg))
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        int(fn())
+        int(fn(arg))
     return (time.perf_counter() - t0) / n_iter
 
 
-t_cmd = timed(cmd_pass)
-t_lit = timed(lit_pass)
-t_ac = timed(ans_cmd)
-t_al = timed(ans_lit)
-for name, t in (("cmd pass (pallas)", t_cmd), ("lit pass (xla)", t_lit),
+t_cmd = timed(cmd_pass, cmd_packed)
+t_lit = timed(lit_pass, lit_packed)
+t_ac = timed(ans_cmd, cmd_packed)
+t_al = timed(ans_lit, lit_packed)
+for name, t in (("cmd pass (pallas)", t_cmd), ("lit pass (pallas)", t_lit),
                 ("cmd pass+ans", t_ac), ("lit pass+ans", t_al)):
     print(f"{name:26s} {t*1e3:8.1f} ms  {raw_bytes/t/1e6:8.2f} MB/s")
 print(f"cmd: {cmd_nibs/t_cmd/1e6:.1f} Mnib/s  lit: {lit_nibs/t_lit/1e6:.1f} Mnib/s")
