@@ -527,7 +527,16 @@ def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
     s_bytes = chunk // 2
     max_lit = int(n_lit.max())
     n_chunks = max(1, -(-max_lit // s_bytes))
-    n_chunks = 1 << (n_chunks - 1).bit_length()
+    # quarter-pow2 grid (jax_engine._padded_len): straight pow2 padding
+    # ran up to ~1.6x more chunk steps than the longest lane needs, and
+    # every lane pays the full scan length
+    p = 1 << (n_chunks - 1).bit_length()
+    for m in (5, 6, 7):
+        cand = (p >> 3) * m
+        if cand >= n_chunks:
+            p = cand
+            break
+    n_chunks = max(1, p)
     out, _ = _decode_lit_scan(
         jnp.asarray(states), jnp.asarray(words), jnp.asarray(n_lit),
         jnp.asarray(lcmap_t), jnp.asarray(luts), jnp.asarray(spd),
@@ -611,34 +620,48 @@ def decompress_frames(frames, chunk: int, layout, options,
             sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
         return sc
 
-    out = bytearray()
+    # batch lanes by literal size: each scan runs to its batch's max
+    # chunk count, so uniform batches waste far fewer idle lane-steps
+    # than file-order batches (the scan is the pipeline's longest
+    # stage).  Sorting on the *compressed* literal-stream length keeps
+    # the key free — it is known before any cmd pass runs, so the
+    # cmd-pass/kernel-issue overlap below survives the reorder (the
+    # exact key, lit_total, only exists after stage 1).
+    order = sorted(range(len(frames)), key=lambda i: len(frames[i].lit))
     # leave one core for the main thread's kernel-issue path (H2D packing
     # competes with the cmd pass for cores; the pool's native calls
     # release the GIL)
     n_workers = max(1, min(8, (os.cpu_count() or 2) - 1))
+    scripts: dict = {}
     with ThreadPoolExecutor(n_workers) as ex:
-        script_iter = ex.map(one, frames)
+        script_iter = ex.map(one, (frames[i] for i in order))
         issued = []
-        for base in range(0, len(frames), LANES):
-            fb = frames[base:base + LANES]
-            sub = [next(script_iter) for _ in fb]
+        for base in range(0, len(order), LANES):
+            idxs = order[base:base + LANES]
+            sub = [next(script_iter) for _ in idxs]
             if not all(s.supported for s in sub):
                 for _ in script_iter:
                     pass  # drain the pool before falling back
                 return None
+            for i, s in zip(idxs, sub):
+                scripts[i] = s
             n_lits = [s.lit_total for s in sub]
             dev = _issue_lit_batch(
-                [f.lit for f in fb], n_lits,
+                [frames[i].lit for i in idxs], n_lits,
                 [s.lcmap for s in sub], [s.speeds for s in sub],
                 chunk, layout, interpret=interpret)
             try:
                 dev.copy_to_host_async()
             except AttributeError:
                 pass
-            issued.append((sub, dev, n_lits))
-        for sub, dev, n_lits in issued:
-            for s, lb in zip(sub, _collect_lit_batch(dev, n_lits)):
-                out += _execute(s, lb)
+            issued.append((idxs, dev, n_lits))
+    lit_by_idx: dict = {}
+    for idxs, dev, n_lits in issued:
+        for i, lb in zip(idxs, _collect_lit_batch(dev, n_lits)):
+            lit_by_idx[i] = lb
+    out = bytearray()
+    for i in range(len(frames)):
+        out += _execute(scripts[i], lit_by_idx[i])
     return bytes(out)
 
 
