@@ -27,16 +27,20 @@ viable at ~4us per 128-lane byte step):
 
   * lane l = column l (128 lanes per kernel);
   * a CDF plane is [16, 128]: entry e of lane l at (e, l);
-  * the lit model is [16 * 384, 128]: 384 CDF planes in kernel order
-    [lit_hi(64) | cm_first(64) | lit_lo(128) | cm_second(128, permuted
-    to (ctx>>3, hi) so the lo fetch shares one select-scan index];
+  * the kernel model is [16 * 192, 128]: 192 PREMIXED CDF planes —
+    average(cm, nib, weight) is computed once per chunk outside the
+    kernel (tables and mixer weights are frozen within a chunk), in
+    kernel order [mixed_hi(64) | mixed_lo(128, cm_second permuted to
+    (ctx>>3, hi) so both halves share one select-scan index)];
   * per-lane scalars are [1, 128] planes; per-lane tables (context map,
     renorm words) use `jnp.take_along_axis` sublane gathers
     (tpu.dynamic_gather) in 8-row vreg chunks;
-  * chunk-boundary model commits run OUTSIDE the kernel between chunk
-    calls, sharing the exact histogram/renorm/mixer math with the
-    encode pass (jax_engine._chunk_histogram / _apply_pend), fed by the
-    kernel's per-byte (ctx, byte, freqs) logs.
+  * the kernel logs only the decoded bytes and the ctx stream; the
+    per-byte freq logs are recomputed outside from those (one-hot
+    matmuls against the frozen chunk tables — no dynamic gathers), and
+    the chunk-boundary model commits run OUTSIDE the kernel between
+    chunk calls, sharing the exact histogram/renorm/mixer math with the
+    encode pass (jax_engine._chunk_histogram / _apply_pend).
 
 Wire semantics are normative in codec/deferred.py; `decode_literals_np`
 below is the readable oracle the kernel is tested bit-equal against.
@@ -60,18 +64,6 @@ LANES = 128
 N_HI = 64          # lit_hi planes (cm profile: (1, 64))
 N_LO = 128         # lit_lo planes ((8, 16) bucketed)
 N_PLANES = 2 * N_HI + 2 * N_LO   # 384 CDF planes in kernel order
-
-
-def _wrap_i16(x):
-    return ((x + 0x8000) & 0xFFFF) - 0x8000
-
-
-def _bitlen(x):
-    """bit_length of non-negative int32 (vectorized)."""
-    r = jnp.zeros_like(x)
-    for shift in (16, 8, 4, 2, 1):
-        r = jnp.where((x >> (r + shift)) > 0, r + shift, r)
-    return r + (x > 0).astype(x.dtype)
 
 
 def _exact_div(a, b):
@@ -133,30 +125,18 @@ def pack16(vals: np.ndarray) -> np.ndarray:
     return (lo | (hi << 16)).astype(np.uint32).astype(np.int32)
 
 
-def _fetch2(model_ref, base_a, base_b, n, idx):
-    """Select-scan fetch of two CDF planes sharing one per-lane index:
-    (planes[base_a + idx], planes[base_b + idx]), each [16, 128] int32.
-
-    The model ref is int16 (one vreg per [16, 128] plane) so each select
-    costs half the vector ops of an int32 scan."""
+def _fetch1(model_ref, base, n, idx):
+    """Select-scan fetch of one CDF plane: planes[base + idx], [16, 128]
+    int32.  The model ref is int16 (one vreg per [16, 128] plane) so each
+    select costs half the vector ops of an int32 scan.  The kernel model
+    is PREMIXED outside the kernel (the cm/nib pair and the mixer weight
+    are all frozen within a chunk), so one plane per nibble suffices —
+    half the scan of the earlier two-table fetch."""
     a = jnp.zeros((16, LANES), jnp.int16)
-    b = jnp.zeros((16, LANES), jnp.int16)
     for v in range(n):
         m = idx == v
-        a = jnp.where(m, model_ref[16 * (base_a + v):16 * (base_a + v) + 16, :], a)
-        b = jnp.where(m, model_ref[16 * (base_b + v):16 * (base_b + v) + 16, :], b)
-    return a.astype(jnp.int32), b.astype(jnp.int32)
-
-
-def _p_average(cdf_a, cdf_b, mix_rate):
-    """cdf16.average on [16, 128] planes (mix_rate [1, 128] weights a)."""
-    amax = cdf_a[15:16, :]
-    bmax = cdf_b[15:16, :]
-    shift = jnp.maximum(_bitlen(amax * bmax) - 15, 0)
-    inv = (1 << 15) - mix_rate
-    ra = (cdf_a * bmax) >> shift
-    rb = (cdf_b * amax) >> shift
-    return _wrap_i16((ra * mix_rate + rb * inv + 1) >> 15)
+        a = jnp.where(m, model_ref[16 * (base + v):16 * (base + v) + 16, :], a)
+    return a.astype(jnp.int32)
 
 
 def _p_offset_to_sym(cdf, offset):
@@ -186,21 +166,26 @@ def _p_start_freq(cdf, sym):
 def _make_lit_kernel(s_bytes, n_wrows):
     """One-chunk literal decode: s_bytes bytes per lane, gather-only.
 
-    refs: model [16*384, 128] int16, words [n_wrows, 128] (u16 pairs
-    packed 2-per-int32, window starting at the even word below each
-    lane's cursor), lcmap [16, 128] (6-bit packed), luts [128, 128]
-    (lut0 ++ lut1, 6-bit packed, lane-broadcast), sc [8, 128] scalars
-    (state, p1, p2, nw_lo, nw_hi, n_rem, word parity);
-    outs: bytes [s_bytes, 128], ctx [s_bytes, 128], fq [6*s_bytes, 128]
-    (per byte: w_hi, pcm_hi, pnib_hi, w_lo, pcm_lo, pnib_lo),
+    The model planes arrive PREMIXED: mixed = average(cm, nib, weight)
+    is computed once per chunk outside the kernel (tables and mixer
+    weights are frozen within a chunk — that is the deferred profile's
+    defining property), so the per-byte loop fetches one plane per
+    nibble and logs only the bytes and the ctx stream.  The adaptation
+    freq logs the chunk commit needs are recomputed outside from those
+    (see _decode_lit_scan).
+
+    refs: model [16*192, 128] int16 (64 mixed-hi ++ 128 mixed-lo
+    planes), words [n_wrows, 128] (u16 pairs packed 2-per-int32, window
+    starting at the even word below each lane's cursor), lcmap [16, 128]
+    (6-bit packed), luts [128, 128] (lut0 ++ lut1, 6-bit packed,
+    lane-broadcast), sc [8, 128] scalars (state, p1, p2, n_rem, word
+    parity); outs: bytes [s_bytes, 128], ctx [s_bytes, 128],
     sc_out [8, 128] (state, p1, p2, pulls)."""
 
     def kernel(model_ref, words_ref, lcmap_ref, luts_ref, sc_ref,
-               bytes_ref, ctx_ref, fq_ref, sc_out_ref):
-        nw_lo = sc_ref[3:4, :]
-        nw_hi = sc_ref[4:5, :]
-        n_rem = sc_ref[5:6, :]
-        parity = sc_ref[6:7, :]
+               bytes_ref, ctx_ref, sc_out_ref):
+        n_rem = sc_ref[3:4, :]
+        parity = sc_ref[4:5, :]
 
         def pull(state, pulls, active):
             need = active & (state < STATE_LOW)
@@ -210,17 +195,14 @@ def _make_lit_kernel(s_bytes, n_wrows):
             state = jnp.where(need, (state << RENORM_BITS) | w, state)
             return state, pulls + need.astype(jnp.int32)
 
-        def decode_nib(nib, cm, nw, state, pulls, active):
-            mixed = _p_average(cm, nib, nw)
+        def decode_nib(mixed, state, pulls, active):
             state, pulls = pull(state, pulls, active)
             slot = state & SCALE_MASK
             sym = _p_offset_to_sym(mixed, slot)
             st_, fr_ = _p_start_freq(mixed, sym)
             state = jnp.where(active,
                               fr_ * (state >> LOG2_SCALE) + slot - st_, state)
-            pcm = _p_start_freq(cm, sym)[1]
-            pnib = _p_start_freq(nib, sym)[1]
-            return sym, fr_, pcm, pnib, state, pulls
+            return sym, state, pulls
 
         def body(t, carry):
             state, p1, p2, pulls = carry
@@ -229,24 +211,19 @@ def _make_lit_kernel(s_bytes, n_wrows):
                    | _lookup_p6(luts_ref, 64, 64, p2))
             ctx = _lookup_p6(lcmap_ref, 0, 16, sel)
             c3 = ctx >> 3
-            # high nibble: lit_hi[ctx] mixed with cm_first[ctx]
-            nib, cm = _fetch2(model_ref, 0, N_HI, N_HI, ctx)
-            hi, w_hi, pcm_hi, pnib_hi, state, pulls = decode_nib(
-                nib, cm, nw_hi, state, pulls, active)
-            # low nibble: lit_lo[c3, hi] mixed with cm_second[hi, c3]
-            # (cm_second planes are permuted to (c3, hi) order so both
-            # fetches share one select-scan index)
+            # high nibble: premixed average(cm_first[ctx], lit_hi[ctx])
+            hi, state, pulls = decode_nib(
+                _fetch1(model_ref, 0, N_HI, ctx), state, pulls, active)
+            # low nibble: premixed average(cm_second[hi, c3],
+            # lit_lo[c3, hi]) — cm_second planes are permuted to
+            # (c3, hi) order so both halves share one plane index
             idx_lo = c3 * 16 + hi
-            nib2, cm2 = _fetch2(model_ref, 2 * N_HI, 2 * N_HI + N_LO, N_LO,
-                                idx_lo)
-            lo, w_lo, pcm_lo, pnib_lo, state, pulls = decode_nib(
-                nib2, cm2, nw_lo, state, pulls, active)
+            lo, state, pulls = decode_nib(
+                _fetch1(model_ref, N_HI, N_LO, idx_lo), state, pulls, active)
 
             b = jnp.where(active, (hi << 4) | lo, 0)
             bytes_ref[pl.ds(t, 1), :] = b
             ctx_ref[pl.ds(t, 1), :] = jnp.where(active, ctx, 0)
-            fq_ref[pl.ds(6 * t, 6), :] = jnp.concatenate(
-                [w_hi, pcm_hi, pnib_hi, w_lo, pcm_lo, pnib_lo], axis=0)
             p2n = jnp.where(active, p1, p2)
             p1n = jnp.where(active, b, p1)
             return (state, p1n, p2n, pulls)
@@ -269,11 +246,10 @@ def _chunk_call(s_bytes, n_wrows, interpret):
         out_shape=(
             jax.ShapeDtypeStruct((s_bytes, LANES), jnp.int32),
             jax.ShapeDtypeStruct((s_bytes, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((6 * s_bytes, LANES), jnp.int32),
             jax.ShapeDtypeStruct((8, LANES), jnp.int32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
         interpret=interpret,
     )
 
@@ -315,7 +291,6 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
     perm: [384] kernel plane -> rebased lit row.
     Returns (bytes [128, n_chunks * chunk//2], pulls [128])."""
     from ..probability import cdf16
-    from .jax_engine import _apply_pend
     from . import deferred
 
     s_bytes = chunk // 2
@@ -327,13 +302,20 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
     # pend row hi*8+c3 (cm_second) <- count row c3*16+hi (lo fetch index)
     perm_cm2 = np.array([(i % 8) * 16 + i // 8 for i in range(128)], np.int32)
     b = LANES
+    # All per-chunk commit state lives in [B, 16, P] layout — symbol
+    # entries on sublanes, CDF planes on the 128-lane axis.  The natural
+    # [B, P, 16] layout wastes 8x of every vector op (a 16-wide minor
+    # axis pads to 128 lanes); transposed, the cumsums/renorms/premixes
+    # run on full vregs.  _apply_pend_t below is the transposed twin of
+    # jax_engine._apply_pend (same integer rules, tests assert equality).
     committed0 = jnp.broadcast_to(
-        jnp.asarray(np.asarray(cdf16.CDF_INIT, np.int32)), (b, r_lit, 16))
+        jnp.asarray(np.asarray(cdf16.CDF_INIT, np.int32))[None, :, None],
+        (b, 16, r_lit))
     weights0 = jnp.concatenate([
         jnp.ones((b, 2, 2), jnp.int32),
         jnp.full((b, 2, 1), 1 << 14, jnp.int32)], axis=2)
     pend0 = {
-        "add": jnp.zeros((b, r_lit, 16), jnp.int32),
+        "add": jnp.zeros((b, 16, r_lit), jnp.int32),
         "limsum": jnp.zeros((b, r_lit), jnp.int32),
         "cnt": jnp.zeros((b, r_lit), jnp.int32),
         "wadj": jnp.zeros((b, 2, 2), jnp.int32),
@@ -343,21 +325,110 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
     w_max = words.shape[1] - 1
     byte_iota = jnp.arange(s_bytes, dtype=jnp.int32)
 
+    def _xdiv(a, bmax):
+        """floor(a/bmax) for int32 a in [0, 2^31), bmax in [1, 2^24) —
+        the XLA twin of the kernel's _exact_div (f32 reciprocal + exact
+        integer corrections); XLA's native int32 divide lowers slowly."""
+        rec = 1.0 / bmax.astype(jnp.float32)
+        q = (a.astype(jnp.float32) * rec).astype(jnp.int32)
+        rem = a - q * bmax
+        q = q + (rem.astype(jnp.float32) * rec).astype(jnp.int32)
+        rem = a - q * bmax
+        for _ in range(2):
+            q = q + (rem >= bmax).astype(jnp.int32) \
+                - (rem < 0).astype(jnp.int32)
+            rem = a - q * bmax
+        return q
+
+    def _average_t(cdf_a, cdf_b, mix_rate):
+        """cdf16.average on [B, 16, P] (entries on sublanes); mix_rate
+        [B, 1, 1] weights cdf_a.  Same integer ops as cdf16.average."""
+        amax = cdf_a[:, 15:16, :]
+        bmax = cdf_b[:, 15:16, :]
+        shift = jnp.maximum(cdf16._bit_length_pos(amax * bmax, jnp) - 15, 0)
+        inv = (1 << 15) - mix_rate
+        ra = (cdf_a * bmax) >> shift
+        rb = (cdf_b * amax) >> shift
+        return (((ra * mix_rate + rb * inv + 1) >> 15)
+                + 0x8000 & 0xFFFF) - 0x8000
+
+    def _adj_tables(mix, cm, nib):
+        """Per-(sym, plane) mixer adjustments for one nibble class,
+        [B, 16, P].
+
+        Every per-byte wadj term is a pure function of (plane row, sym)
+        under the chunk-frozen tables, so the byte loop's freq math
+        collapses to these constant tables — the chunk's summed
+        adjustment is then just sum(cnt * adj) against the count
+        histograms (bounded: sum(cnt) * ADJ_CLAMP = 2^28 < int32)."""
+        def ftab(t):
+            maxv = jnp.maximum(t[:, 15:16, :], 1)
+            r = _xdiv(t << LOG2_SCALE, maxv)
+            r_prev = jnp.concatenate(
+                [jnp.zeros_like(r[:, :1, :]), r[:, :-1, :]], axis=1)
+            return r - r_prev - 1
+        fw, fc, fn = ftab(mix), ftab(cm), ftab(nib)
+        error = (1 << 15) - fw
+        log_geo = cdf16._bit_length_pos(fw * error, jnp)
+        shift = jnp.maximum(log_geo - 15, 0)
+        return [jnp.clip((error * (n1i - fw)) >> shift,
+                         -deferred.ADJ_CLAMP, deferred.ADJ_CLAMP)
+                for n1i in (fc, fn)]
+
+    def _apply_pend_t(committed, weights, pend):
+        """jax_engine._apply_pend in [B, 16, R] layout (same integer
+        rules: boundary CDF renorm + mixer commit of codec/deferred.py;
+        bit-equality with the shared apply is covered by the 3-layer
+        decode tests)."""
+        from ..probability import weights as weights_mod
+
+        committed = committed + pend["add"]
+        has = pend["cnt"] > 0
+        lim_eff = jnp.where(
+            has, _xdiv(pend["limsum"], jnp.maximum(pend["cnt"], 1)), 0x8000)
+        bias = jnp.arange(1, 17)[None, :, None]
+
+        def _ren_cond(c):
+            i, arr = c
+            return ((i < deferred.MAX_RENORM_PASSES)
+                    & jnp.any(arr[:, 15, :] >= lim_eff))
+
+        def _ren_body(c):
+            i, arr = c
+            over = arr[:, 15, :] >= lim_eff
+            cb = arr + bias
+            return i + 1, jnp.where(over[:, None, :], cb - (cb >> 2), arr)
+
+        _, committed = jax.lax.while_loop(_ren_cond, _ren_body,
+                                          (jnp.int32(0), committed))
+        w01 = weights[:, :, :2] + pend["wadj"]
+        w01 = jnp.clip(w01, 1, deferred.WEIGHT_MAX)
+        w0f, w1f = weights_mod._fix_weights(w01[:, :, 0], w01[:, :, 1], jnp)
+        nw2 = weights_mod.norm_weight(w0f, w1f, jnp)
+        weights = jnp.stack([w0f, w1f, nw2], axis=-1)
+        return committed, weights
+
     def step(carry, _):
         committed, weights, pend, state, cursor, p1, p2, n_rem = carry
         # per-lane packed-word window from the even word below the cursor
         # (overruns clamp; reads gated by `need` in the kernel)
         widx = jnp.clip((cursor >> 1)[:, None] + jnp.arange(n_wrows), 0, w_max)
         words_chunk = jnp.take_along_axis(words, widx, axis=1).T  # [n_wrows,128]
-        kmodel = committed[:, perm, :].transpose(1, 2, 0) \
-            .reshape(N_PLANES * 16, b).astype(jnp.int16)
-        sc_in = jnp.stack([state, p1, p2,
-                           weights[:, 0, 2] & 0xFFFF,
-                           weights[:, 1, 2] & 0xFFFF,
-                           n_rem, cursor & 1,
+        g = committed[:, :, perm]                       # [B, 16, 384]
+        nw_lo = (weights[:, 0, 2] & 0xFFFF)[:, None, None]
+        nw_hi = (weights[:, 1, 2] & 0xFFFF)[:, None, None]
+        # premix the frozen cm/nib pairs once per chunk (bit-exact with
+        # the per-byte average the kernel used to do: same frozen inputs)
+        mix_hi = _average_t(g[:, :, 64:128], g[:, :, 0:64], nw_hi)
+        mix_lo = _average_t(g[:, :, 256:384], g[:, :, 128:256], nw_lo)
+        kmodel = jnp.concatenate([mix_hi, mix_lo], axis=2) \
+            .transpose(2, 1, 0).reshape((N_HI + N_LO) * 16, b) \
+            .astype(jnp.int16)
+        sc_in = jnp.stack([state, p1, p2, n_rem, cursor & 1,
+                           jnp.zeros_like(state), jnp.zeros_like(state),
                            jnp.zeros_like(state)], axis=0)
-        bytes_c, ctx_c, fq_c, sc_out = call(kmodel, words_chunk, lcmap_t,
-                                            luts, sc_in)
+        bytes_c, ctx_c, sc_out = call(kmodel, words_chunk, lcmap_t, luts,
+                                      sc_in)
         bytes_l = bytes_c.T            # [128 lanes, s_bytes]
         ctx_l = ctx_c.T
         hi = bytes_l >> 4
@@ -365,29 +436,13 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
         c3 = ctx_l >> 3
         active = byte_iota[None, :] < n_rem[:, None]            # [B, s]
 
-        # mixer adjustments from the kernel's freq logs (deferred.py rules)
-        fq = fq_c.reshape(s_bytes, 6, b).transpose(2, 0, 1)     # [B, s, 6]
-        wadj_rows = []
-        for w_, (jw, jc, jn) in ((1, (0, 1, 2)), (0, (3, 4, 5))):
-            weighted, p_cm, p_nib = fq[:, :, jw], fq[:, :, jc], fq[:, :, jn]
-            error = (1 << 15) - weighted
-            log_geo = cdf16._bit_length_pos(weighted * error, jnp)
-            shift = jnp.maximum(log_geo - 15, 0)
-            adj = [jnp.clip((error * (n1i - weighted)) >> shift,
-                            -deferred.ADJ_CLAMP, deferred.ADJ_CLAMP)
-                   for n1i in (p_cm, p_nib)]
-            wadj_rows.append(jnp.stack(
-                [jnp.sum(jnp.where(active, adj[i], 0), axis=1)
-                 for i in (0, 1)], -1))
-        wadj = jnp.stack([wadj_rows[1], wadj_rows[0]], axis=1)  # [B, 2, 2]
-
         # ---- per-class count histograms.  The lit-only chunk has exactly
         # four blend sites per byte with *constant* (inc, lim) per lane
         # (the PredictionMode speeds), and the nib/cm sites of each nibble
         # share one row index (ctx for hi; a fixed permutation of
         # c3*16+hi for lo).  So the generic [B, 2S, R] onehot histogram
         # (jax_engine._chunk_pend) collapses to two narrow count matmuls
-        # count[r, sym] and per-segment cumsums — identical pend values,
+        # count[sym, r] and per-segment cumsums — identical pend values,
         # ~8x less MXU work and ~4x less HBM.
         dn = (((1,), (1,)), ((0,), (0,)))
         i64 = jnp.arange(64, dtype=jnp.int32)[None, None, :]
@@ -400,36 +455,52 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
                  & active[:, :, None]).astype(jnp.bfloat16)      # [B, s, 128]
         vh = (i16 == hi[:, :, None]).astype(jnp.bfloat16)
         vl = (i16 == lo[:, :, None]).astype(jnp.bfloat16)
-        # counts are < 2^8 (<= s_bytes), so single bf16 matmuls are exact
+        # counts are < 2^8 (<= s_bytes), so single bf16 matmuls are exact;
+        # sym-major outputs [B, 16, P] put planes on the lane axis
         cnt_hi = jax.lax.dot_general(
-            oh_hi, vh, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+            vh, oh_hi, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
         cnt_lo = jax.lax.dot_general(
-            oh_lo, vl, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
-        cnt_cm2 = cnt_lo[:, perm_cm2, :]   # row hi*8+c3 <- count[c3*16+hi]
+            vl, oh_lo, dn, preferred_element_type=jnp.float32).astype(jnp.int32)
+        cnt_cm2 = cnt_lo[:, :, perm_cm2]   # row hi*8+c3 <- count[c3*16+hi]
+
+        # mixer adjustments (deferred.py rules): per-byte adj terms are
+        # per-(row, sym) constants under the frozen chunk tables, so the
+        # chunk's summed adjustment contracts the count histograms with
+        # the precomputed adj tables — no per-byte freq math at all
+        wadj_rows = []
+        for cnt, mix, cmt, nibt in (
+                (cnt_hi, mix_hi, g[:, :, 64:128], g[:, :, 0:64]),
+                (cnt_lo, mix_lo, g[:, :, 256:384], g[:, :, 128:256])):
+            adj = _adj_tables(mix, cmt, nibt)
+            wadj_rows.append(jnp.stack(
+                [jnp.sum(cnt * adj[i], axis=(1, 2)) for i in (0, 1)], -1))
+        wadj = jnp.stack([wadj_rows[1], wadj_rows[0]], axis=1)  # [B, 2, 2]
 
         def seg(counts, inc_col, lim_col):
-            """One class's (add, limsum, cnt) from its count matrix."""
+            """One class's (add, limsum, cnt) from its [B, 16, P] count
+            matrix (cumsum runs over the 16-sublane axis)."""
             inc = spd[:, inc_col, None]
             lim = spd[:, lim_col, None]
             live = (inc != 0).astype(jnp.int32)    # inc==0 records nothing
-            tot = jnp.sum(counts, axis=2) * live
-            add = inc[:, :, None] * jnp.cumsum(counts, axis=2) * live[:, :, None]
+            tot = jnp.sum(counts, axis=1) * live
+            add = (inc[:, :, None] * jnp.cumsum(counts, axis=1)
+                   * live[:, :, None])
             return add, lim * tot, tot
 
         segs = [seg(cnt_hi, 0, 1),     # lit_hi   <- sp0
                 seg(cnt_lo, 0, 1),     # lit_lo   <- sp0
                 seg(cnt_hi, 4, 5),     # cm_first <- sp3 (hi cm speed)
                 seg(cnt_cm2, 2, 3)]    # cm_second<- sp2 (lo cm speed)
-        zrow = jnp.zeros((b, 1, 16), jnp.int32)
+        zrow = jnp.zeros((b, 16, 1), jnp.int32)
         new_pend = {
-            "add": jnp.concatenate([zrow] + [s_[0] for s_ in segs], axis=1),
+            "add": jnp.concatenate([zrow] + [s_[0] for s_ in segs], axis=2),
             "limsum": jnp.concatenate(
-                [zrow[:, :, 0]] + [s_[1] for s_ in segs], axis=1),
+                [zrow[:, 0, :]] + [s_[1] for s_ in segs], axis=1),
             "cnt": jnp.concatenate(
-                [zrow[:, :, 0]] + [s_[2] for s_ in segs], axis=1),
+                [zrow[:, 0, :]] + [s_[2] for s_ in segs], axis=1),
             "wadj": wadj,
         }
-        committed, weights = _apply_pend(committed, weights, pend)
+        committed, weights = _apply_pend_t(committed, weights, pend)
 
         carry = (committed, weights, new_pend, sc_out[0], cursor + sc_out[3],
                  sc_out[1], sc_out[2], n_rem - s_bytes)
