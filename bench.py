@@ -189,8 +189,11 @@ def main():
     @jax.jit
     def encode_step(cmd_packed, lit_packed, lit_spd_pl, cmd_counts,
                     lit_counts):
+        nrn = pcp.renorm_passes_bound(cspd[0], cspd[1], s_cmd)
         cs, cf = pcp._cmd_pass_call(cmd_packed, inc_bd, lim_bd, r_cmd,
-                                    s_cmd, interpret)
+                                    s_cmd, interpret,
+                                    nrn if nrn is not None and nrn <= 2
+                                    else None)
         cs, cf = cs[:cmd_counts.shape[0]], cf[:cmd_counts.shape[0]]
         ls, lf = plp._lit_pass_call(lit_packed, lit_spd_pl, CHUNK,
                                     interpret)

@@ -110,11 +110,42 @@ def _lane_of_k(shape, dim, r_pad):
     return k, lane
 
 
-def _make_kernel(s, r_pad, n_chunks):
+def renorm_passes_bound(inc_row, lim_row, s) -> int | None:
+    """Worst-case renorm passes per chunk apply, from the static row
+    speeds: at apply time a row's max is < lim + inc*s (the previous
+    apply left it < lim; one chunk adds at most inc*s), and each pass
+    maps m -> (m+16) - ((m+16)>>2).  With the bound known statically the
+    kernel unrolls exactly that many masked passes and drops the
+    while_loop's scalar cond (a full-array reduce + pipeline stall per
+    chunk).  Returns None when the bound exceeds MAX_RENORM_PASSES
+    (caller keeps the while_loop — the capped-renorm semantics can then
+    differ from unrolled passes).
+
+    Callers should only unroll small bounds (<= 2): the bound is
+    worst-case (a row at lim-1 hit on every step of a chunk) while the
+    while_loop pays for *actual* passes, so a large bound unrolled
+    costs more than the cond it saves (measured: bound 4 at s=64 is
+    1.6x slower than hybrid pass-1 + while)."""
+    p_max = 0
+    for inc, lim in zip(np.asarray(inc_row), np.asarray(lim_row)):
+        if inc == 0:
+            continue
+        m = max(int(lim) - 1, 64) + int(inc) * s
+        p = 0
+        while m >= int(lim) and p <= MAX_RENORM_PASSES:
+            m = (m + 16) - ((m + 16) >> 2)
+            p += 1
+        if p > MAX_RENORM_PASSES:
+            return None
+        p_max = max(p_max, p)
+    return p_max
+
+
+def _make_kernel(s, r_pad, n_chunks, n_renorm=None):
     kr = G * r_pad
 
     def kernel(trace_ref, inc_ref, lim_ref, out_ref, model_ref,
-               pend_add_ref, pend_tot_ref, bias_ref, bd_ref):
+               pend_add_ref, pend_lim_ref, bias_ref, bd_ref, rowk_ref):
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -129,7 +160,11 @@ def _make_kernel(s, r_pad, n_chunks):
             bd_ref[:] = bd0.astype(jnp.int32)
             model_ref[:] = jnp.where(bd0, 4 * (cm_kr + 1), 0)
             pend_add_ref[:] = jnp.zeros((kr, 128), jnp.int32)
-            pend_tot_ref[:] = jnp.zeros((kr, 128), jnp.int32)
+            pend_lim_ref[:] = jnp.full((kr, 128), 0x8000, jnp.int32)
+            # row-within-lane of each packed column, for the fetch onehot
+            # ([S, KR]: another ~1.4k vector ops per chunk if recomputed)
+            ks0, lane_ks0 = _lane_of_k((s, kr), 1, r_pad)
+            rowk_ref[:] = ks0 - lane_ks0 * r_pad
 
         bias = bias_ref[:]
         bd_mask = bd_ref[:] != 0                              # [KR, 128]
@@ -162,9 +197,7 @@ def _make_kernel(s, r_pad, n_chunks):
             act8.astype(jnp.bfloat16), e16c, dn,
             preferred_element_type=jnp.float32).astype(jnp.int32)
 
-        ks, lane_ks = _lane_of_k((s, kr), 1, r_pad)
-        row_of_ks = ks - lane_ks * r_pad
-        oh = (flat_e == row_of_ks).astype(jnp.bfloat16)
+        oh = (flat_e == rowk_ref[:]).astype(jnp.bfloat16)
 
         # ---- fetch: rows of the committed snapshot (state through c-2)
         model = model_ref[:]
@@ -213,44 +246,62 @@ def _make_kernel(s, r_pad, n_chunks):
             preferred_element_type=jnp.float32).astype(jnp.int32)  # [KR, 128]
         tot = jax.lax.dot_general(
             oh, act_rep.astype(jnp.bfloat16), dn_t,
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+            preferred_element_type=jnp.float32)
         cnt_cum = jnp.where(bd_mask, cnt_cum, 0)
         new_add = inc_ref[:] * cnt_cum
-        new_tot = jnp.where(bd_mask, tot, 0)
+        # store next chunk's lim_eff directly (hit rows: lim, else
+        # 0x8000) — the apply side then reads it without a where
+        new_lim = jnp.where(bd_mask & (tot > 0), lim_ref[:], 0x8000)
 
-        # ---- apply the lagged pend (jax_engine._apply_pend, no weights)
+        # ---- apply the lagged pend (jax_engine._apply_pend, no weights).
+        # With a static pass bound (renorm_passes_bound) the renorm is a
+        # straight unroll of masked passes (an empty mask is the
+        # identity) — no scalar cond at all.  Otherwise the first pass
+        # still runs unconditionally (the common case) and only the rare
+        # 2nd+ pass pays the while_loop's reduce + pipeline stall.
         committed = model_ref[:] + pend_add_ref[:]
-        lim_eff = jnp.where(pend_tot_ref[:] > 0, lim_ref[:], 0x8000)
+        lim_eff = pend_lim_ref[:]
         cm15 = bias == 16
 
-        def cond(carry):
-            i, arr = carry
-            return (i < MAX_RENORM_PASSES) & jnp.any(
-                (arr >= lim_eff) & cm15)
-
-        def body(carry):
-            i, arr = carry
+        def one_pass(arr):
             over = _bcast15(arr) >= lim_eff
             cb = arr + bias
-            return i + 1, jnp.where(over & bd_mask, cb - (cb >> 2), arr)
+            return jnp.where(over & bd_mask, cb - (cb >> 2), arr)
 
-        _, committed = jax.lax.while_loop(cond, body,
-                                          (jnp.int32(0), committed))
+        if n_renorm is not None:
+            for _ in range(n_renorm):
+                committed = one_pass(committed)
+        else:
+            committed = one_pass(committed)
+
+            def cond(carry):
+                i, arr = carry
+                return (i < MAX_RENORM_PASSES - 1) & jnp.any(
+                    (arr >= lim_eff) & cm15)
+
+            def body(carry):
+                i, arr = carry
+                return i + 1, one_pass(arr)
+
+            _, committed = jax.lax.while_loop(cond, body,
+                                              (jnp.int32(0), committed))
         model_ref[:] = committed
         pend_add_ref[:] = new_add
-        pend_tot_ref[:] = new_tot
+        pend_lim_ref[:] = new_lim
 
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_rows", "chunk", "interpret"))
-def _cmd_pass_call(packed, inc_bd, lim_bd, num_rows, chunk, interpret):
+                   static_argnames=("num_rows", "chunk", "interpret",
+                                    "n_renorm"))
+def _cmd_pass_call(packed, inc_bd, lim_bd, num_rows, chunk, interpret,
+                   n_renorm=None):
     ng, c, s, _g = packed.shape
     r_pad = _r_pad(num_rows + 1)
     kr = G * r_pad
     out = pl.pallas_call(
-        _make_kernel(s, r_pad, c),
+        _make_kernel(s, r_pad, c, n_renorm),
         grid=(ng, c),
         in_specs=[
             pl.BlockSpec((1, 1, s, G), lambda g, i: (g, i, 0, 0),
@@ -266,9 +317,10 @@ def _cmd_pass_call(packed, inc_bd, lim_bd, num_rows, chunk, interpret):
         scratch_shapes=[
             pltpu.VMEM((kr, 128), jnp.int32),   # model (block-diagonal)
             pltpu.VMEM((kr, 128), jnp.int32),   # lagged pend add
-            pltpu.VMEM((kr, 128), jnp.int32),   # lagged pend tot
+            pltpu.VMEM((kr, 128), jnp.int32),   # lagged pend lim_eff
             pltpu.VMEM((kr, 128), jnp.int32),   # cached bias (colmod+1)
             pltpu.VMEM((kr, 128), jnp.int32),   # cached block-diag mask
+            pltpu.VMEM((s, kr), jnp.int32),     # cached row-of-column
         ],
         interpret=interpret,
     )(packed, inc_bd, lim_bd)
@@ -325,7 +377,10 @@ def model_pass_cmd_pallas(cmd_ts, inc_row, lim_row, num_rows: int,
     b = len(cmd_ts)
     packed = pack_cmd_traces(cmd_ts, n_padded, chunk)
     inc_bd, lim_bd = build_speed_planes(inc_row, lim_row, num_rows)
+    n_renorm = renorm_passes_bound(inc_row, lim_row, chunk)
+    if n_renorm is not None and n_renorm > 2:
+        n_renorm = None          # hybrid pass-1 + while wins (see bound doc)
     st, fr = _cmd_pass_call(jnp.asarray(packed), jnp.asarray(inc_bd),
                             jnp.asarray(lim_bd), num_rows, chunk,
-                            interpret)
+                            interpret, n_renorm)
     return st[:b], fr[:b]

@@ -277,7 +277,11 @@ def _make_kernel(s_bytes, n_chunks):
         new_add_cm1, new_tot_cm1 = pend((cum_hi, tot_hi), 4, k_hi)
         new_add_cm2, new_tot_cm2 = pend((cum_lo, tot_lo), 2, k_lo)
 
-        # ---- apply the lagged pend (jax_engine._apply_pend)
+        # ---- apply the lagged pend (jax_engine._apply_pend).  The first
+        # renorm pass runs unconditionally with its over-mask (an empty
+        # mask is the identity): each while_loop cond is a full-array
+        # reduce + pipeline stall, pass 1 is the common case, and there
+        # are four commits per chunk — only the rare 2nd+ pass pays it.
         def commit(model_ref, add_ref, tot_ref, lim_row, kr, mask):
             committed = model_ref[:] + add_ref[:]
             lim_eff = jnp.where(tot_ref[:] > 0, spd_plane(lim_row, kr),
@@ -286,16 +290,21 @@ def _make_kernel(s_bytes, n_chunks):
             cm15 = cmk == 15
             bias = cmk + 1
 
+            def one_pass(arr):
+                over = _bcast15(arr) >= lim_eff
+                cb = arr + bias
+                return jnp.where(over & mask, cb - (cb >> 2), arr)
+
+            committed = one_pass(committed)
+
             def cond(carry):
                 i, arr = carry
-                return (i < MAX_RENORM_PASSES) & jnp.any(
+                return (i < MAX_RENORM_PASSES - 1) & jnp.any(
                     (arr >= lim_eff) & cm15)
 
             def body(carry):
                 i, arr = carry
-                over = _bcast15(arr) >= lim_eff
-                cb = arr + bias
-                return i + 1, jnp.where(over & mask, cb - (cb >> 2), arr)
+                return i + 1, one_pass(arr)
 
             _, committed = jax.lax.while_loop(cond, body,
                                               (jnp.int32(0), committed))
