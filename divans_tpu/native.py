@@ -488,34 +488,53 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     used_split = used_mask = False
     if options.use_context_map and options.force_stride_value > 1:
         used_mask = True   # constant stride-with-cm mask in every PM
+    def one(raw):
+        """(frame, used_split, used_mask) for one metablock; None when
+        outside the native envelope (caller falls back whole-file)."""
+        mask = None
+        f_split = f_mask = False
+        if (options.prior_bitmask_detection and options.use_context_map
+                and not options.force_stride_value):
+            from .ir.detect import detect_prior_bitmask
+            mask = detect_prior_bitmask(raw,
+                                        options.prior_bitmask_detection)
+            if mask is not None and any(mask):
+                f_mask = True
+        trace = build_trace(raw, options, layout, mask=mask)
+        if trace is None and supports_cmds:
+            from .ir.matcher import build_commands
+            commands = build_commands(raw, options)
+            for c in commands:
+                if isinstance(c, ir_cmds.BlockSwitchLiteral):
+                    f_split = True
+                elif (isinstance(c, ir_cmds.PredictionMode)
+                      and any(c.mixing_values)):
+                    f_mask = True
+            trace = build_trace_cmds(raw, commands, options, layout)
+        if trace is None:
+            return None
+        cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk)
+        return fmt.MetablockFrame(len(raw), cmd_b, lit_b), f_split, f_mask
+
+    blocks = [data[off:off + mb]
+              for off in range(0, len(data), mb)]
     with tracelog.span("encode/native_serial", bytes=len(data)):
-        for off in range(0, max(len(data), 1), mb):
-            raw = data[off:off + mb]
-            if not raw:
-                break
-            mask = None
-            if (options.prior_bitmask_detection and options.use_context_map
-                    and not options.force_stride_value):
-                from .ir.detect import detect_prior_bitmask
-                mask = detect_prior_bitmask(raw,
-                                            options.prior_bitmask_detection)
-                if mask is not None and any(mask):
-                    used_mask = True
-            trace = build_trace(raw, options, layout, mask=mask)
-            if trace is None and supports_cmds:
-                from .ir.matcher import build_commands
-                commands = build_commands(raw, options)
-                for c in commands:
-                    if isinstance(c, ir_cmds.BlockSwitchLiteral):
-                        used_split = True
-                    elif (isinstance(c, ir_cmds.PredictionMode)
-                          and any(c.mixing_values)):
-                        used_mask = True
-                trace = build_trace_cmds(raw, commands, options, layout)
-            if trace is None:
-                return None
-            cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk)
-            frames.append(fmt.MetablockFrame(len(raw), cmd_b, lit_b))
+        # metablocks are independent: fan the native trace builder +
+        # stream encoder out across host cores (ctypes releases the GIL)
+        if len(blocks) > 1:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+                results = list(ex.map(one, blocks))
+        else:
+            results = [one(b) for b in blocks]
+    for res in results:
+        if res is None:
+            return None
+        frame, f_split, f_mask = res
+        frames.append(frame)
+        used_split = used_split or f_split
+        used_mask = used_mask or f_mask
     # flag = what the streams actually used (mirrors emitted_profile)
     if not options.use_context_map:
         emitted = "stride"
@@ -542,11 +561,11 @@ def decompress(blob: bytes) -> bytes:
     _w, _mb, frames, stored_crc, flags = fmt.deserialize(blob)
     chunk = flags_to_chunk(flags)
     profile = FLAG_PROFILES.get(flags & 0b11)
-    out = bytearray()
     layout = (ModelLayout(PROFILES[profile], lo_bucketed=chunk > 0)
               if profile else None)
     opts = DivansOptions()
-    for f in frames:
+
+    def one(f):
         raw = None
         if layout is not None:
             with tracelog.span("decode/native_serial", bytes=f.raw_len):
@@ -561,6 +580,21 @@ def decompress(blob: bytes) -> bytes:
                 else:
                     raw = engine_np.decode_metablock(f.cmd, f.lit,
                                                      f.raw_len, opts)
+        return raw
+
+    # metablocks are independent: fan the C decode out across host cores
+    # (ctypes releases the GIL) — the frame-parallel analog of the
+    # reference's consumer-side decode threads
+    # (src/parallel_decompressor.rs:99-133)
+    if len(frames) > 1 and load() is not None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+            parts = list(ex.map(one, frames))
+    else:
+        parts = [one(f) for f in frames]
+    out = bytearray()
+    for raw in parts:
         out += raw
     fmt.check_crc(bytes(out), stored_crc)
     return bytes(out)
