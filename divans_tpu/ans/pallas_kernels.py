@@ -121,6 +121,61 @@ def encode_lanes_pallas(starts, freqs, counts, interpret=False):
     return words, flags, state
 
 
+@jax.jit
+def compact_lane_words(words, flags, counts):
+    """Device-side compaction of the kernel's word/flag planes.
+
+    words int16[N, G, 128], flags int8[N, G, 128], counts int32[G, 128]
+    (per-lane symbol counts) -> (words scatter-compacted to emission
+    order [N, G, 128] uint16, per-lane word counts int32[G, 128]).
+
+    The emitted words are ~half the compressed bytes, so shipping the
+    compacted prefix (caller slices to the max word count) instead of
+    the raw N-row word+flag planes cuts the D2H by ~50-100x — on the
+    axon tunnel (~46 MB/s) the uncompacted transfer dominated the whole
+    encode."""
+    n, g, lane = words.shape
+    t = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    live = (flags != 0) & (t < counts[None, :, :])
+    pos = jnp.cumsum(live.astype(jnp.int32), axis=0) - 1
+    pos = jnp.where(live, pos, n)          # out of range -> dropped
+    gi = jnp.arange(g, dtype=jnp.int32)[None, :, None]
+    li = jnp.arange(lane, dtype=jnp.int32)[None, None, :]
+    out = jnp.zeros_like(words).at[
+        jnp.broadcast_to(pos, (n, g, lane)),
+        jnp.broadcast_to(gi, (n, g, lane)),
+        jnp.broadcast_to(li, (n, g, lane))].set(
+            words, mode="drop", unique_indices=False)
+    return out.astype(jnp.uint16), jnp.sum(live.astype(jnp.int32), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def trim_rows(x, k):
+    return x[:k]
+
+
+def assemble_compact(w16, nwords, states, lane_counts) -> list[bytes]:
+    """Compacted device output -> per-lane wire bytes (host pass).
+
+    Byte-identical to assemble_lane_bytes on the same kernel outputs:
+    compaction preserves the emission order and the per-symbol-count
+    gating (compact_lane_words masks rows >= counts)."""
+    w16 = np.asarray(w16)
+    nwords = np.asarray(nwords)
+    states = np.asarray(states)
+    out = []
+    for i, c in enumerate(lane_counts):
+        gi, li = divmod(i, LANE)
+        if c == 0:
+            out.append(b"")
+            continue
+        k = int(nwords[gi, li])
+        buf = bytearray(int(states[gi, li]).to_bytes(4, "little"))
+        buf += w16[:k, gi, li].astype("<u2").tobytes()
+        out.append(bytes(buf))
+    return out
+
+
 def pack_lanes(lane_starts, lane_freqs, lane_counts):
     """Ragged per-lane (start, freq) lists -> [N, G, 128] kernel inputs."""
     nlanes = len(lane_counts)

@@ -572,7 +572,8 @@ def split_stream_traces(traces: list[np.ndarray], layout):
 
 
 def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
-                        pallas: bool | None = None, interpret: bool = False):
+                        pallas: bool | None = None, interpret: bool = False,
+                        return_device: bool = False):
     """Per-stream deferred-v2 model passes over B metablock traces.
 
     Splits each trace by stream (per-stream ticking, deferred.cmd_chunk),
@@ -580,7 +581,12 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
     row space: R_cmd = lit_base, R_lit = R - lit_base + 1), and returns
     (starts, freqs) scattered back to trace order, plus the per-stream
     lane arrays [(cmd_starts, cmd_freqs, lit_starts, lit_freqs)] the ANS
-    stage consumes directly."""
+    stage consumes directly.
+
+    With return_device=True, returns instead the DEVICE-resident padded
+    per-stream arrays ((cs, cf, cmd_counts), (ls, lf, lit_counts)) so the
+    ANS stage can run without any host round trip of the (start, freq)
+    streams (the D2H + re-upload dominated encode on slow links)."""
     from . import deferred
     b = len(traces)
     cmd_ts, lit_ts, masks, r_cmd, r_lit = split_stream_traces(traces, layout)
@@ -599,7 +605,7 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
                 max((t.shape[0] for t in ts), default=1), max(s, 16))
             st, fr = model_pass_cmd_pallas(ts, cspd[0], cspd[1],
                                            num_rows, s, n_padded)
-            out.append((np.asarray(st), np.asarray(fr)))
+            out.append((st, fr))
             continue
         if (sid == 1 and lit_fast and not pallas
                 and jax.default_backend() == "tpu"):
@@ -611,7 +617,7 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
                 max((t.shape[0] for t in ts), default=1), max(s, 16)), s)
             res = model_pass_lit_pallas(ts, s, n_p)
             if res is not None:
-                out.append((np.asarray(res[0]), np.asarray(res[1])))
+                out.append((res[0], res[1]))
                 continue
         padded = jnp.asarray(_pad_traces(ts, multiple=s))
         if pallas or (pallas is None and jax.default_backend() == "tpu"
@@ -628,8 +634,13 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
                                              num_rows, s)
         else:
             st, fr = model_pass_deferred(padded, num_rows, s)
-        out.append((np.asarray(st), np.asarray(fr)))
-    (cs, cf), (ls, lf) = out
+        out.append((st, fr))
+    if return_device:
+        cmd_counts = [int((~m).sum()) for m in masks]
+        lit_counts = [int(m.sum()) for m in masks]
+        return (out[0][0], out[0][1], cmd_counts), \
+               (out[1][0], out[1][1], lit_counts)
+    (cs, cf), (ls, lf) = [(np.asarray(a), np.asarray(b_)) for a, b_ in out]
     starts = [np.zeros(t.shape[0], np.int32) for t in traces]
     freqs = [np.ones(t.shape[0], np.int32) for t in traces]
     lanes = []
@@ -698,19 +709,38 @@ def compress(data: bytes, options: DivansOptions | None = None,
 
     from .. import tracelog
     blocks = [data[off:off + mb] for off in range(0, len(data), mb)]
-    traces = []
+
+    def one_trace(raw):
+        from .. import native
+        t = native.build_trace(raw, options, layout)  # C++ fast path
+        if t is None:
+            commands = build_commands(raw, options)
+            t = trace_mod.build_trace(raw, commands, options, layout)
+        return t
+
     with tracelog.span("encode/trace_build", blocks=len(blocks)):
-        for raw in blocks:
-            from .. import native
-            t = native.build_trace(raw, options, layout)  # C++ fast path
-            if t is None:
-                commands = build_commands(raw, options)
-                t = trace_mod.build_trace(raw, commands, options, layout)
-            traces.append(t)
+        # blocks are independent and the C++ builder releases the GIL:
+        # fan out across host cores so the matcher keeps pace with the
+        # device model passes
+        if len(blocks) > 1:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+                traces = list(ex.map(one_trace, blocks))
+        else:
+            traces = [one_trace(b) for b in blocks]
 
     b = len(blocks)
     lane_starts, lane_freqs, lane_counts = [], [], []
-    if chunk:
+    device_lanes = None
+    if chunk and billing_out is None and jax.default_backend() == "tpu":
+        # device-resident pipeline: the model-pass outputs feed the ANS
+        # kernel directly and only the compacted words come back —
+        # no host round trip of the (start, freq) streams
+        with tracelog.span("encode/model_pass", profile="deferred"):
+            device_lanes = deferred_model_pass(traces, layout, chunk,
+                                               return_device=True)
+    elif chunk:
         # per-stream deferred-v2 passes; lane arrays come out pre-split
         with tracelog.span("encode/model_pass", profile="deferred"):
             _, freq_list, lanes = deferred_model_pass(traces, layout, chunk)
@@ -747,7 +777,22 @@ def compress(data: bytes, options: DivansOptions | None = None,
                 lane_freqs.append(freqs[i, :n][m])
                 lane_counts.append(int(m.sum()))
     with tracelog.span("encode/ans_lanes", lanes=len(lane_counts)):
-        if jax.default_backend() == "tpu":
+        if device_lanes is not None:
+            # fully device-resident: pad/reshape the model-pass outputs
+            # on device, encode, compact, and ship only ~compressed-size
+            # words per stream (compact_lane_words)
+            from ..ans import pallas_kernels as pk
+            stream_bytes = []
+            for st_d, fr_d, cnts in device_lanes:
+                w16, nw, states = _ans_encode_device(
+                    st_d, fr_d, jnp.asarray(np.asarray(cnts, np.int32)))
+                kmax = int(np.asarray(nw).max())
+                w16 = pk.trim_rows(w16, _padded_len(max(kmax, 1), 1))
+                stream_bytes.append(
+                    pk.assemble_compact(w16, nw, states, cnts))
+            cmd_b, lit_b = stream_bytes
+            lane_bytes = [x for pair in zip(cmd_b, lit_b) for x in pair]
+        elif jax.default_backend() == "tpu":
             # the Pallas wide-rANS kernel (~22 Gsym/s; ans/pallas_kernels.py)
             from ..ans import pallas_kernels as pk
             pls, plf, plc = pk.pack_lanes(lane_starts, lane_freqs,
