@@ -154,6 +154,53 @@ def trim_rows(x, k):
     return x[:k]
 
 
+@jax.jit
+def compact_global(words, flags, counts, states):
+    """Device-side GLOBAL compaction: all lanes' emitted words into one
+    flat lane-major stream.
+
+    words int16[N, G, 128], flags int8[N, G, 128], counts int32[G, 128],
+    states int32[G, 128] -> (flat uint16[N*G*128] with lane i's words at
+    [sum(nw[:i]), sum(nw[:i+1])) in emission order, header int32[2, G,
+    128] = stacked (nw, states) so one small D2H carries both — each
+    pull over the axon tunnel costs ~15-30 ms of latency).
+
+    Unlike compact_lane_words (a per-lane rectangle whose D2H ships
+    max-lane rows for EVERY lane, dead lanes included), the flat stream's
+    live prefix is exactly the compressed payload — the caller slices to
+    a shape bucket of sum(nw) and ships ~compressed-size bytes."""
+    n, g, lane = words.shape
+    t = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    live = (flags != 0) & (t < counts[None, :, :])
+    nw = jnp.sum(live.astype(jnp.int32), axis=0)                # [G,128]
+    nwf = nw.reshape(-1)
+    lane_off = (jnp.cumsum(nwf) - nwf).reshape(g, lane)
+    pos = jnp.cumsum(live.astype(jnp.int32), axis=0) - 1 + lane_off[None]
+    pos = jnp.where(live, pos, n * g * lane)       # out of range -> drop
+    flat = jnp.zeros((n * g * lane,), words.dtype).at[pos.reshape(-1)].set(
+        words.reshape(-1), mode="drop", unique_indices=False)
+    return flat.astype(jnp.uint16), jnp.stack([nw, states])
+
+
+def assemble_global(flat, nw, states, lane_counts) -> list[bytes]:
+    """Global-compacted device output -> per-lane wire bytes (host pass).
+
+    Byte-identical to assemble_lane_bytes on the same kernel outputs.
+    flat/nw/states are host numpy arrays (already pulled)."""
+    nwf = np.asarray(nw).reshape(-1).astype(np.int64)
+    states = np.asarray(states).reshape(-1)
+    offs = np.concatenate([[0], np.cumsum(nwf)])
+    out = []
+    for i, c in enumerate(lane_counts):
+        if c == 0:
+            out.append(b"")
+            continue
+        buf = bytearray(int(states[i]).to_bytes(4, "little"))
+        buf += flat[offs[i]:offs[i + 1]].astype("<u2").tobytes()
+        out.append(bytes(buf))
+    return out
+
+
 def assemble_compact(w16, nwords, states, lane_counts) -> list[bytes]:
     """Compacted device output -> per-lane wire bytes (host pass).
 

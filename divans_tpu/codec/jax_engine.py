@@ -742,6 +742,138 @@ def _ans_encode_device(starts, freqs, counts):
     return w16, nwords, states
 
 
+def _ans_encode_device_flat(starts, freqs, counts):
+    """Like _ans_encode_device but GLOBALLY compacted: returns
+    (flat uint16[N*G*128] lane-major word stream, header int32[2, G, 128]
+    = stacked (nwords, states)).  The flat stream's live prefix is
+    exactly the compressed payload, so D2H ships ~compressed size
+    regardless of per-lane length variance, and the header rides one
+    small pull (tunnel pulls cost ~15-30 ms latency each)."""
+    from ..ans import pallas_kernels as pk
+    b, n = starts.shape
+    g = max(1, -(-b // pk.LANE))
+    n_pad = -(-max(1, n) // pk.BLOCK_T) * pk.BLOCK_T
+    st, fr, cnt = _pack_device_lanes(starts, freqs, counts, g, n_pad)
+    words, flags, states = pk.encode_lanes_pallas(
+        st, fr, cnt, interpret=_kernel_interpret())
+    return pk.compact_global(words, flags, cnt, states)
+
+
+HYBRID_BATCH = 16   # metablocks per device batch: 4+ batches in flight
+                    # on the bench's 64-frame config (so interleaved D2H
+                    # pulls overlap the pool's host work on later
+                    # batches), each still amortizing the ~28 ms dispatch
+
+
+def _compress_hybrid(data, blocks, options, layout, chunk, flags):
+    """Hybrid pipelined device encode — the encode mirror of the 2-stage
+    device decode (reference src/parallel_decompressor.rs:99-133): host
+    C++ threads run the matcher + trace FSM and code the CMD stream
+    (native.encode_streams sel=1, bit-identical because the streams'
+    model rows are disjoint) while the chip runs the literal model pass
+    + wide rANS over the LIT stream.  Tunnel traffic is ~1 uint16 per
+    literal byte H2D (the packed lit plane) and ~compressed-size words
+    D2H (compact_global), instead of the full per-nibble trace.
+
+    Whole-pipeline encode parity: /root/reference/src/brotli_ir_gen.rs:
+    121-222.  Returns container bytes, or None when a block leaves the
+    native envelope (caller falls back to the uniform device path)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    from .. import native, tracelog
+    from ..ans import pallas_kernels as pk
+    from .pallas_lit_pass import _lit_pass_call, assemble_lit_planes
+
+    if native.load() is None or not native.supports(options):
+        return None
+    lit_base = layout.segments["lit_hi"][0]
+    r_lit = layout.num_rows - lit_base + 1
+
+    def host_one(raw):
+        """(cmd_bytes, packed_row, spd, lit_count) — the whole host side
+        of one metablock, run on a pool thread entirely in C++ (ctypes
+        releases the GIL around the matcher/FSM/coder/packer, so 4
+        threads scale on 4 cores).  packed_row is None off-envelope
+        (the lit trace is returned instead for the XLA fallback)."""
+        t = native.build_trace(raw, options, layout)
+        if t is None:
+            return None
+        cmd_b, _ = native.encode_streams(t, layout.num_rows, chunk, sel=1)
+        r = native.pack_lit(t, lit_base)
+        if r is None:
+            return cmd_b, None, None, _rebase_lit(t[t[:, 2] == 1],
+                                                  lit_base)
+        return cmd_b, r[0], r[1], r[2]
+
+    def pull(entry):
+        flat, header, counts = entry
+        header = np.asarray(header)            # 1 KB: nw + states
+        nw = header[0]
+        total = int(nw.sum())
+        flat = pk.trim_rows(flat, _padded_len(max(total, 1), 1))
+        return pk.assemble_global(np.asarray(flat), nw, header[1], counts)
+
+    b = len(blocks)
+    cmd_bytes: list = [None] * b
+    in_flight: list = []
+    pool = ThreadPoolExecutor(min(8, (os.cpu_count() or 1) + 1))
+    puller = ThreadPoolExecutor(1)   # D2H pulls off the main thread: a
+    # pull blocks on the batch's device chain + tunnel transfer (~0.2 s),
+    # during which the main thread should be feeding the next batch
+    try:
+        futs = [pool.submit(host_one, blk) for blk in blocks]
+        for lo in range(0, b, HYBRID_BATCH):
+            idxs = list(range(lo, min(lo + HYBRID_BATCH, b)))
+            with tracelog.span("encode/host_cmd_wait", frames=len(idxs)):
+                got = [futs[i].result() for i in idxs]
+            if any(g is None for g in got):
+                for f in futs:
+                    f.cancel()
+                return None
+            for i, g in zip(idxs, got):
+                cmd_bytes[i] = g[0]
+            with tracelog.span("encode/lit_dispatch", frames=len(idxs)):
+                if all(g[1] is not None for g in got):
+                    rows = [g[1] for g in got]
+                    counts = [g[3] for g in got]
+                    n_p = max(_padded_len(max(2 * max(len(r) for r in rows),
+                                              1), chunk), chunk)
+                    packed, spd_pl = assemble_lit_planes(
+                        rows, [g[2] for g in got], n_p, chunk)
+                    st, fr = _lit_pass_call(jax.device_put(packed),
+                                            jax.device_put(spd_pl), chunk,
+                                            _kernel_interpret())
+                    st, fr = st[:len(rows)], fr[:len(rows)]
+                else:  # off-envelope lit traces: XLA pass fallback
+                    lit_ts = [g[3] if g[1] is None else
+                              _rebase_lit((lambda t: t[t[:, 2] == 1])(
+                                  native.build_trace(blocks[i], options,
+                                                     layout)), lit_base)
+                              for i, g in zip(idxs, got)]
+                    counts = [t.shape[0] for t in lit_ts]
+                    padded = jnp.asarray(_pad_traces(lit_ts, multiple=chunk))
+                    if _lit_pass_usable(layout, lit_ts):
+                        spd = jnp.asarray(lit_speeds_from_traces(lit_ts))
+                        st, fr = model_pass_deferred_lit(padded, spd,
+                                                         r_lit, chunk)
+                    else:
+                        st, fr = model_pass_deferred(padded, r_lit, chunk)
+                entry = _ans_encode_device_flat(
+                    st, fr, jnp.asarray(np.array(counts, np.int32))) \
+                    + (counts,)
+                in_flight.append(puller.submit(pull, entry))
+        with tracelog.span("encode/lit_pull", batches=len(in_flight)):
+            lit_batches = [f.result() for f in in_flight]
+        lit_bytes = [x for batch in lit_batches for x in batch]
+    finally:
+        pool.shutdown(wait=False)
+        puller.shutdown(wait=False)
+    frames = [fmt.MetablockFrame(len(blocks[i]), cmd_bytes[i], lit_bytes[i])
+              for i in range(b)]
+    return fmt.serialize(frames, options.window_size, options.mb_log2,
+                         crc32c(data), flags=flags)
+
+
 def compress(data: bytes, options: DivansOptions | None = None,
              billing_out: dict | None = None) -> bytes:
     from ..ir.matcher import build_commands
@@ -769,6 +901,13 @@ def compress(data: bytes, options: DivansOptions | None = None,
 
     from .. import tracelog
     blocks = [data[off:off + mb] for off in range(0, len(data), mb)]
+
+    if chunk and billing_out is None and _on_tpu():
+        # hybrid pipeline: host C++ codes the cmd stream while the chip
+        # codes the literals (the encode mirror of the device decode)
+        out = _compress_hybrid(data, blocks, options, layout, chunk, flags)
+        if out is not None:
+            return out
 
     def one_trace(raw):
         from .. import native

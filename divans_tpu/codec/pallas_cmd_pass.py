@@ -297,6 +297,10 @@ def _make_kernel(s, r_pad, n_chunks, n_renorm=None):
                                     "n_renorm"))
 def _cmd_pass_call(packed, inc_bd, lim_bd, num_rows, chunk, interpret,
                    n_renorm=None):
+    if packed.dtype != jnp.int32:
+        # packed rows are 13 bits (flat | value<<8 | act<<12): ship H2D
+        # as uint16 over the ~25 MB/s tunnel, upcast on device
+        packed = packed.astype(jnp.int32)
     ng, c, s, _g = packed.shape
     r_pad = _r_pad(num_rows + 1)
     kr = G * r_pad
@@ -380,7 +384,8 @@ def model_pass_cmd_pallas(cmd_ts, inc_row, lim_row, num_rows: int,
     n_renorm = renorm_passes_bound(inc_row, lim_row, chunk)
     if n_renorm is not None and n_renorm > 2:
         n_renorm = None          # hybrid pass-1 + while wins (see bound doc)
-    st, fr = _cmd_pass_call(jnp.asarray(packed), jnp.asarray(inc_bd),
+    st, fr = _cmd_pass_call(jnp.asarray(packed.astype(np.uint16)),
+                            jnp.asarray(inc_bd),
                             jnp.asarray(lim_bd), num_rows, chunk,
                             interpret, n_renorm)
     return st[:b], fr[:b]

@@ -356,6 +356,11 @@ def _make_kernel(s_bytes, n_chunks):
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def _lit_pass_call(packed, spd_pl, chunk, interpret):
+    if packed.dtype != jnp.int32:
+        # packed planes ship H2D as uint16 (all 16 bits used; the axon
+        # tunnel is ~25 MB/s, so halving the transfer halves the e2e
+        # encode's biggest cost) and upcast on device
+        packed = packed.astype(jnp.int32)
     ng, c, s, _g = packed.shape
     assert s == chunk // 2, (s, chunk)
     k_hi, k_lo = G * N_HI, G * N_LO
@@ -398,58 +403,65 @@ def _lit_pass_call(packed, spd_pl, chunk, interpret):
     return o & 0xFFFF, o >> 16
 
 
-def pack_lit_traces(lit_ts, n_padded: int, chunk: int):
-    """[Ti, 10] lit trace list -> (packed int32 [NG, C, S, G], spd planes
-    [NG, 8, 128]) for the kernel, or None when a trace leaves the
-    packed-byte envelope (caller falls back to the XLA pass).
+def pack_lit_row(t, chunk: int):
+    """One [Ti, 10] lit trace -> (row int32[Ti//2], spd int32[6]), or
+    None when the trace leaves the packed-byte envelope (caller falls
+    back to the XLA pass).  Per byte: ctx | hi<<6 | lo<<10 | act<<14
+    | mix<<15 — 16 bits, so rows ship H2D as uint16."""
+    n = t.shape[0]
+    if n % 2:
+        return None
+    spd = np.zeros(6, np.int32)
+    if n == 0:
+        return np.zeros(0, np.int32), spd
+    flat = t[:, 0]
+    hi_f, lo_f = flat[0::2], flat[1::2]
+    hi_v, lo_v = t[0::2, 1], t[1::2, 1]
+    act = ((t[:, 3] != 0) | (t[:, 5] != 0)).astype(np.int32)
+    act_h, act_l = act[0::2], act[1::2]
+    mix_h, mix_l = t[0::2, 5], t[1::2, 5]
+    if (act_h != act_l).any() or (mix_h != mix_l).any():
+        return None
+    ctx = np.where(act_h != 0, hi_f - 1, 0)
+    if ((ctx < 0) | (ctx >= 64)).any():
+        return None
+    idx_expect = 65 + (ctx >> 3) * 16 + hi_v
+    if (np.where(act_l != 0, lo_f, idx_expect) != idx_expect).any():
+        return None
+    # mix steps must target the canonical cm rows (cm_first[ctx] for
+    # hi, cm_second[hi, ctx>>3] for lo) — guaranteed by the cm
+    # profile's trace builder; verify cheaply via the cm_idx column
+    cm_h = t[0::2, 7]
+    cm_l = t[1::2, 7]
+    exp_h = 193 + ctx
+    exp_l = 257 + hi_v * 8 + (ctx >> 3)
+    if (np.where(mix_h != 0, cm_h, exp_h) != exp_h).any():
+        return None
+    if (np.where(mix_l != 0, cm_l, exp_l) != exp_l).any():
+        return None
+    if t[0, 3] == 0:
+        # the per-lane speed extraction (like the XLA pass's
+        # lit_speeds_from_traces) reads the first byte's rows; a dead
+        # first step would mis-read them
+        return None
+    spd[:] = [t[0, 3], t[0, 4], t[1, 8], t[1, 9], t[0, 8], t[0, 9]]
+    row = (ctx | (hi_v << 6) | (lo_v << 10)
+           | (act_h << 14) | (mix_h << 15))
+    return row, spd
 
-    Per byte: ctx | hi<<6 | lo<<10 | act<<14 | mix<<15."""
-    b = len(lit_ts)
+
+def assemble_lit_planes(rows, spds, n_padded: int, chunk: int):
+    """Per-lane packed rows (pack_lit_row outputs) -> kernel inputs
+    (packed uint16 [NG, C, S, G], spd planes int32 [NG, 8, 128])."""
+    b = len(rows)
     ng = -(-b // G)
     s = chunk // 2
     c = n_padded // chunk
-    packed = np.zeros((ng * G, n_padded // 2), np.int32)
+    packed = np.zeros((ng * G, n_padded // 2), np.uint16)
     spd = np.zeros((ng * G, 6), np.int32)
-    for i, t in enumerate(lit_ts):
-        n = t.shape[0]
-        if n % 2:
-            return None
-        if n == 0:
-            continue
-        flat = t[:, 0]
-        hi_f, lo_f = flat[0::2], flat[1::2]
-        hi_v, lo_v = t[0::2, 1], t[1::2, 1]
-        act = ((t[:, 3] != 0) | (t[:, 5] != 0)).astype(np.int32)
-        act_h, act_l = act[0::2], act[1::2]
-        mix_h, mix_l = t[0::2, 5], t[1::2, 5]
-        if (act_h != act_l).any() or (mix_h != mix_l).any():
-            return None
-        ctx = np.where(act_h != 0, hi_f - 1, 0)
-        if ((ctx < 0) | (ctx >= 64)).any():
-            return None
-        idx_expect = 65 + (ctx >> 3) * 16 + hi_v
-        if (np.where(act_l != 0, lo_f, idx_expect) != idx_expect).any():
-            return None
-        # mix steps must target the canonical cm rows (cm_first[ctx] for
-        # hi, cm_second[hi, ctx>>3] for lo) — guaranteed by the cm
-        # profile's trace builder; verify cheaply via the cm_idx column
-        cm_h = t[0::2, 7]
-        cm_l = t[1::2, 7]
-        exp_h = 193 + ctx
-        exp_l = 257 + hi_v * 8 + (ctx >> 3)
-        if (np.where(mix_h != 0, cm_h, exp_h) != exp_h).any():
-            return None
-        if (np.where(mix_l != 0, cm_l, exp_l) != exp_l).any():
-            return None
-        packed[i, :n // 2] = (ctx | (hi_v << 6) | (lo_v << 10)
-                              | (act_h << 14) | (mix_h << 15))
-        if n >= 2 and t[0, 3] == 0:
-            # the per-lane speed extraction (like the XLA pass's
-            # lit_speeds_from_traces) reads the first byte's rows; a dead
-            # first step would mis-read them
-            return None
-        if n >= 2:
-            spd[i] = [t[0, 3], t[0, 4], t[1, 8], t[1, 9], t[0, 8], t[0, 9]]
+    for i, (row, sp) in enumerate(zip(rows, spds)):
+        packed[i, :row.shape[0]] = row.astype(np.uint16)
+        spd[i] = sp
     packed = packed.reshape(ng, G, c, s)
     packed = np.ascontiguousarray(packed.transpose(0, 2, 3, 1))
     # spd planes: [NG, 8, 128] — row r of tile g holds speed scalar r of
@@ -459,6 +471,20 @@ def pack_lit_traces(lit_ts, n_padded: int, chunk: int):
     for r in range(6):
         spd_pl[:, r, :] = np.repeat(lane_vals[:, :, r], 16, axis=1)
     return packed, spd_pl
+
+
+def pack_lit_traces(lit_ts, n_padded: int, chunk: int):
+    """[Ti, 10] lit trace list -> (packed uint16 [NG, C, S, G], spd
+    planes [NG, 8, 128]) for the kernel, or None when a trace leaves
+    the packed-byte envelope (caller falls back to the XLA pass)."""
+    rows, spds = [], []
+    for t in lit_ts:
+        r = pack_lit_row(t, chunk)
+        if r is None:
+            return None
+        rows.append(r[0])
+        spds.append(r[1])
+    return assemble_lit_planes(rows, spds, n_padded, chunk)
 
 
 def model_pass_lit_pallas(lit_ts, chunk: int, n_padded: int,
@@ -473,6 +499,6 @@ def model_pass_lit_pallas(lit_ts, chunk: int, n_padded: int,
     if res is None:
         return None
     packed, spd_pl = res
-    st, fr = _lit_pass_call(jnp.asarray(packed), jnp.asarray(spd_pl),
-                            chunk, interpret)
+    st, fr = _lit_pass_call(jnp.asarray(packed.astype(np.uint16)),
+                            jnp.asarray(spd_pl), chunk, interpret)
     return st[:b], fr[:b]

@@ -73,6 +73,8 @@ def load():
         lib.dtpu_match.restype = ctypes.c_int32
         lib.dtpu_build_trace.restype = ctypes.c_int32
         lib.dtpu_encode_streams.restype = ctypes.c_int32
+        lib.dtpu_encode_streams_sel.restype = ctypes.c_int32
+        lib.dtpu_pack_lit.restype = ctypes.c_int32
         lib.dtpu_decode_metablock.restype = ctypes.c_int32
         lib.dtpu_decode_cmd_structure.restype = ctypes.c_int32
         lib.dtpu_execute_script.restype = ctypes.c_int32
@@ -104,7 +106,7 @@ def build_trace(raw: bytes, options: DivansOptions,
     if mask is not None and not _mask_ok(mask):
         return None
     n = len(raw)
-    buf = (ctypes.c_uint8 * n).from_buffer_copy(raw)
+    buf = raw  # bytes pass as a no-copy pointer (C never mutates)
     if options.quality >= 10 and n >= 4:
         # default quality takes the cost-model optimal parse — the same
         # matches the golden engine's build_commands uses (ir/matcher
@@ -117,7 +119,7 @@ def build_trace(raw: bytes, options: DivansOptions,
         if nm == 0:
             matches = np.zeros((1, 3), np.int32)
     else:
-        matches = np.zeros((max(1, n // 4 + 8), 3), np.int32)
+        matches = np.empty((max(1, n // 4 + 8), 3), np.int32)
         nm = lib.dtpu_match(buf, n, options.quality,
                             matches.ctypes.data_as(ctypes.c_void_p),
                             matches.shape[0])
@@ -131,7 +133,7 @@ def build_trace(raw: bytes, options: DivansOptions,
     lut1 = np.ascontiguousarray(
         constants.literal_lut1(constants.LITERAL_PREDICTION_MODE_UTF8))
     cap = 4 * n + 16384
-    out = np.zeros((cap, 10), np.int32)
+    out = np.empty((cap, 10), np.int32)  # C writes all 10 cols/row
     nctx = layout.segments["cm_second"][1][1]
     mask_buf = ((ctypes.c_uint8 * 8192).from_buffer_copy(mask)
                 if mask is not None else None)
@@ -161,8 +163,8 @@ def find_matches(raw: bytes, quality: int) -> list | None:
     if lib is None:
         return None
     n = len(raw)
-    buf = (ctypes.c_uint8 * max(1, n)).from_buffer_copy(raw or b"\0")
-    matches = np.zeros((max(1, n // 4 + 8), 3), np.int32)
+    buf = raw or b"\0"  # no-copy pointer
+    matches = np.empty((max(1, n // 4 + 8), 3), np.int32)
     nm = lib.dtpu_match(buf, n, quality,
                         matches.ctypes.data_as(ctypes.c_void_p),
                         matches.shape[0])
@@ -233,7 +235,7 @@ def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
     if nb * 64 > layout.segments["cm_first"][1][0]:
         return None  # more block types than the layout's context rows
     n = len(raw)
-    buf = (ctypes.c_uint8 * max(1, n)).from_buffer_copy(raw or b"\0")
+    buf = raw or b"\0"  # no-copy pointer
     seg = _seg_array(layout)
     speeds = options.literal_adaptation or (MUD, MUD, Speed(8, 8192),
                                             Speed(8, 8192))
@@ -243,7 +245,7 @@ def build_trace_cmds(raw: bytes, commands, options: DivansOptions,
     lut1 = np.ascontiguousarray(
         constants.literal_lut1(constants.LITERAL_PREDICTION_MODE_UTF8))
     cap = 4 * n + 16384
-    out = np.zeros((cap, 10), np.int32)
+    out = np.empty((cap, 10), np.int32)  # C writes all 10 cols/row
     nctx = layout.segments["cm_second"][1][1]
     lib.dtpu_build_trace_cmds.restype = ctypes.c_int32
     ns = lib.dtpu_build_trace_cmds(
@@ -288,26 +290,52 @@ def _seg_luts(layout: ModelLayout):
     return _seg_luts_cached(layout.profile.name, layout.lo_bucketed)
 
 
-def encode_streams(trace: np.ndarray, num_rows: int, chunk: int = 0):
+def encode_streams(trace: np.ndarray, num_rows: int, chunk: int = 0,
+                   sel: int = 3):
     """trace int32[n,10] -> (cmd_bytes, lit_bytes) via the C++ back-end.
 
-    chunk > 0 selects the deferred-adaptation profile (codec/deferred.py)."""
+    chunk > 0 selects the deferred-adaptation profile (codec/deferred.py).
+    sel: bit0 = code the cmd stream, bit1 = lit.  The streams' model row
+    sets are disjoint, so coding one alone yields bit-identical bytes —
+    the hybrid device encode uses sel=1 (host cmd + device literals)."""
     lib = load()
     if lib is None:
         return None
     n = trace.shape[0]
     trace = np.ascontiguousarray(trace, np.int32)
     cap = 4 * n + 1024
-    cb = np.zeros(cap, np.uint8)
-    lb = np.zeros(cap, np.uint8)
+    cb = np.empty(cap, np.uint8)
+    lb = np.empty(cap, np.uint8)
     cl = ctypes.c_int32(cap)
     ll = ctypes.c_int32(cap)
-    rc = lib.dtpu_encode_streams(
-        trace.ctypes.data_as(ctypes.c_void_p), n, num_rows, chunk,
+    rc = lib.dtpu_encode_streams_sel(
+        trace.ctypes.data_as(ctypes.c_void_p), n, num_rows, chunk, sel,
         cb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(cl),
         lb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(ll))
     assert rc == 0, "stream buffer overflow"
     return cb[:cl.value].tobytes(), lb[:ll.value].tobytes()
+
+
+def pack_lit(trace: np.ndarray, lit_base: int):
+    """Trace -> (packed lit row uint16[lit_rows//2], spd int32[6],
+    lit_row_count) via the C++ twin of pallas_lit_pass.pack_lit_row
+    (GIL-free; includes the stream split + rebase), or None when the
+    trace leaves the packed-byte envelope."""
+    lib = load()
+    if lib is None:
+        return None
+    n = trace.shape[0]
+    trace = np.ascontiguousarray(trace, np.int32)
+    cap = n // 2 + 8
+    row = np.empty(cap, np.uint16)
+    spd = np.zeros(6, np.int32)
+    cnt = lib.dtpu_pack_lit(
+        trace.ctypes.data_as(ctypes.c_void_p), n, lit_base,
+        row.ctypes.data_as(ctypes.c_void_p), cap,
+        spd.ctypes.data_as(ctypes.c_void_p))
+    if cnt < 0:
+        return None
+    return row[:cnt // 2], spd, cnt
 
 
 @functools.lru_cache(maxsize=1)
@@ -338,8 +366,8 @@ def decode_metablock(cmd: bytes, lit: bytes, raw_len: int, use_cm: bool,
     masked = 1 if layout.profile.hi_s_shape is not None else 0
     seg, lut0, lut1, nctx = _seg_luts(layout)
     out = np.zeros(max(1, raw_len), np.uint8)
-    cbuf = (ctypes.c_uint8 * max(1, len(cmd))).from_buffer_copy(cmd or b"\0")
-    lbuf = (ctypes.c_uint8 * max(1, len(lit))).from_buffer_copy(lit or b"\0")
+    cbuf = cmd or b"\0"
+    lbuf = lit or b"\0"
     dct = _dict_arrays()
     if dct is None:
         dargs = (None, 0, None, None, None, 0)
@@ -390,7 +418,7 @@ def decode_cmd_structure(cmd: bytes, raw_len: int, layout: ModelLayout,
     if lib is None or chunk <= 0:
         return None
     seg, lut0, lut1, nctx = _seg_luts(layout)
-    cbuf = (ctypes.c_uint8 * max(1, len(cmd))).from_buffer_copy(cmd or b"\0")
+    cbuf = cmd or b"\0"
     dct = _dict_arrays()
     if dct is None:
         dargs = (None, 0, None, None, None, 0)

@@ -377,10 +377,18 @@ extern "C" {
 
 // trace: int32[n,10]; returns 0 on success. Stream bytes are written to
 // out_cmd/out_lit with lengths in *cmd_len/*lit_len (capacities in).
-int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
-                            int32_t num_rows, int32_t chunk,
-                            uint8_t* out_cmd, int32_t* cmd_len,
-                            uint8_t* out_lit, int32_t* lit_len) {
+// sel: bit0 = code the cmd stream, bit1 = code the lit stream.  The two
+// streams touch disjoint model row sets (the layout separates cmd rows
+// from lit/cm rows) and the mixer weights are lit-only, so skipping one
+// stream's steps leaves the other's bytes bit-identical — this is what
+// lets the host encode the cmd stream while the device encodes the
+// literals (the encode mirror of the 2-stage decode split, reference
+// src/parallel_decompressor.rs:99-133).
+int32_t dtpu_encode_streams_sel(const int32_t* trace, int32_t n,
+                                int32_t num_rows, int32_t chunk,
+                                int32_t sel,
+                                uint8_t* out_cmd, int32_t* cmd_len,
+                                uint8_t* out_lit, int32_t* lit_len) {
     std::vector<Cdf> model((size_t)num_rows, CDF_INIT);
     Weights weights[2];
     AnsEnc enc[2];
@@ -400,6 +408,7 @@ int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
         int32_t flat = r[0], value = r[1], stream = r[2], inc = r[3],
                 lim = r[4], mix = r[5], which = r[6], cm_idx = r[7],
                 cm_inc = r[8], cm_lim = r[9];
+        if (!((sel >> (stream == 1 ? 1 : 0)) & 1)) continue;
         DeferredState& ds = dss[stream == 1 ? 1 : 0];
         Cdf& rows = model[flat];
         int32_t start, freq;
@@ -440,6 +449,64 @@ int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
     *cmd_len = (int32_t)cb.size();
     *lit_len = (int32_t)lb.size();
     return 0;
+}
+
+int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
+                            int32_t num_rows, int32_t chunk,
+                            uint8_t* out_cmd, int32_t* cmd_len,
+                            uint8_t* out_lit, int32_t* lit_len) {
+    return dtpu_encode_streams_sel(trace, n, num_rows, chunk, 3,
+                                   out_cmd, cmd_len, out_lit, lit_len);
+}
+
+// Pack a trace's LIT-stream rows into the lit-kernel's per-byte plane
+// (ctx | hi<<6 | lo<<10 | act<<14 | mix<<15 — the C++ twin of
+// pallas_lit_pass.pack_lit_row, run GIL-free so the hybrid encode's
+// host threads stay on C++).  Rebases lit rows by lit_base like
+// jax_engine._rebase_lit and applies the same cm-envelope checks.
+// Returns the LIT ROW COUNT (2x the packed words) on success, -1 when
+// the trace leaves the packed-byte envelope, -2 on overflow.
+// out_spd[6] = the per-lane adaptation speeds the kernel needs.
+int32_t dtpu_pack_lit(const int32_t* trace, int32_t n, int32_t lit_base,
+                      uint16_t* out_row, int32_t cap, int32_t* out_spd) {
+    int32_t nw = 0;          // packed words (lit bytes)
+    int32_t phase = 0;       // 0 = expecting hi row, 1 = expecting lo
+    int32_t hi_f = 0, hi_v = 0, act_h = 0, mix_h = 0, cm_h = 0, ctx = 0;
+    bool first = true;
+    for (int64_t t = 0; t < n; ++t) {
+        const int32_t* r = trace + t * 10;
+        if (r[2] != 1) continue;
+        int32_t flat = r[0] == 0 ? 0 : r[0] - (lit_base - 1);
+        int32_t cm = r[7] == 0 ? 0 : r[7] - (lit_base - 1);
+        int32_t act = (r[3] != 0 || r[5] != 0) ? 1 : 0;
+        if (phase == 0) {
+            hi_f = flat; hi_v = r[1]; act_h = act; mix_h = r[5];
+            cm_h = cm;
+            if (first) {
+                if (r[3] == 0) return -1;    // dead first step
+                out_spd[0] = r[3]; out_spd[1] = r[4];
+                out_spd[4] = r[8]; out_spd[5] = r[9];
+                first = false;
+            }
+            phase = 1;
+            continue;
+        }
+        phase = 0;
+        // lo row of the byte: validate the pair against the cm envelope
+        if (act_h != act || mix_h != r[5]) return -1;
+        ctx = act_h ? hi_f - 1 : 0;
+        if (ctx < 0 || ctx >= 64) return -1;
+        int32_t idx_expect = 65 + (ctx >> 3) * 16 + hi_v;
+        if (act && flat != idx_expect) return -1;
+        if (mix_h && cm_h != 193 + ctx) return -1;
+        if (r[5] && cm != 257 + hi_v * 8 + (ctx >> 3)) return -1;
+        if (nw == 0) { out_spd[2] = r[8]; out_spd[3] = r[9]; }
+        if (nw >= cap) return -2;
+        out_row[nw++] = (uint16_t)(ctx | (hi_v << 6) | (r[1] << 10)
+                                   | (act_h << 14) | (mix_h << 15));
+    }
+    if (phase != 0) return -1;               // odd lit row count
+    return nw * 2;
 }
 
 // --------------------------------------------------------- serial decoder

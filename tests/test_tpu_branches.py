@@ -33,15 +33,29 @@ def _data(n=24000):
 
 
 def test_device_encode_deferred_branch(force_tpu_paths):
-    """The round-3 crash site: compress() on a "TPU" with a chunked
-    profile takes the device-resident lanes path (_ans_encode_device ->
-    encode_lanes_pallas -> compact_lane_words -> assemble_compact)."""
+    """compress() on a "TPU" with a chunked profile takes the hybrid
+    pipeline (host C++ cmd stream + device literal lanes via
+    _ans_encode_device_flat -> compact_global -> assemble_global)."""
     data = _data()
     opts = DivansOptions(metablock_size=8192, chunk_nibbles=256)
     golden = engine_np.compress(data, opts)
     fast = jax_engine.compress(data, opts)
     assert fast == golden, (len(fast), len(golden))
     assert engine_np.decompress(fast) == data
+
+
+def test_device_encode_deferred_fallback_branch(force_tpu_paths,
+                                                monkeypatch):
+    """The round-3 crash site: with the hybrid disabled, the uniform
+    device-resident lanes path runs (_ans_encode_device ->
+    compact_lane_words -> assemble_compact)."""
+    monkeypatch.setattr(jax_engine, "_compress_hybrid",
+                        lambda *a, **k: None)
+    data = _data(12000)
+    opts = DivansOptions(metablock_size=8192, chunk_nibbles=256)
+    golden = engine_np.compress(data, opts)
+    fast = jax_engine.compress(data, opts)
+    assert fast == golden, (len(fast), len(golden))
 
 
 def test_device_encode_adaptive_branch(force_tpu_paths):
