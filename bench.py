@@ -133,6 +133,14 @@ def main():
     CHUNK = 256  # deferred profile (codec/deferred.py): the device path
     data = open("/root/reference/testdata/alice29", "rb").read()
     opts = DivansOptions(metablock_size=1 << 16, chunk_nibbles=CHUNK)
+    # e2e corpora: the stdlib mixed corpus (non-repeated real data — the
+    # fleet-file methodology of reference research/timing_comparisons.py),
+    # NOT base-replicated blobs (those flatter cache reuse; VERDICT r3
+    # weak #8)
+    sys.path.insert(0, os.path.join(REPO, "research"))
+    from large_file_study import build_corpus
+    corpus = build_corpus(64 << 20)
+    assert len(corpus) >= (48 << 20), len(corpus)
     layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)  # deferred format
     mb = opts.metablock_size
     blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
@@ -218,13 +226,18 @@ def main():
     dt = timed(encode_step, cmd_packed, lit_packed, lit_spd_pl, cmd_counts,
                lit_counts)
     enc_mbps = raw_bytes / dt / 1e6
-    results.append(("device_encode_throughput", enc_mbps))
+    # STAGE RATE, not an end-to-end number: times the device model
+    # passes + Pallas ANS over pre-packed, pre-uploaded traces (no
+    # matcher, no H2D, no assembly).  The honest whole-pipeline numbers
+    # are the *_e2e_* metrics below.
+    results.append(("device_encode_stage_rate", enc_mbps))
 
     # ---- device decode: END-TO-END (container in -> raw bytes out, all
     # host stages timed — the metric the reference's 18.75 MB/s line
-    # speed defines).  32 MiB of corpus data in 256 KiB metablocks fills
-    # the 128-lane kernel; the blob comes from native.compress (identical
-    # container bytes to every other engine).
+    # speed defines).  64 MiB of the stdlib mixed corpus in 256 KiB
+    # metablocks = two 128-lane batches, so the threaded cmd pass and
+    # host script execution overlap the device kernels (steady-state
+    # pipeline, as a decode service would run).
     dec_mbps = None
     try:
         from divans_tpu.codec import pallas_decode
@@ -232,34 +245,33 @@ def main():
         pallas_decode = None
     if pallas_decode is not None and getattr(pallas_decode, "READY", False):
         from divans_tpu import native
-        td = "/root/reference/testdata/"
-        base = b"".join(open(td + f, "rb").read() for f in
-                        ("alice29", "asyoulik", "random_then_unicode"))
-        # 64 MiB in 256 KiB metablocks = two 128-lane batches, so the
-        # threaded cmd pass and host script execution overlap the device
-        # kernels (steady-state pipeline, as a decode service would run)
-        dec_data = base * (-(-(256 << 18) // len(base)))
+        dec_data = corpus[:48 << 20]
         dec_opts = DivansOptions(metablock_size=1 << 18, chunk_nibbles=CHUNK)
-        blob = native.compress(dec_data[:256 << 18], dec_opts)
+        blob = native.compress(dec_data, dec_opts)
         if blob is not None:
             dec_mbps = pallas_decode.bench_decode(blob)
         if dec_mbps is not None:
             results.append(("device_decode_e2e_throughput", dec_mbps))
 
         # ---- device encode: END-TO-END (raw bytes in -> container out:
-        # pooled host trace build + device model passes + Pallas ANS +
-        # serialize).  The step metric above isolates the device stages;
-        # this is what a compress() caller gets, matcher included.
-        enc_data = dec_data[:64 << 18]
-        jax_engine.compress(enc_data, dec_opts)  # warm (compiles)
-        t0 = time.perf_counter()
-        n_e2e = 2
-        for _ in range(n_e2e):
-            blob2 = jax_engine.compress(enc_data, dec_opts)
-        dt2 = (time.perf_counter() - t0) / n_e2e
-        assert native.decompress(blob2) == enc_data
-        results.append(("device_encode_e2e_throughput",
-                        len(enc_data) / dt2 / 1e6))
+        # C++ matcher/FSM/cmd-stream threads + device literal model pass
+        # + Pallas ANS + serialize — jax_engine._compress_hybrid).  This
+        # is what a compress() caller gets, matcher included.  q9 is the
+        # greedy+lazy speed point; q10 (the ratio default) runs the
+        # cost-model DP parse and is host-matcher-bound.
+        for q, name in ((9, "device_encode_e2e_throughput"),
+                        (10, "device_encode_e2e_q10_throughput")):
+            enc_data = corpus[:32 << 20]
+            eopts = DivansOptions(metablock_size=1 << 18,
+                                  chunk_nibbles=CHUNK, quality=q)
+            jax_engine.compress(enc_data, eopts)  # warm (compiles)
+            t0 = time.perf_counter()
+            n_e2e = 2
+            for _ in range(n_e2e):
+                blob2 = jax_engine.compress(enc_data, eopts)
+            dt2 = (time.perf_counter() - t0) / n_e2e
+            assert native.decompress(blob2) == enc_data
+            results.append((name, len(enc_data) / dt2 / 1e6))
 
     now = time.strftime("%Y-%m-%dT%H:%M:%S")
     for metric, mbps in results:

@@ -28,27 +28,37 @@ TARGET = 12 << 20
 
 
 def build_corpus(target: int = TARGET) -> bytes:
-    """Deterministic mixed corpus from this box: stdlib Python source
-    (enwik-like marked-up text), a shared-library slice (binary), and the
-    reference testdata.  Sorted paths => reproducible on this machine."""
-    parts = []
-    total = 0
-    for p in sorted(glob.glob("/usr/lib/python3*/**/*.py", recursive=True)):
+    """Deterministic mixed corpus from this box: stdlib Python source +
+    C headers (enwik-like marked-up text), shared-library slices
+    (binary), and the reference testdata.  Sorted paths => reproducible
+    on this machine; no content repetition (repeated blobs flatter
+    branch predictors and cache reuse — VERDICT r3 weak #8)."""
+    def from_glob(pattern, cap):
+        got, tot = [], 0
+        for p in sorted(glob.glob(pattern, recursive=True)):
+            try:
+                if not os.path.isfile(p):
+                    continue
+                b = open(p, "rb").read()
+            except OSError:
+                continue
+            got.append(b)
+            tot += len(b)
+            if tot >= cap:
+                break
+        return got
+
+    parts = from_glob("/usr/lib/python3*/**/*.py", target // 2)
+    parts += from_glob("/usr/include/**/*.h", target // 4)
+    for t in ("alice29", "asyoulik", "random_then_unicode"):
         try:
-            b = open(p, "rb").read()
+            parts.append(open(f"/root/reference/testdata/{t}", "rb").read())
         except OSError:
-            continue
-        parts.append(b)
-        total += len(b)
-        if total >= target * 3 // 4:
-            break
-    try:
-        parts.append(open("/usr/lib/x86_64-linux-gnu/libc.so.6",
-                          "rb").read()[: target // 8])
-    except OSError:
-        pass
-    for t in ("alice29", "random_then_unicode"):
-        parts.append(open(f"/root/reference/testdata/{t}", "rb").read())
+            pass
+    total = sum(len(p) for p in parts)
+    if total < target:  # binary tail up to the target
+        parts += from_glob("/usr/lib/x86_64-linux-gnu/*.so*",
+                           target - total)
     return b"".join(parts)[:target]
 
 
