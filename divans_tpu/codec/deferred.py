@@ -61,6 +61,30 @@ TPU decode kernel (costs measured in research/deferred_v2_study.py):
 
 The adaptive (S = 0) wire format is unchanged; deferred streams are marked
 in the container flags byte (bits 2-4 = log2(S) - 3).
+
+Deferred-v3 (round 4) — LIT SUB-STREAMS, the N-lane ANS step of the
+SURVEY §2 parallelism plan (reference analog: the 2-stream mux that
+makes its 2-thread pipeline possible, src/mux.rs + NUM_STREAMS=2 at
+src/interface.rs:235-290 — here the lane count scales with the data):
+
+  * A metablock's literal bytes are split at fixed SUB_LIT-byte
+    boundaries into independent sub-streams: each has its own ANS
+    coder, fresh lit-side model (DeferredPolicy: rows + mixer weights)
+    and zeroed literal history (last_8_literals).  The cmd stream, LZ
+    window, and command model stay metablock-wide — only the literal
+    MODEL domain shrinks, so the ratio cost is tiny and confined to
+    frames with > SUB_LIT literals.
+  * Wire: the frame's lit field = varint(n_subs), varint(len(sub_i))
+    for i < n_subs-1 (the last length is implied), then the
+    concatenated sub-stream payloads.
+  * Why: a stream is decoded serially per lane; the device kernel's
+    scan length is bounded below by the LARGEST single stream.  Real
+    corpora put 100x between the median and max literal loads, so
+    without splitting the grid runs nearly empty
+    (research/probe_decode_stages.py: 18% utilization).  Sub-streams
+    make every lane job <= SUB_LIT/ (chunk/2) steps and bin-pack
+    near-perfectly (pallas_decode.pack_lane_queues) — in BOTH
+    directions (the encode lanes pack the same way).
 """
 from __future__ import annotations
 
@@ -74,6 +98,40 @@ LAG = 1
 MAX_RENORM_PASSES = 24
 ADJ_CLAMP = 1 << 21
 WEIGHT_MAX = (1 << 30) - 1
+SUB_LIT = 1 << 15   # literal bytes per lit sub-stream (deferred-v3)
+
+
+def lit_subs_join(subs: list[bytes]) -> bytes:
+    """Assemble a frame's lit field from its sub-stream payloads."""
+    from ..container.format import write_varint
+    out = bytearray(write_varint(len(subs)))
+    for s in subs[:-1]:
+        out += write_varint(len(s))
+    for s in subs:
+        out += s
+    return bytes(out)
+
+
+def lit_subs_split(lit_field: bytes) -> list[bytes]:
+    """Split a frame's lit field into its sub-stream payloads."""
+    from ..container.format import read_varint, CorruptContainer
+    if not lit_field:
+        return [b""]
+    n, pos = read_varint(lit_field, 0)
+    if not 1 <= n <= 1 << 20:
+        raise CorruptContainer(f"bad lit sub-stream count {n}")
+    lens = []
+    for _ in range(n - 1):
+        ln, pos = read_varint(lit_field, pos)
+        lens.append(ln)
+    subs = []
+    for ln in lens:
+        if pos + ln > len(lit_field):
+            raise CorruptContainer("lit sub-stream overruns the field")
+        subs.append(lit_field[pos:pos + ln])
+        pos += ln
+    subs.append(lit_field[pos:])
+    return subs
 
 
 def cmd_chunk(chunk: int) -> int:
@@ -223,6 +281,37 @@ def make_deferred_codec(io_cmd, io_lit, options, chunk: int, lag: int = LAG,
             self.policy = DeferredPolicy(chunk, lag)  # lit clock + weights
             self.lo_shift = LO_BUCKET_SHIFT  # deferred format buckets lo ctx
             self.sync_lit_history = False    # deferred lit history is self-fed
+            self._lit_count = 0
+            self._lit_subs: list[bytes] = []  # encoder: finished subs
+            self._lit_sub_iter = None         # decoder: remaining payloads
+
+        def _pre_literal_byte(self):
+            """deferred-v3: switch to a fresh lit sub-stream every
+            SUB_LIT literal bytes — new ANS coder, fresh lit model and
+            mixer weights, zeroed literal history (the sub decodes
+            exactly as a standalone stream; see module docstring)."""
+            if self._lit_count and self._lit_count % SUB_LIT == 0:
+                from .engine_np import EncIO, DecIO
+                if self.io_lit is not None:
+                    if self.io_lit.is_encoder:
+                        self._lit_subs.append(self.io_lit.finish())
+                        self.io_lit = EncIO()
+                    else:
+                        self.io_lit = DecIO(next(self._lit_sub_iter))
+                self.policy = DeferredPolicy(chunk, lag)
+                self.lbk.last_8_literals = 0
+            self._lit_count += 1
+
+        def finish_lit_field(self) -> bytes:
+            """Encoder: flush the open sub and assemble the lit field."""
+            return lit_subs_join(self._lit_subs + [self.io_lit.finish()])
+
+        def start_lit_field(self, lit_field: bytes) -> None:
+            """Decoder: parse the sub header, point io_lit at sub 0."""
+            from .engine_np import DecIO
+            subs = lit_subs_split(lit_field)
+            self.io_lit = DecIO(subs[0])
+            self._lit_sub_iter = iter(subs[1:])
 
         def _nib(self, io, table, key, value, speed: Speed) -> int:
             pol = self.policy_cmd  # all _nib call sites code the cmd stream
@@ -368,14 +457,15 @@ def encode_metablock(raw: bytes, commands, options,
         _run_one_command(codec, cmd)
     codec.code_command_type(cmds.END_NIBBLE)
     assert bytes(codec.output) == raw, "encoder ring-buffer replay mismatch"
-    return io_cmd.finish(), io_lit.finish()
+    return io_cmd.finish(), codec.finish_lit_field()
 
 
 def decode_metablock(cmd_stream: bytes, lit_stream: bytes, raw_len: int,
                      options, chunk: int) -> bytes:
     from .engine_np import DecIO, _decode_loop
-    io_cmd, io_lit = DecIO(cmd_stream), DecIO(lit_stream)
-    codec = make_deferred_codec(io_cmd, io_lit, options, chunk)
+    io_cmd = DecIO(cmd_stream)
+    codec = make_deferred_codec(io_cmd, None, options, chunk)
+    codec.start_lit_field(lit_stream)
     return _decode_loop(codec, raw_len)
 
 
@@ -386,6 +476,12 @@ def decode_metablock(cmd_stream: bytes, lit_stream: bytes, raw_len: int,
 def replay_trace(trace: np.ndarray, chunk: int,
                  lag: int = LAG) -> tuple[np.ndarray, np.ndarray]:
     """Deferred-v2 (start, freq) for each trace step, in trace order.
+
+    NOTE (deferred-v3): a metablock's lit stream resets its model every
+    SUB_LIT literal bytes; wire-exact replay of a trace with > SUB_LIT
+    literals must feed the lit rows per sub-trace
+    (jax_engine._split_lit_sub_traces).  Whole-trace replay remains a
+    fine cost estimator (ir/matcher.py fallback).
 
     Per-stream ticking: each stream's rows replay on their own chunk
     clock (cmd = cmd_chunk(chunk), lit = chunk); results scatter back to

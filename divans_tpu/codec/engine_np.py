@@ -100,6 +100,10 @@ class MetablockCodec:
         self.sync_lit_history = True
 
     # ------------------------------------------------------------------ util
+    def _pre_literal_byte(self) -> None:
+        """Hook before each literal content byte; the deferred codec
+        switches lit sub-streams here (deferred-v3, deferred.SUB_LIT)."""
+
     def _nib(self, io, table, key: tuple, value: int, speed: Speed) -> int:
         """get_or_put_nibble + blend at one prior-table cell."""
         cdf = table.get(key)
@@ -170,6 +174,7 @@ class MetablockCodec:
         ext = self.options.external_probs
         out = bytearray()
         for i in range(num_bytes):
+            self._pre_literal_byte()
             b = data[i] if data is not None else 0
             pos = len(self.output) + i
             if ext is not None and 8 * pos + 8 <= len(ext):

@@ -589,6 +589,24 @@ def split_stream_traces(traces: list[np.ndarray], layout):
     return cmd_ts, lit_ts, masks, lit_base, layout.num_rows - lit_base + 1
 
 
+def _split_lit_sub_traces(lit_ts: list[np.ndarray]):
+    """Per-frame lit traces -> flat per-sub-stream traces (deferred-v3).
+
+    A lit trace row pair is one literal byte, so sub boundaries fall at
+    2*SUB_LIT-row multiples.  Each sub-trace encodes against a fresh
+    model — exactly the per-lane contract of every lit model pass, so
+    subs ARE lanes downstream.  Returns (sub_traces, spans) with
+    spans[i] = (first_sub_index, n_subs) for frame i."""
+    from .deferred import SUB_LIT
+    subs, spans = [], []
+    for t in lit_ts:
+        k = max(1, -(-t.shape[0] // (2 * SUB_LIT)))
+        spans.append((len(subs), k))
+        for j in range(k):
+            subs.append(t[j * 2 * SUB_LIT:(j + 1) * 2 * SUB_LIT])
+    return subs, spans
+
+
 def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
                         pallas: bool | None = None, interpret: bool = False,
                         return_device: bool = False):
@@ -608,11 +626,14 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
     from . import deferred
     b = len(traces)
     cmd_ts, lit_ts, masks, r_cmd, r_lit = split_stream_traces(traces, layout)
+    # deferred-v3: each lit sub-stream is an independent model domain —
+    # subs simply become lanes for every lit pass below
+    sub_ts, spans = _split_lit_sub_traces(lit_ts)
     s_cmd = deferred.cmd_chunk(chunk)
-    lit_fast = _lit_pass_usable(layout, lit_ts)
+    lit_fast = _lit_pass_usable(layout, sub_ts)
     out = []
     for sid, (ts, num_rows, s) in enumerate(
-            ((cmd_ts, r_cmd, s_cmd), (lit_ts, r_lit, chunk))):
+            ((cmd_ts, r_cmd, s_cmd), (sub_ts, r_lit, chunk))):
         cspd = cmd_speeds_from_rows(cmd_ts, num_rows) if sid == 0 else None
         if (sid == 0 and cspd is not None and not pallas
                 and _on_tpu()):
@@ -644,7 +665,7 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
             st, fr = model_pass_deferred_pallas(padded, num_rows, s,
                                                 interpret=interpret)
         elif sid == 1 and lit_fast:
-            spd = jnp.asarray(lit_speeds_from_traces(lit_ts))
+            spd = jnp.asarray(lit_speeds_from_traces(ts))
             st, fr = model_pass_deferred_lit(padded, spd, num_rows, s)
         elif sid == 0 and cspd is not None:
             st, fr = model_pass_deferred_cmd(padded, jnp.asarray(cspd[0]),
@@ -653,21 +674,29 @@ def deferred_model_pass(traces: list[np.ndarray], layout, chunk: int,
         else:
             st, fr = model_pass_deferred(padded, num_rows, s)
         out.append((st, fr))
+    sub_counts = [t.shape[0] for t in sub_ts]
     if return_device:
         cmd_counts = [int((~m).sum()) for m in masks]
-        lit_counts = [int(m.sum()) for m in masks]
         return (out[0][0], out[0][1], cmd_counts), \
-               (out[1][0], out[1][1], lit_counts)
+               (out[1][0], out[1][1], sub_counts), spans
     (cs, cf), (ls, lf) = [(np.asarray(a), np.asarray(b_)) for a, b_ in out]
     starts = [np.zeros(t.shape[0], np.int32) for t in traces]
     freqs = [np.ones(t.shape[0], np.int32) for t in traces]
     lanes = []
     for i in range(b):
         m = masks[i]
-        nc, nl = int((~m).sum()), int(m.sum())
+        nc = int((~m).sum())
+        off, k = spans[i]
+        lit_s = np.concatenate(
+            [ls[off + j, :sub_counts[off + j]] for j in range(k)])
+        lit_f = np.concatenate(
+            [lf[off + j, :sub_counts[off + j]] for j in range(k)])
         starts[i][~m], freqs[i][~m] = cs[i, :nc], cf[i, :nc]
-        starts[i][m], freqs[i][m] = ls[i, :nl], lf[i, :nl]
-        lanes.append((cs[i, :nc], cf[i, :nc], ls[i, :nl], lf[i, :nl]))
+        starts[i][m], freqs[i][m] = lit_s, lit_f
+        lanes.append((cs[i, :nc], cf[i, :nc],
+                      [(ls[off + j, :sub_counts[off + j]],
+                        lf[off + j, :sub_counts[off + j]])
+                       for j in range(k)]))
     return starts, freqs, lanes
 
 
@@ -782,6 +811,7 @@ def _compress_hybrid(data, blocks, options, layout, chunk, flags):
     from concurrent.futures import ThreadPoolExecutor
     from .. import native, tracelog
     from ..ans import pallas_kernels as pk
+    from . import deferred
     from .pallas_lit_pass import _lit_pass_call, assemble_lit_planes
 
     if native.load() is None or not native.supports(options):
@@ -798,7 +828,8 @@ def _compress_hybrid(data, blocks, options, layout, chunk, flags):
         t = native.build_trace(raw, options, layout)
         if t is None:
             return None
-        cmd_b, _ = native.encode_streams(t, layout.num_rows, chunk, sel=1)
+        cmd_b, _ = native.encode_streams(t, layout.num_rows, chunk, sel=1,
+                                         lit_base=lit_base)
         r = native.pack_lit(t, lit_base)
         if r is None:
             return cmd_b, None, None, _rebase_lit(t[t[:, 2] == 1],
@@ -834,12 +865,24 @@ def _compress_hybrid(data, blocks, options, layout, chunk, flags):
                 cmd_bytes[i] = g[0]
             with tracelog.span("encode/lit_dispatch", frames=len(idxs)):
                 if all(g[1] is not None for g in got):
-                    rows = [g[1] for g in got]
-                    counts = [g[3] for g in got]
-                    n_p = max(_padded_len(max(2 * max(len(r) for r in rows),
-                                              1), chunk), chunk)
-                    packed, spd_pl = assemble_lit_planes(
-                        rows, [g[2] for g in got], n_p, chunk)
+                    # deferred-v3: one packed-plane lane per lit
+                    # SUB-STREAM (a packed element is one literal byte,
+                    # so subs are plain slices of the frame's plane)
+                    rows, spds, spans_b = [], [], []
+                    for g in got:
+                        row = g[1]
+                        k = max(1, -(-len(row) // deferred.SUB_LIT))
+                        spans_b.append((len(rows), k))
+                        for j in range(k):
+                            rows.append(row[j * deferred.SUB_LIT:
+                                            (j + 1) * deferred.SUB_LIT])
+                            spds.append(g[2])
+                    counts = [2 * len(r) for r in rows]
+                    n_p = max(_padded_len(
+                        max(2 * max((len(r) for r in rows), default=1), 1),
+                        chunk), chunk)
+                    packed, spd_pl = assemble_lit_planes(rows, spds, n_p,
+                                                         chunk)
                     st, fr = _lit_pass_call(jax.device_put(packed),
                                             jax.device_put(spd_pl), chunk,
                                             _kernel_interpret())
@@ -850,10 +893,11 @@ def _compress_hybrid(data, blocks, options, layout, chunk, flags):
                                   native.build_trace(blocks[i], options,
                                                      layout)), lit_base)
                               for i, g in zip(idxs, got)]
-                    counts = [t.shape[0] for t in lit_ts]
-                    padded = jnp.asarray(_pad_traces(lit_ts, multiple=chunk))
-                    if _lit_pass_usable(layout, lit_ts):
-                        spd = jnp.asarray(lit_speeds_from_traces(lit_ts))
+                    sub_ts, spans_b = _split_lit_sub_traces(lit_ts)
+                    counts = [t.shape[0] for t in sub_ts]
+                    padded = jnp.asarray(_pad_traces(sub_ts, multiple=chunk))
+                    if _lit_pass_usable(layout, sub_ts):
+                        spd = jnp.asarray(lit_speeds_from_traces(sub_ts))
                         st, fr = model_pass_deferred_lit(padded, spd,
                                                          r_lit, chunk)
                     else:
@@ -861,14 +905,20 @@ def _compress_hybrid(data, blocks, options, layout, chunk, flags):
                 entry = _ans_encode_device_flat(
                     st, fr, jnp.asarray(np.array(counts, np.int32))) \
                     + (counts,)
-                in_flight.append(puller.submit(pull, entry))
+                in_flight.append((idxs, spans_b,
+                                  puller.submit(pull, entry)))
+        lit_fields: list = [None] * b
         with tracelog.span("encode/lit_pull", batches=len(in_flight)):
-            lit_batches = [f.result() for f in in_flight]
-        lit_bytes = [x for batch in lit_batches for x in batch]
+            for idxs, spans_b, fut in in_flight:
+                batch = fut.result()     # per-sub-lane stream bytes
+                for i, (off, k) in zip(idxs, spans_b):
+                    lit_fields[i] = deferred.lit_subs_join(
+                        batch[off:off + k])
     finally:
         pool.shutdown(wait=False)
         puller.shutdown(wait=False)
-    frames = [fmt.MetablockFrame(len(blocks[i]), cmd_bytes[i], lit_bytes[i])
+    frames = [fmt.MetablockFrame(len(blocks[i]), cmd_bytes[i],
+                                 lit_fields[i])
               for i in range(b)]
     return fmt.serialize(frames, options.window_size, options.mb_log2,
                          crc32c(data), flags=flags)
@@ -931,6 +981,7 @@ def compress(data: bytes, options: DivansOptions | None = None,
 
     b = len(blocks)
     lane_starts, lane_freqs, lane_counts = [], [], []
+    frame_groups = []   # per frame: (cmd lane index, [lit lane indices])
     device_lanes = None
     if chunk and billing_out is None and _on_tpu():
         # device-resident pipeline: the model-pass outputs feed the ANS
@@ -941,12 +992,21 @@ def compress(data: bytes, options: DivansOptions | None = None,
                                                return_device=True)
     elif chunk:
         # per-stream deferred-v2 passes; lane arrays come out pre-split
+        # (one cmd lane per frame + one lane per lit sub-stream)
         with tracelog.span("encode/model_pass", profile="deferred"):
             _, freq_list, lanes = deferred_model_pass(traces, layout, chunk)
-        for cs_, cf_, ls_, lf_ in lanes:
-            lane_starts += [cs_, ls_]
-            lane_freqs += [cf_, lf_]
-            lane_counts += [cs_.shape[0], ls_.shape[0]]
+        for cs_, cf_, subs_ in lanes:
+            o = len(lane_counts)
+            lane_starts.append(cs_)
+            lane_freqs.append(cf_)
+            lane_counts.append(cs_.shape[0])
+            lit_idx = []
+            for ls_, lf_ in subs_:
+                lit_idx.append(len(lane_counts))
+                lane_starts.append(ls_)
+                lane_freqs.append(lf_)
+                lane_counts.append(ls_.shape[0])
+            frame_groups.append((o, lit_idx))
         if billing_out is not None:
             from . import billing
             fpad = np.ones((b, max(t.shape[0] for t in traces)), np.int32)
@@ -970,6 +1030,7 @@ def compress(data: bytes, options: DivansOptions | None = None,
         for i in range(b):
             n = traces[i].shape[0]
             stream = traces[i][:, 2]
+            frame_groups.append((len(lane_counts), [len(lane_counts) + 1]))
             for sid in (0, 1):
                 m = stream == sid
                 lane_starts.append(starts[i, :n][m])
@@ -981,16 +1042,23 @@ def compress(data: bytes, options: DivansOptions | None = None,
             # on device, encode, compact, and ship only ~compressed-size
             # words per stream (compact_lane_words)
             from ..ans import pallas_kernels as pk
+            cmd_tuple, lit_tuple, spans = device_lanes
             stream_bytes = []
-            for st_d, fr_d, cnts in device_lanes:
+            for st_d, fr_d, cnts in (cmd_tuple, lit_tuple):
                 w16, nw, states = _ans_encode_device(
                     st_d, fr_d, jnp.asarray(np.asarray(cnts, np.int32)))
                 kmax = int(np.asarray(nw).max())
                 w16 = pk.trim_rows(w16, _padded_len(max(kmax, 1), 1))
                 stream_bytes.append(
                     pk.assemble_compact(w16, nw, states, cnts))
-            cmd_b, lit_b = stream_bytes
-            lane_bytes = [x for pair in zip(cmd_b, lit_b) for x in pair]
+            cmd_b, lit_sub_b = stream_bytes
+            frames = [fmt.MetablockFrame(
+                len(blocks[i]), cmd_b[i],
+                deferred.lit_subs_join(
+                    lit_sub_b[spans[i][0]:spans[i][0] + spans[i][1]]))
+                for i in range(b)]
+            return fmt.serialize(frames, options.window_size,
+                                 options.mb_log2, crc32c(data), flags=flags)
         elif _on_tpu():
             # the Pallas wide-rANS kernel (~22 Gsym/s; ans/pallas_kernels.py)
             from ..ans import pallas_kernels as pk
@@ -1013,9 +1081,13 @@ def compress(data: bytes, options: DivansOptions | None = None,
             lane_bytes = kernels.lanes_to_bytes(words, nwords, states)
 
     with tracelog.span("encode/assemble"):
-        frames = [fmt.MetablockFrame(len(blocks[i]), lane_bytes[2 * i],
-                                     lane_bytes[2 * i + 1])
-                  for i in range(b)]
+        frames = []
+        for i, (o, lit_idx) in enumerate(frame_groups):
+            lit_field = (deferred.lit_subs_join(
+                [lane_bytes[j] for j in lit_idx]) if chunk
+                else lane_bytes[lit_idx[0]])
+            frames.append(fmt.MetablockFrame(len(blocks[i]),
+                                             lane_bytes[o], lit_field))
         return fmt.serialize(frames, options.window_size, options.mb_log2,
                              crc32c(data), flags=flags)
 

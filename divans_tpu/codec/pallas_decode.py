@@ -125,6 +125,20 @@ def pack16(vals: np.ndarray) -> np.ndarray:
     return (lo | (hi << 16)).astype(np.uint32).astype(np.int32)
 
 
+def _stream_words(s: bytes) -> np.ndarray:
+    """An ANS stream body (past the 4-byte state) as packed renorm words.
+
+    pack16 over the stream's little-endian u16 words IS the byte stream
+    reinterpreted as little-endian u32 — a zero-copy view, not the
+    multi-pass int64 detour (host packing was a measured decode pipeline
+    stage: research/probe_decode_phases.py)."""
+    body = s[4:]
+    pad = (-len(body)) % 4
+    if pad:
+        body = body + b"\0" * pad
+    return np.frombuffer(body, dtype="<i4")
+
+
 def _fetch1(model_ref, base, n, idx):
     """Select-scan fetch of one CDF plane: planes[base + idx], [16, 128]
     int32.  The model ref is int16 (one vreg per [16, 128] plane) so each
@@ -281,15 +295,42 @@ def kernel_perm(layout):
                                              "offs", "interpret"))
 def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
                      r_lit, chunk, n_chunks, offs, interpret):
-    """lax.scan over lit chunks: Pallas kernel decodes each chunk against
-    the frozen snapshot; the shared XLA commit (jax_engine._chunk_pend /
-    _apply_pend) applies boundary updates with the one-chunk lag.
+    """One stream per lane (the original 128-metablock batch shape):
+    trivial single-frame queues over the general _decode_lit_scan_q."""
+    b = LANES
+    counts = jnp.ones((b,), jnp.int32)
+    out, cursor = _decode_lit_scan_q(
+        words, counts, states[None, :], n_lit[None, :],
+        jnp.zeros((1, b), jnp.int32), lcmap_t[None], spd[None], luts, perm,
+        r_lit, chunk, n_chunks, offs, interpret)
+    return out, cursor
 
-    states/n_lit: [128] i32; words: [128, Wp] i32 (u16 pairs packed
-    2-per-int32, pack16); lcmap_t: [16, 128] (pack6); luts: [128, 128]
-    (lut0 ++ lut1, pack6); spd: [128, 6] (sp0/sp2/sp3 inc, lim);
-    perm: [384] kernel plane -> rebased lit row.
-    Returns (bytes [128, n_chunks * chunk//2], pulls [128])."""
+
+@functools.partial(jax.jit, static_argnames=("r_lit", "chunk", "n_steps",
+                                             "offs", "interpret"))
+def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
+                       lcmap_all, spd_all, luts, perm,
+                       r_lit, chunk, n_steps, offs, interpret):
+    """lax.scan over lit chunks with PERSISTENT WORKER LANES: each of the
+    128 lanes decodes a queue of whole literal streams back-to-back, so
+    small and large metablocks pack the grid tightly (one-stream-per-lane
+    padding to the batch max ran the real-corpus kernels at 18% lane
+    utilization — research/probe_decode_stages.py).  The Pallas kernel
+    decodes each chunk against the frozen snapshot; the XLA commit
+    applies boundary updates with the one-chunk lag; at a stream switch
+    the lane's model, mixer weights, pending updates, ANS state, cursor,
+    and byte context reset — each stream decodes exactly as it would
+    alone (the model domain is the metablock: SURVEY.md §5 long-context).
+
+    words: [128, W] i32 — per-lane concatenation of the assigned
+    streams' packed renorm words (each stream int32-aligned);
+    counts: [128] streams per lane; state0/n_lit_all/woff_all: [F, 128]
+    per-stream initial ANS state, literal count, word offset;
+    lcmap_all: [F, 16, 128] (pack6); spd_all: [F, 128, 6]; luts:
+    [128, 128] (lut0 ++ lut1, pack6); perm: [384] kernel plane ->
+    rebased lit row.  Returns (bytes [128, n_steps * chunk//2] — each
+    stream's bytes start at its chunk offset * chunk//2 — and the final
+    word cursors [128])."""
     from ..probability import cdf16
     from . import deferred
 
@@ -409,7 +450,38 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
         return committed, weights
 
     def step(carry, _):
-        committed, weights, pend, state, cursor, p1, p2, n_rem = carry
+        (committed, weights, pend, state, cursor, p1, p2, n_rem,
+         fidx, lcmap_cur, spd_cur) = carry
+        # ---- stream switch: lanes whose stream is exhausted and whose
+        # queue has more load the next stream's config and reset every
+        # piece of per-stream state (model, weights, pend, ANS, context)
+        nxt = fidx + 1
+        sw = (n_rem <= 0) & (nxt < counts)
+        fidx = jnp.where(sw, nxt, fidx)
+        fx = fidx[None, :]
+        st0 = jnp.take_along_axis(state0, fx, 0)[0]
+        nl = jnp.take_along_axis(n_lit_all, fx, 0)[0]
+        wo = jnp.take_along_axis(woff_all, fx, 0)[0]
+        lc = jnp.take_along_axis(
+            lcmap_all, jnp.broadcast_to(fidx[None, None, :],
+                                        (1, 16, b)), 0)[0]
+        sp = jnp.take_along_axis(
+            spd_all, jnp.broadcast_to(fidx[None, :, None], (1, b, 6)), 0)[0]
+        state = jnp.where(sw, st0, state)
+        cursor = jnp.where(sw, wo * 2, cursor)
+        p1 = jnp.where(sw, 0, p1)
+        p2 = jnp.where(sw, 0, p2)
+        n_rem = jnp.where(sw, nl, n_rem)
+        lcmap_cur = jnp.where(sw[None, :], lc, lcmap_cur)
+        spd_cur = jnp.where(sw[:, None], sp, spd_cur)
+        swb = sw[:, None, None]
+        committed = jnp.where(swb, committed0, committed)
+        weights = jnp.where(swb, weights0, weights)
+        pend = {"add": jnp.where(swb, 0, pend["add"]),
+                "limsum": jnp.where(sw[:, None], 0, pend["limsum"]),
+                "cnt": jnp.where(sw[:, None], 0, pend["cnt"]),
+                "wadj": jnp.where(swb, 0, pend["wadj"])}
+
         # per-lane packed-word window from the even word below the cursor
         # (overruns clamp; reads gated by `need` in the kernel)
         widx = jnp.clip((cursor >> 1)[:, None] + jnp.arange(n_wrows), 0, w_max)
@@ -427,7 +499,7 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
         sc_in = jnp.stack([state, p1, p2, n_rem, cursor & 1,
                            jnp.zeros_like(state), jnp.zeros_like(state),
                            jnp.zeros_like(state)], axis=0)
-        bytes_c, ctx_c, sc_out = call(kmodel, words_chunk, lcmap_t, luts,
+        bytes_c, ctx_c, sc_out = call(kmodel, words_chunk, lcmap_cur, luts,
                                       sc_in)
         bytes_l = bytes_c.T            # [128 lanes, s_bytes]
         ctx_l = ctx_c.T
@@ -476,14 +548,14 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
                 [jnp.sum(cnt * adj[i], axis=(1, 2)) for i in (0, 1)], -1))
         wadj = jnp.stack([wadj_rows[1], wadj_rows[0]], axis=1)  # [B, 2, 2]
 
-        def seg(counts, inc_col, lim_col):
+        def seg(cnt_mat, inc_col, lim_col):
             """One class's (add, limsum, cnt) from its [B, 16, P] count
             matrix (cumsum runs over the 16-sublane axis)."""
-            inc = spd[:, inc_col, None]
-            lim = spd[:, lim_col, None]
+            inc = spd_cur[:, inc_col, None]
+            lim = spd_cur[:, lim_col, None]
             live = (inc != 0).astype(jnp.int32)    # inc==0 records nothing
-            tot = jnp.sum(counts, axis=1) * live
-            add = (inc[:, :, None] * jnp.cumsum(counts, axis=1)
+            tot = jnp.sum(cnt_mat, axis=1) * live
+            add = (inc[:, :, None] * jnp.cumsum(cnt_mat, axis=1)
                    * live[:, :, None])
             return add, lim * tot, tot
 
@@ -503,14 +575,16 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
         committed, weights = _apply_pend_t(committed, weights, pend)
 
         carry = (committed, weights, new_pend, sc_out[0], cursor + sc_out[3],
-                 sc_out[1], sc_out[2], n_rem - s_bytes)
+                 sc_out[1], sc_out[2], n_rem - s_bytes,
+                 fidx, lcmap_cur, spd_cur)
         return carry, bytes_l
 
-    carry0 = (committed0, weights0, pend0, states,
-              jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
-              jnp.zeros((b,), jnp.int32), n_lit)
-    carry, ys = jax.lax.scan(step, carry0, None, length=n_chunks)
-    out = jnp.swapaxes(ys, 0, 1).reshape(b, n_chunks * s_bytes)
+    carry0 = (committed0, weights0, pend0, state0[0],
+              woff_all[0] * 2, jnp.zeros((b,), jnp.int32),
+              jnp.zeros((b,), jnp.int32), n_lit_all[0],
+              jnp.zeros((b,), jnp.int32), lcmap_all[0], spd_all[0])
+    carry, ys = jax.lax.scan(step, carry0, None, length=n_steps)
+    out = jnp.swapaxes(ys, 0, 1).reshape(b, n_steps * s_bytes)
     return out, carry[4]
 
 
@@ -558,14 +632,13 @@ def pack_lit_lanes(lit_streams: list[bytes], n_lits: list[int],
     n_lit = np.zeros(lanes, np.int32)
     w_len = max(2, max((max(0, len(s) - 4) + 1) // 2 for s in lit_streams))
     w_len = 1 << (w_len - 1).bit_length()
-    words = np.zeros((lanes, w_len), np.int32)
+    words = np.zeros((lanes, (w_len + 1) // 2), np.int32)
     for i, s in enumerate(lit_streams):
         if len(s) >= 4:
             states[i] = int.from_bytes(s[:4], "little")
-            ws = np.frombuffer(s[4:len(s) - (len(s) % 2)], dtype="<u2")
-            words[i, :ws.shape[0]] = ws
+            w = _stream_words(s)
+            words[i, :w.shape[0]] = w
         n_lit[i] = n_lits[i]
-    words = pack16(words)
     lcmap_t = np.zeros((16, lanes), np.int32)
     spd = np.zeros((lanes, 6), np.int32)
     for i in range(b):
@@ -615,6 +688,111 @@ def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
     # bound shape diversity: columns padded to 4 KiB multiples
     ncols = min(out.shape[1], max(4096, -(-max_lit // 4096) * 4096))
     return _trim_cast(out, ncols)
+
+
+def pack_lane_queues(lit_streams: list[bytes], n_lits: list[int],
+                     lcmaps, speeds_list, chunk: int, lanes: int = LANES,
+                     spread: int | None = None):
+    """Bin-pack metablock literal streams onto `lanes` persistent worker
+    lanes for _decode_lit_scan_q (LPT greedy on chunk counts: streams
+    sorted by size, each assigned to the least-loaded lane — max lane
+    load stays within ~4/3 of optimal, so lane utilization is near 1
+    even when stream sizes span 100x, as they do on real data).
+
+    Zero-literal streams take no lane slot (their decode is empty).
+    `spread` restricts assignment to the first N lanes (tests use it to
+    force multi-stream queues on small inputs).
+    Returns (arrays tuple for _decode_lit_scan_q, n_steps, placement)
+    where placement[i] = (lane, chunk_offset) or None when n_lits[i]
+    == 0."""
+    from .. import constants
+    import heapq
+
+    s_bytes = chunk // 2
+    jobs = sorted(
+        ((-(-n_lits[i] // s_bytes), i) for i in range(len(lit_streams))
+         if n_lits[i] > 0), reverse=True)
+    heap = [(0, l) for l in range(spread or lanes)]
+    lane_jobs: list[list[int]] = [[] for _ in range(lanes)]
+    loads = [0] * lanes
+    for c, i in jobs:
+        load, l = heapq.heappop(heap)
+        lane_jobs[l].append(i)
+        loads[l] = load + c
+        heapq.heappush(heap, (load + c, l))
+    f_max = max(1, max(len(j) for j in lane_jobs))
+    f_max = 1 << (f_max - 1).bit_length()     # bound jit shape diversity
+    state0 = np.zeros((f_max, lanes), np.int32)
+    n_lit_all = np.zeros((f_max, lanes), np.int32)
+    woff_all = np.zeros((f_max, lanes), np.int32)
+    lcmap_all = np.zeros((f_max, 16, lanes), np.int32)
+    spd_all = np.zeros((f_max, lanes, 6), np.int32)
+    counts = np.zeros(lanes, np.int32)
+    placement: list[tuple[int, int] | None] = [None] * len(lit_streams)
+    lane_words: list[np.ndarray] = []
+    for l, jl in enumerate(lane_jobs):
+        segs, woff, coff = [], 0, 0
+        for k, i in enumerate(jl):
+            s = lit_streams[i]
+            w = _stream_words(s)
+            if len(s) >= 4:
+                state0[k, l] = int.from_bytes(s[:4], "little")
+            n_lit_all[k, l] = n_lits[i]
+            woff_all[k, l] = woff
+            lcmap_all[k, :, l] = pack6(np.asarray(lcmaps[i], np.int32)[:64])
+            sp = speeds_list[i]
+            spd_all[k, l] = [sp[0].inc, sp[0].lim, sp[2].inc, sp[2].lim,
+                             sp[3].inc, sp[3].lim]
+            placement[i] = (l, coff)
+            segs.append(w)
+            woff += w.shape[0]
+            coff += -(-n_lits[i] // s_bytes)
+        counts[l] = len(jl)
+        lane_words.append(np.concatenate(segs) if segs
+                          else np.zeros(0, np.int32))
+    w_len = max(2, max(w.shape[0] for w in lane_words))
+    w_len = -(-w_len // 2048) * 2048          # 8 KiB column grid
+    words = np.zeros((lanes, w_len), np.int32)
+    for l, w in enumerate(lane_words):
+        words[l, :w.shape[0]] = w
+    # quarter-pow2 step grid (shape-cached Mosaic compiles are minutes)
+    n_steps = max(1, max(loads))
+    p = 1 << (n_steps - 1).bit_length()
+    for m in (5, 6, 7):
+        if (p >> 3) * m >= n_steps:
+            p = (p >> 3) * m
+            break
+    n_steps = max(1, p)
+    lut0 = np.asarray(constants.literal_lut0(
+        constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+    lut1 = np.asarray(constants.literal_lut1(
+        constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+    luts = np.repeat(pack6(np.concatenate([lut0, lut1]))[:, None],
+                     lanes, axis=1)
+    arrays = (words, counts, state0, n_lit_all, woff_all, lcmap_all,
+              spd_all, luts)
+    return arrays, n_steps, placement
+
+
+@jax.jit
+def _cast_u8(out):
+    """uint8 on device before D2H (4x fewer wire bytes)."""
+    return out.astype(jnp.uint8)
+
+
+def issue_lane_queues(arrays, n_steps: int, chunk: int, layout,
+                      interpret: bool | None = None):
+    """Dispatch one persistent-lane decode scan (async); returns the
+    uint8 device array [128, n_steps * chunk//2]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    perm, offs = kernel_perm(layout)
+    lit_base = layout.segments["lit_hi"][0]
+    r_lit = layout.num_rows - lit_base + 1
+    out, _cursor = _decode_lit_scan_q(
+        *[jnp.asarray(a) for a in arrays], jnp.asarray(perm),
+        r_lit, chunk, n_steps, offs, interpret)
+    return _cast_u8(out)
 
 
 def decode_structures(frames, chunk: int, layout, options) -> list | None:
@@ -667,12 +845,14 @@ def decompress_frames(frames, chunk: int, layout, options,
     and the host executes the command scripts (memcpy-speed C++).
 
     Pipelining: all frames' structure decodes are queued on a thread
-    pool up front; batch k's kernel launches the moment its 128 scripts
-    are ready, so later batches' cmd passes overlap earlier batches'
-    device work.  Every batch stays in flight (the device queues the
-    kernels back-to-back) with its D2H copy enqueued asynchronously —
-    per-batch blocking round trips over the axon tunnel were the round-3
-    profile's biggest single cost (research/probe_decode_pipeline.py).
+    pool up front; frames are split into contiguous GROUPS and each
+    group's scan launches (async, with its D2H enqueued) the moment its
+    scripts are ready, so later groups' cmd passes overlap earlier
+    groups' device work, and script execution of group k overlaps the
+    in-flight scans of k+1....  Within a group, streams bin-pack onto
+    128 persistent worker lanes (pack_lane_queues) — real-corpus stream
+    sizes span 100x and one-stream-per-lane padding ran the kernels at
+    18% utilization (research/probe_decode_stages.py).
     Returns None when any frame leaves the kernel's envelope (caller
     falls back to the serial decoders)."""
     import os
@@ -683,6 +863,7 @@ def decompress_frames(frames, chunk: int, layout, options,
     if layout.profile.name != "cm" or not layout.lo_bucketed:
         return None
     have_native = native.load() is not None
+    s_bytes = chunk // 2
 
     def one(f):
         sc = native.decode_cmd_structure(f.cmd, f.raw_len, layout,
@@ -691,48 +872,61 @@ def decompress_frames(frames, chunk: int, layout, options,
             sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
         return sc
 
-    # batch lanes by literal size: each scan runs to its batch's max
-    # chunk count, so uniform batches waste far fewer idle lane-steps
-    # than file-order batches (the scan is the pipeline's longest
-    # stage).  Sorting on the *compressed* literal-stream length keeps
-    # the key free — it is known before any cmd pass runs, so the
-    # cmd-pass/kernel-issue overlap below survives the reorder (the
-    # exact key, lit_total, only exists after stage 1).
-    order = sorted(range(len(frames)), key=lambda i: len(frames[i].lit))
+    # group size: ~32 MiB raw per scan — big enough that the scan's
+    # fixed dispatch cost amortizes, small enough that the first scan
+    # launches early and the cmd pass pipelines behind it
+    total_raw = sum(f.raw_len for f in frames)
+    n_groups = max(1, min(8, round(total_raw / (32 << 20))))
+    per = -(-len(frames) // n_groups)
     # leave one core for the main thread's kernel-issue path (H2D packing
     # competes with the cmd pass for cores; the pool's native calls
     # release the GIL)
     n_workers = max(1, min(8, (os.cpu_count() or 2) - 1))
-    scripts: dict = {}
+    issued = []
     with ThreadPoolExecutor(n_workers) as ex:
-        script_iter = ex.map(one, (frames[i] for i in order))
-        issued = []
-        for base in range(0, len(order), LANES):
-            idxs = order[base:base + LANES]
+        script_iter = ex.map(one, frames)
+        from .deferred import SUB_LIT, lit_subs_split
+        for base in range(0, len(frames), per):
+            idxs = range(base, min(base + per, len(frames)))
             sub = [next(script_iter) for _ in idxs]
             if not all(s.supported for s in sub):
                 for _ in script_iter:
                     pass  # drain the pool before falling back
                 return None
+            # deferred-v3: each lit sub-stream is one lane job (<=
+            # SUB_LIT literal bytes), so the queues pack tight no matter
+            # how the frames' literal loads vary
+            streams, n_lits, lcmaps, spds, spans = [], [], [], [], []
             for i, s in zip(idxs, sub):
-                scripts[i] = s
-            n_lits = [s.lit_total for s in sub]
-            dev = _issue_lit_batch(
-                [frames[i].lit for i in idxs], n_lits,
-                [s.lcmap for s in sub], [s.speeds for s in sub],
-                chunk, layout, interpret=interpret)
+                subs_i = lit_subs_split(frames[i].lit)
+                spans.append((len(streams), len(subs_i)))
+                for j, payload in enumerate(subs_i):
+                    streams.append(payload)
+                    n_lits.append(min(SUB_LIT, s.lit_total - j * SUB_LIT)
+                                  if s.lit_total else 0)
+                    lcmaps.append(s.lcmap)
+                    spds.append(s.speeds)
+            arrays, n_steps, placement = pack_lane_queues(
+                streams, n_lits, lcmaps, spds, chunk)
+            dev = issue_lane_queues(arrays, n_steps, chunk, layout,
+                                    interpret=interpret)
             try:
                 dev.copy_to_host_async()
             except AttributeError:
                 pass
-            issued.append((idxs, dev, n_lits))
-    lit_by_idx: dict = {}
-    for idxs, dev, n_lits in issued:
-        for i, lb in zip(idxs, _collect_lit_batch(dev, n_lits)):
-            lit_by_idx[i] = lb
+            issued.append((sub, spans, n_lits, placement, dev))
     out = bytearray()
-    for i in range(len(frames)):
-        out += _execute(scripts[i], lit_by_idx[i])
+    for sub, spans, n_lits, placement, dev in issued:
+        arr = np.asarray(dev)
+        for s, (off, k) in zip(sub, spans):
+            lb = bytearray()
+            for j in range(off, off + k):
+                if placement[j] is None:
+                    continue
+                l, coff = placement[j]
+                o = coff * s_bytes
+                lb += arr[l, o:o + n_lits[j]].tobytes()
+            out += _execute(s, bytes(lb))
     return bytes(out)
 
 

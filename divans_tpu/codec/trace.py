@@ -50,6 +50,19 @@ class TraceCodec(MetablockCodec):
         self.lo_shift = layout.lo_shift
         self.sync_lit_history = not layout.lo_bucketed
         self.rows: list[tuple] = []
+        self._lit_count = 0
+
+    def _pre_literal_byte(self):
+        """deferred-v3 lit sub-streams: the trace's context keys must be
+        computed with the literal history zeroed at every SUB_LIT
+        boundary, exactly as the decoder resets it (deferred.py).  The
+        model/weight resets live downstream — every lit model pass runs
+        per sub-trace with a fresh model."""
+        if not self.sync_lit_history:   # deferred profiles only
+            from .deferred import SUB_LIT
+            if self._lit_count and self._lit_count % SUB_LIT == 0:
+                self.lbk.last_8_literals = 0
+            self._lit_count += 1
 
     def _nib(self, io, table, key, value, speed):
         flat = self.layout.idx_for_key(table.name, key)

@@ -391,7 +391,9 @@ def _measured_total_bits(data, matches):
         tr = native.build_trace_cmds(data, commands, opts, layout)
         if tr is None:
             tr = trace_mod.build_trace(data, commands, opts, layout)
-        streams = native.encode_streams(tr, layout.num_rows, 256)
+        streams = native.encode_streams(
+            tr, layout.num_rows, 256,
+            lit_base=layout.segments["lit_hi"][0])
         if streams is not None:
             return 8.0 * (len(streams[0]) + len(streams[1]))
         from ..codec import deferred as deferred_mod

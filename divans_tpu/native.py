@@ -291,10 +291,12 @@ def _seg_luts(layout: ModelLayout):
 
 
 def encode_streams(trace: np.ndarray, num_rows: int, chunk: int = 0,
-                   sel: int = 3):
-    """trace int32[n,10] -> (cmd_bytes, lit_bytes) via the C++ back-end.
+                   sel: int = 3, lit_base: int = 0):
+    """trace int32[n,10] -> (cmd_bytes, lit_field) via the C++ back-end.
 
-    chunk > 0 selects the deferred-adaptation profile (codec/deferred.py).
+    chunk > 0 selects the deferred-adaptation profile (codec/deferred.py);
+    the lit output is then the deferred-v3 sub-stream field (lit_base =
+    first lit model row, the reset range for sub switches).
     sel: bit0 = code the cmd stream, bit1 = lit.  The streams' model row
     sets are disjoint, so coding one alone yields bit-identical bytes —
     the hybrid device encode uses sel=1 (host cmd + device literals)."""
@@ -309,7 +311,8 @@ def encode_streams(trace: np.ndarray, num_rows: int, chunk: int = 0,
     cl = ctypes.c_int32(cap)
     ll = ctypes.c_int32(cap)
     rc = lib.dtpu_encode_streams_sel(
-        trace.ctypes.data_as(ctypes.c_void_p), n, num_rows, chunk, sel,
+        trace.ctypes.data_as(ctypes.c_void_p), n, num_rows, chunk,
+        lit_base, sel,
         cb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(cl),
         lb.ctypes.data_as(ctypes.c_void_p), ctypes.byref(ll))
     assert rc == 0, "stream buffer overflow"
@@ -541,7 +544,8 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
             trace = build_trace_cmds(raw, commands, options, layout)
         if trace is None:
             return None
-        cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk)
+        cmd_b, lit_b = encode_streams(trace, layout.num_rows, chunk,
+                                      lit_base=layout.segments["lit_hi"][0])
         return fmt.MetablockFrame(len(raw), cmd_b, lit_b), f_split, f_mask
 
     blocks = [data[off:off + mb]

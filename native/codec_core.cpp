@@ -213,6 +213,10 @@ static inline int32_t cmd_chunk(int32_t chunk) {
     return chunk >> 2 > 16 ? chunk >> 2 : 16;
 }
 
+// deferred-v3 format constant: literal bytes per lit sub-stream
+// (normative twin of codec/deferred.py SUB_LIT)
+static constexpr int64_t SUB_LIT = 1 << 15;
+
 struct DeferredState {
     static constexpr int32_t MAX_RENORM = 24;
     int32_t chunk = 0;               // 0 = per-nibble adaptive mode
@@ -279,6 +283,18 @@ struct DeferredState {
         for (int32_t flat : b.touched) b.rows[flat] = Upd{};
         b.touched.clear();
         memset(b.wadj, 0, sizeof b.wadj);
+    }
+    // deferred-v3 lit sub-stream switch: drop all in-flight updates and
+    // re-init the mixer weights/chunk clock (the committed-row resets
+    // are the caller's job — it knows the lit row range)
+    void reset() {
+        clear(bufs[0]);
+        clear(bufs[1]);
+        cur = 0;
+        queued = 0;
+        rem = chunk;
+        cw[0] = Weights{};
+        cw[1] = Weights{};
     }
     void apply(const Buf& u) {
         for (int32_t flat : u.touched) {
@@ -386,7 +402,7 @@ extern "C" {
 // src/parallel_decompressor.rs:99-133).
 int32_t dtpu_encode_streams_sel(const int32_t* trace, int32_t n,
                                 int32_t num_rows, int32_t chunk,
-                                int32_t sel,
+                                int32_t lit_base, int32_t sel,
                                 uint8_t* out_cmd, int32_t* cmd_len,
                                 uint8_t* out_lit, int32_t* lit_len) {
     std::vector<Cdf> model((size_t)num_rows, CDF_INIT);
@@ -403,12 +419,26 @@ int32_t dtpu_encode_streams_sel(const int32_t* trace, int32_t n,
         dss[0].init_rows(num_rows);
         dss[1].init_rows(num_rows);
     }
+    // deferred-v3 lit sub-streams: a lit trace row pair = one literal
+    // byte, so the sub boundary falls every 2*SUB_LIT coded lit rows
+    std::vector<std::vector<uint8_t>> lit_done;
+    int64_t lit_rows = 0;
     for (int32_t t = 0; t < n; ++t) {
         const int32_t* r = trace + (int64_t)t * 10;
         int32_t flat = r[0], value = r[1], stream = r[2], inc = r[3],
                 lim = r[4], mix = r[5], which = r[6], cm_idx = r[7],
                 cm_inc = r[8], cm_lim = r[9];
         if (!((sel >> (stream == 1 ? 1 : 0)) & 1)) continue;
+        if (chunk && stream == 1) {
+            if (lit_rows && (lit_rows % (2 * SUB_LIT)) == 0) {
+                lit_done.push_back(enc[1].flush());
+                enc[1] = AnsEnc{};
+                for (int32_t rr = lit_base; rr < num_rows; ++rr)
+                    model[rr] = CDF_INIT;
+                dss[1].reset();
+            }
+            ++lit_rows;
+        }
         DeferredState& ds = dss[stream == 1 ? 1 : 0];
         Cdf& rows = model[flat];
         int32_t start, freq;
@@ -441,7 +471,23 @@ int32_t dtpu_encode_streams_sel(const int32_t* trace, int32_t n,
         }
     }
     auto cb = enc[0].flush();
-    auto lb = enc[1].flush();
+    std::vector<uint8_t> lb;
+    if (chunk && (sel & 2)) {
+        // assemble the deferred-v3 lit field: varint(n_subs) ++ varint
+        // lengths (all but the last) ++ payloads (deferred.lit_subs_join)
+        lit_done.push_back(enc[1].flush());
+        auto put_varint = [&lb](uint64_t v) {
+            while (v >= 0x80) { lb.push_back((uint8_t)(v | 0x80)); v >>= 7; }
+            lb.push_back((uint8_t)v);
+        };
+        put_varint(lit_done.size());
+        for (size_t i = 0; i + 1 < lit_done.size(); ++i)
+            put_varint(lit_done[i].size());
+        for (auto& s : lit_done)
+            lb.insert(lb.end(), s.begin(), s.end());
+    } else {
+        lb = enc[1].flush();
+    }
     if ((int32_t)cb.size() > *cmd_len || (int32_t)lb.size() > *lit_len)
         return -1;
     memcpy(out_cmd, cb.data(), cb.size());
@@ -453,9 +499,10 @@ int32_t dtpu_encode_streams_sel(const int32_t* trace, int32_t n,
 
 int32_t dtpu_encode_streams(const int32_t* trace, int32_t n,
                             int32_t num_rows, int32_t chunk,
+                            int32_t lit_base,
                             uint8_t* out_cmd, int32_t* cmd_len,
                             uint8_t* out_lit, int32_t* lit_len) {
-    return dtpu_encode_streams_sel(trace, n, num_rows, chunk, 3,
+    return dtpu_encode_streams_sel(trace, n, num_rows, chunk, lit_base, 3,
                                    out_cmd, cmd_len, out_lit, lit_len);
 }
 
@@ -511,6 +558,19 @@ int32_t dtpu_pack_lit(const int32_t* trace, int32_t n, int32_t lit_base,
 
 // --------------------------------------------------------- serial decoder
 
+// LEB128 (container/format.py read_varint); returns false on overrun
+static inline bool read_varint_u(const uint8_t* d, int32_t n, int32_t* pos,
+                                 int64_t* out) {
+    int64_t v = 0;
+    for (int sh = 0; sh < 64; sh += 7) {
+        if (*pos >= n) return false;
+        uint8_t b = d[(*pos)++];
+        v |= (int64_t)(b & 0x7F) << sh;
+        if (!(b & 0x80)) { *out = v; return true; }
+    }
+    return false;
+}
+
 struct DecCtx {
     std::vector<Cdf> model;
     Weights weights[2];
@@ -559,6 +619,28 @@ struct DecCtx {
     DeferredState ds_lit;
     std::vector<uint64_t> recip;  // per-committed-row division cache
     uint64_t l8 = 0;       // last 8 literal bytes, newest in the top 8
+    // deferred-v3 lit sub-streams: spans into the frame's lit field,
+    // switched every SUB_LIT literal bytes with a full lit-side reset
+    std::vector<std::pair<const uint8_t*, int32_t>> lit_subs;
+    size_t lit_sub_next = 0;
+    int64_t lit_seen = 0;
+    int32_t lit_row_base = 0;   // first lit-stream model row (seg lit_hi)
+    int32_t n_rows = 0;
+
+    void switch_lit_sub() {
+        if (lit_sub_next >= lit_subs.size()) { err = true; return; }
+        lit.init(lit_subs[lit_sub_next].first,
+                 lit_subs[lit_sub_next].second);
+        ++lit_sub_next;
+        for (int32_t r = lit_row_base; r < n_rows; ++r) {
+            model[r] = CDF_INIT;
+            if (!recip.empty())
+                recip[r] = ((1ULL << 45) + CDF_INIT.c[15] - 1)
+                    / (uint64_t)CDF_INIT.c[15];
+        }
+        ds_lit.reset();
+        l8 = 0;
+    }
     int32_t stride = 1;    // constant mask 4+s-1 (mv_mode 1/3), cm off
     bool masked = false;   // mix profile: per-context masks with cm on
     std::vector<uint8_t> mask;  // 8192 entries when masked streams seen
@@ -714,6 +796,13 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
     const int32_t* seg = c.seg;
     for (int32_t k = 0; k < nbytes; ++k) {
         if (c.wpos >= c.raw_len) { c.err = true; return; }
+        if (c.ds_lit.chunk) {   // deferred-v3 lit sub-streams
+            if (c.lit_seen && (c.lit_seen % SUB_LIT) == 0) {
+                c.switch_lit_sub();
+                if (c.err) return;
+            }
+            ++c.lit_seen;
+        }
         // deferred-v2 streams feed literal history from the literal
         // stream itself; adaptive streams use the window (reference)
         bool self_fed = c.ds.chunk != 0;
@@ -1216,7 +1305,29 @@ int32_t dtpu_decode_metablock(
         c.init_recip(num_rows);
     }
     c.cmd.init(cmd_bytes, cmd_n);
-    c.lit.init(lit_bytes, lit_n);
+    if (chunk) {
+        // deferred-v3: lit field = varint(n_subs) ++ varint lengths
+        // (all but the last) ++ concatenated sub-stream payloads
+        int32_t pos = 0;
+        int64_t nsubs = 0;
+        if (!read_varint_u(lit_bytes, lit_n, &pos, &nsubs)
+            || nsubs < 1 || nsubs > (1 << 20)) return 1;
+        std::vector<int64_t> lens((size_t)(nsubs - 1));
+        for (auto& ln : lens)
+            if (!read_varint_u(lit_bytes, lit_n, &pos, &ln)) return 1;
+        for (int64_t ln : lens) {
+            if (pos + ln > lit_n) return 1;
+            c.lit_subs.emplace_back(lit_bytes + pos, (int32_t)ln);
+            pos += (int32_t)ln;
+        }
+        c.lit_subs.emplace_back(lit_bytes + pos, lit_n - pos);
+        c.lit.init(c.lit_subs[0].first, c.lit_subs[0].second);
+        c.lit_sub_next = 1;
+        c.lit_row_base = seg_offsets[SEG_LIT_HI];
+        c.n_rows = num_rows;
+    } else {
+        c.lit.init(lit_bytes, lit_n);
+    }
     c.seg = seg_offsets;
     c.lut0 = lut0;
     c.lut1 = lut1;

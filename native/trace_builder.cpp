@@ -380,6 +380,7 @@ struct TraceCtx {
     int32_t lo_shift = 0;      // deferred layouts bucket lo ctx 64 -> 8
     int32_t self_fed = 0;      // deferred-v2: lit history = lit bytes only
     uint64_t l8 = 0;           // last 8 literal bytes, newest in the top 8
+    int64_t lit_seen = 0;      // literal byte counter (deferred-v3 subs)
     int32_t stride = 1;        // EFFECTIVE stride (min(7, v^4) + 1), cm off
     int32_t mv_value = 0;      // wire mask value v = 4 + min(7, s-1)
     const uint8_t* mask = nullptr;  // per-context mask (8192), cm on
@@ -429,11 +430,24 @@ static void mantissa(TraceCtx& c, int32_t seg_rest, int32_t seg_first,
     }
 }
 
+// deferred-v3 format constant: literal bytes per lit sub-stream
+// (normative twin of codec/deferred.py SUB_LIT; cross-checked by the
+// golden<->native byte-equality tests)
+static constexpr int64_t SUB_LIT = 1 << 15;
+
 static void code_literal_content(TraceCtx& c, const uint8_t* raw,
                                  int32_t pos, int32_t nbytes) {
     const int32_t* seg = c.seg;
     for (int32_t k = 0; k < nbytes; ++k) {
         int32_t p = pos + k;
+        if (c.self_fed) {
+            // deferred-v3 lit sub-streams: the context keys recompute
+            // against a zeroed literal history at every SUB_LIT
+            // boundary (the decoder resets the same way); the model
+            // resets happen downstream, per sub-trace
+            if (c.lit_seen && (c.lit_seen % SUB_LIT) == 0) c.l8 = 0;
+            ++c.lit_seen;
+        }
         // deferred-v2 streams feed literal history from the literal
         // stream itself; adaptive streams use the window (reference).
         // On the encode side window bytes ARE raw bytes, so the window

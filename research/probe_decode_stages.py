@@ -1,103 +1,119 @@
-"""Per-stage timing of the end-to-end 2-stage device decode (the bench
-blob): deserialize / native cmd-structure pass / device literal kernel /
-collect / script execution / crc.  Identifies the stage capping
-device_decode_e2e_throughput."""
+"""Stage-by-stage timing of the 2-stage device decode on the mixed
+corpus: cmd pass, per-batch kernel (issue/collect), script execution,
+plus lane-utilization accounting (steps needed vs steps run).
+
+Usage: python research/probe_decode_stages.py [size_mib] [quality]
+"""
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "research"))
 
-import numpy as np
-import jax
+import numpy as np  # noqa: E402
 
-from divans_tpu.options import DivansOptions
-from divans_tpu import native
-from divans_tpu.container import format as fmt
-from divans_tpu.codec import pallas_decode as pd
-from divans_tpu.codec.layout import ModelLayout, PROFILES
-from divans_tpu.codec.deferred import flags_to_chunk
+from divans_tpu.options import DivansOptions  # noqa: E402
+from divans_tpu import native  # noqa: E402
+from divans_tpu.container import format as fmt  # noqa: E402
+from divans_tpu.codec import pallas_decode as pd  # noqa: E402
+from divans_tpu.codec.layout import ModelLayout, PROFILES  # noqa: E402
+from large_file_study import build_corpus  # noqa: E402
 
-CHUNK = 256
-td = "/root/reference/testdata/"
-base = b"".join(open(td + f, "rb").read() for f in
-                ("alice29", "asyoulik", "random_then_unicode"))
-dec_data = base * (-(-(128 << 18) // len(base)))
-opts = DivansOptions(metablock_size=1 << 18, chunk_nibbles=CHUNK)
-print("compressing...", flush=True)
-blob = native.compress(dec_data[:128 << 18], opts)
-print("blob", len(blob), flush=True)
 
-_w, _mb, frames, crc, flags = fmt.deserialize(blob)
-chunk = flags_to_chunk(flags)
-layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
-options = DivansOptions()
+def main():
+    size_mib = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    q = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    data = build_corpus(size_mib << 20)
+    opts = DivansOptions(metablock_size=1 << 18, chunk_nibbles=256,
+                         quality=q)
+    blob = native.compress(data, opts)
+    _w, _mb, frames, _crc, _fl = fmt.deserialize(blob)
+    chunk = 256
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
 
-raw_len = sum(f.raw_len for f in frames)
-print(f"{len(frames)} frames, raw {raw_len/1e6:.1f} MB", flush=True)
+    # ---- stage 1 alone: threaded native cmd pass
+    t0 = time.perf_counter()
+    scripts = pd.decode_structures(frames, chunk, layout, opts)
+    t_cmd = time.perf_counter() - t0
+    print(f"stage1 cmd pass (threaded): {t_cmd*1e3:8.1f} ms "
+          f"({len(data)/t_cmd/1e6:.1f} MB/s)")
 
-# warm
-raw = pd.decompress_frames(frames, chunk, layout, options, interpret=False)
-assert raw is not None
-fmt.check_crc(raw, crc)
+    # ---- lane accounting
+    s_bytes = chunk // 2
+    n_lits = [s.lit_total for s in scripts]
+    order = sorted(range(len(frames)), key=lambda i: len(frames[i].lit))
+    need = run = 0
+    batches = []
+    for base in range(0, len(order), 128):
+        idxs = order[base:base + 128]
+        mx = max(n_lits[i] for i in idxs)
+        nc = max(1, -(-mx // s_bytes))
+        p = 1 << (nc - 1).bit_length()
+        for m in (5, 6, 7):
+            cand = (p >> 3) * m
+            if cand >= nc:
+                p = cand
+                break
+        batches.append((len(idxs), p))
+        run += p * 128
+        need += sum(-(-n_lits[i] // s_bytes) for i in idxs)
+    print(f"batches: {batches}")
+    print(f"lane-steps needed {need}  run {run}  utilization "
+          f"{need/run:.3f}")
 
-def t(label, fn, n=3):
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.perf_counter()
-        r = fn()
-        best = min(best, time.perf_counter() - t0)
-    print(f"{label:28s} {best*1e3:9.1f} ms  {raw_len/best/1e6:8.2f} MB/s",
-          flush=True)
-    return r, best
+    # ---- stage 2 alone: kernel batches, warm then timed
+    def kernels():
+        issued = []
+        for base in range(0, len(order), 128):
+            idxs = order[base:base + 128]
+            sub = [scripts[i] for i in idxs]
+            dev = pd._issue_lit_batch(
+                [frames[i].lit for i in idxs],
+                [s.lit_total for s in sub],
+                [s.lcmap for s in sub], [s.speeds for s in sub],
+                chunk, layout, interpret=False)
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            issued.append((idxs, dev, [s.lit_total for s in sub]))
+        outs = {}
+        for idxs, dev, nl in issued:
+            for i, lb in zip(idxs, pd._collect_lit_batch(dev, nl)):
+                outs[i] = lb
+        return outs
 
-_, t_deser = t("deserialize", lambda: fmt.deserialize(blob))
-scripts, t_cmd = t("cmd-structure (native, thr)",
-                   lambda: pd.decode_structures(frames, chunk, layout, options))
+    outs = kernels()  # warm
+    t0 = time.perf_counter()
+    outs = kernels()
+    t_k = time.perf_counter() - t0
+    lit_bytes = sum(n_lits)
+    print(f"stage2 kernels (warm):      {t_k*1e3:8.1f} ms "
+          f"({len(data)/t_k/1e6:.1f} MB/s raw, "
+          f"{lit_bytes/t_k/1e6:.1f} MB/s lit; lit/raw "
+          f"{lit_bytes/len(data):.3f})")
 
-# device kernel: issue all batches, sync at end
-def kernel_only():
-    devs = []
-    for base_i in range(0, len(frames), pd.LANES):
-        sub = scripts[base_i:base_i + pd.LANES]
-        fb = frames[base_i:base_i + pd.LANES]
-        n_lits = [s.lit_total for s in sub]
-        devs.append((pd._issue_lit_batch(
-            [f.lit for f in fb], n_lits,
-            [s.lcmap for s in sub], [s.speeds for s in sub],
-            chunk, layout, interpret=False), n_lits))
-    for d, _ in devs:
-        d.block_until_ready()
-    return devs
-
-devs, t_kern = t("device literal kernel", kernel_only)
-
-def collect_only():
-    outs = []
-    for d, n_lits in devs:
-        outs.append(pd._collect_lit_batch(d, n_lits))
-    return outs
-
-lit_batches, t_coll = t("collect (D2H + slice)", collect_only)
-
-def exec_only():
+    # ---- stage 3 alone: script execution
+    t0 = time.perf_counter()
     out = bytearray()
-    i = 0
-    for lits in lit_batches:
-        for lb in lits:
-            out += pd._execute(scripts[i], lb)
-            i += 1
-    return bytes(out)
+    for i in range(len(frames)):
+        out += pd._execute(scripts[i], outs[i])
+    t_x = time.perf_counter() - t0
+    assert bytes(out) == data
+    print(f"stage3 execute:             {t_x*1e3:8.1f} ms "
+          f"({len(data)/t_x/1e6:.1f} MB/s)")
 
-raw2, t_exec = t("script execution", exec_only)
-assert raw2 == raw
-_, t_crc = t("crc check", lambda: fmt.check_crc(raw, crc))
+    # ---- full pipelined path for comparison
+    t0 = time.perf_counter()
+    raw = pd.decompress_frames(frames, chunk, layout, opts,
+                               interpret=False)
+    t_all = time.perf_counter() - t0
+    assert raw == data
+    print(f"pipelined decompress_frames:{t_all*1e3:8.1f} ms "
+          f"({len(data)/t_all/1e6:.1f} MB/s)")
 
-tot = t_deser + t_cmd + t_kern + t_coll + t_exec + t_crc
-print(f"{'sum of stages':28s} {tot*1e3:9.1f} ms  {raw_len/tot/1e6:8.2f} MB/s")
-_, t_e2e = t("e2e decompress_frames", lambda: pd.decompress_frames(
-    frames, chunk, layout, options, interpret=False))
 
-n_lit_tot = sum(s.lit_total for s in scripts)
-print(f"lit bytes {n_lit_tot/1e6:.1f} MB of {raw_len/1e6:.1f} MB raw; "
-      f"kernel rate on lit bytes {n_lit_tot/t_kern/1e6:.2f} MB/s")
+if __name__ == "__main__":
+    main()

@@ -84,9 +84,11 @@ def test_roundtrip_and_replay_equivalence(chunk):
     enc = [ANSEncoder(), ANSEncoder()]
     for t in range(tr.shape[0]):
         enc[tr[t, 2]].put(int(starts[t]), int(freqs[t]))
-    gold_cmd, gold_lit = deferred.encode_metablock(data, cmds, opts, chunk)
+    gold_cmd, gold_lit_field = deferred.encode_metablock(data, cmds, opts,
+                                                         chunk)
     assert enc[0].flush() == gold_cmd
-    assert enc[1].flush() == gold_lit
+    # test data < SUB_LIT literals: the lit field holds exactly one sub
+    assert [enc[1].flush()] == deferred.lit_subs_split(gold_lit_field)
 
 
 def test_jax_engine_deferred_matches_golden():

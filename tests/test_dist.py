@@ -98,11 +98,14 @@ def test_sharded_e2e_container_roundtrip(mesh8):
     step = dist.sharded_encode_step(mesh8, r_cmd, r_lit, chunk=chunk)
     (cw, cn, cs), (lw, ln, ls) = step(ct, lt)
 
+    from divans_tpu.codec.deferred import lit_subs_join
     frames = []
     for i in range(len(blocks)):
         cmd = kernels.lanes_to_bytes(cw[i:i + 1], cn[i:i + 1], cs[i:i + 1])[0]
         lit = kernels.lanes_to_bytes(lw[i:i + 1], ln[i:i + 1], ls[i:i + 1])[0]
-        frames.append(fmt.MetablockFrame(len(blocks[i]), cmd, lit))
+        # blocks < SUB_LIT: each frame's lit field is one sub-stream
+        frames.append(fmt.MetablockFrame(len(blocks[i]), cmd,
+                                         lit_subs_join([lit])))
     blob = fmt.serialize(frames, opts.window_size, opts.mb_log2,
                          crc32c(data), flags=chunk_to_flags(chunk))
     assert engine_np.decompress(blob) == data
@@ -126,7 +129,8 @@ def test_sharded_decode_matches_oracle(mesh8):
     rows = []
     for raw in blocks:
         cmds_ = build_commands(raw, opts)
-        cb, lb = deferred.encode_metablock(raw, cmds_, opts, chunk)
+        cb, lb_field = deferred.encode_metablock(raw, cmds_, opts, chunk)
+        (lb,) = deferred.lit_subs_split(lb_field)  # blocks < SUB_LIT
         sc = deferred.decode_cmd_structure(cb, len(raw), opts, chunk)
         assert sc.supported
         rows.append((lb, sc))

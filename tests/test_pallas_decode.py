@@ -26,18 +26,26 @@ ALICE = open(os.path.join(os.path.dirname(__file__), "..",
 
 
 def _prep(data, mb, chunk):
+    """Per-metablock rows (raw, cmd_stream, lit_SUB_stream, script, lits).
+
+    Test blocks keep lit_total <= deferred.SUB_LIT so the lit field
+    holds exactly one sub-stream payload (asserted) — the per-stream
+    kernel/oracle tests below address single streams; multi-sub behavior
+    is covered by TestLaneQueues and the container round-trips."""
     opts = DivansOptions(metablock_size=mb, chunk_nibbles=chunk)
     layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
     blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
     rows = []
     for raw in blocks:
         cmds_ = build_commands(raw, opts)
-        cb, lb = deferred.encode_metablock(raw, cmds_, opts, chunk)
+        cb, lb_field = deferred.encode_metablock(raw, cmds_, opts, chunk)
+        subs = deferred.lit_subs_split(lb_field)
+        assert len(subs) == 1, "test block exceeded SUB_LIT literals"
         sc = deferred.decode_cmd_structure(cb, len(raw), opts, chunk)
         assert sc.supported
         lits = b"".join(c.data for c in cmds_ if isinstance(c, C.Literal))
         assert sc.lit_total == len(lits)
-        rows.append((raw, cb, lb, sc, lits))
+        rows.append((raw, cb, subs[0], sc, lits))
     return opts, layout, rows
 
 
@@ -80,6 +88,45 @@ class TestKernel:
             64, layout, interpret=True)
         for out, row in zip(outs, rows):
             assert out == row[4]
+
+
+class TestLaneQueues:
+    """The persistent-lane scan: several streams decode back-to-back on
+    one lane with full model resets at the switches — bit-equal to each
+    stream decoded alone (the oracle)."""
+
+    def test_queued_streams_bit_exact(self):
+        rng = np.random.default_rng(7)
+        # wildly varying metablock sizes: text and binary interleaved
+        data = ALICE[:30000] + bytes(
+            rng.integers(0, 256, size=5000, dtype=np.uint8)) + ALICE[30000:36000]
+        _, layout, rows = _prep(data, 1 << 12, 256)
+        assert len(rows) >= 9
+        streams = [r[2] for r in rows]
+        n_lits = [r[3].lit_total for r in rows]
+        arrays, n_steps, placement = pallas_decode.pack_lane_queues(
+            streams, n_lits,
+            [r[3].lcmap for r in rows], [r[3].speeds for r in rows],
+            256, spread=3)
+        counts = arrays[1]
+        assert counts.max() >= 3, "test must exercise >=3-deep queues"
+        dev = pallas_decode.issue_lane_queues(arrays, n_steps, 256, layout,
+                                              interpret=True)
+        arr = np.asarray(dev)
+        for i, row in enumerate(rows):
+            lane, coff = placement[i]
+            got = arr[lane, coff * 128:coff * 128 + n_lits[i]].tobytes()
+            assert got == row[4], f"stream {i} diverged in a lane queue"
+
+    def test_zero_literal_stream_placement(self):
+        _, layout, rows = _prep(ALICE[:4000], 1 << 12, 256)
+        streams = [rows[0][2], b""]
+        n_lits = [rows[0][3].lit_total, 0]
+        arrays, n_steps, placement = pallas_decode.pack_lane_queues(
+            streams, n_lits, [rows[0][3].lcmap] * 2,
+            [rows[0][3].speeds] * 2, 256)
+        assert placement[1] is None
+        assert placement[0] is not None
 
 
 class TestPipeline:
@@ -169,7 +216,8 @@ class TestNativeStructure:
         cmds_ = build_commands(data, opts)
         if not any(type(c).__name__ == "Dict" for c in cmds_):
             pytest.skip("matcher found no dict command in fixture")
-        cb, lb = deferred.encode_metablock(data, cmds_, opts, 256)
+        cb, lb_field = deferred.encode_metablock(data, cmds_, opts, 256)
+        (lb,) = deferred.lit_subs_split(lb_field)  # < SUB_LIT literals
         layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
         nsc = native.decode_cmd_structure(cb, len(data), layout, 256)
         assert nsc is not None and (nsc.ops[:, 0] == 2).any()
