@@ -98,7 +98,7 @@ LAG = 1
 MAX_RENORM_PASSES = 24
 ADJ_CLAMP = 1 << 21
 WEIGHT_MAX = (1 << 30) - 1
-SUB_LIT = 1 << 15   # literal bytes per lit sub-stream (deferred-v3)
+SUB_LIT = 1 << 15   # literal bytes per lit sub-stream (deferred-v3); 1<<14 cost +4.6% on alice29 (text models still learning at 16 KiB)
 
 
 def lit_subs_join(subs: list[bytes]) -> bytes:

@@ -872,53 +872,67 @@ def decompress_frames(frames, chunk: int, layout, options,
             sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
         return sc
 
-    # group size: ~32 MiB raw per scan — big enough that the scan's
+    # group size: ~24 MiB raw per scan — big enough that the scan's
     # fixed dispatch cost amortizes, small enough that the first scan
     # launches early and the cmd pass pipelines behind it
     total_raw = sum(f.raw_len for f in frames)
-    n_groups = max(1, min(8, round(total_raw / (32 << 20))))
+    n_groups = max(1, min(8, round(total_raw / (24 << 20))))
     per = -(-len(frames) // n_groups)
     # leave one core for the main thread's kernel-issue path (H2D packing
     # competes with the cmd pass for cores; the pool's native calls
     # release the GIL)
     n_workers = max(1, min(8, (os.cpu_count() or 2) - 1))
     issued = []
+    from concurrent.futures import as_completed
+    from .deferred import SUB_LIT, lit_subs_split
+
+    def issue_group(ready):
+        """ready: list of (frame_idx, script).  Each lit sub-stream is
+        one lane job (<= SUB_LIT literal bytes), so the queues pack
+        tight no matter how the frames' literal loads vary."""
+        streams, n_lits, lcmaps, spds, spans = [], [], [], [], []
+        for i, s in ready:
+            subs_i = lit_subs_split(frames[i].lit)
+            spans.append((len(streams), len(subs_i)))
+            for j, payload in enumerate(subs_i):
+                streams.append(payload)
+                n_lits.append(min(SUB_LIT, s.lit_total - j * SUB_LIT)
+                              if s.lit_total else 0)
+                lcmaps.append(s.lcmap)
+                spds.append(s.speeds)
+        arrays, n_steps, placement = pack_lane_queues(
+            streams, n_lits, lcmaps, spds, chunk)
+        dev = issue_lane_queues(arrays, n_steps, chunk, layout,
+                                interpret=interpret)
+        try:
+            dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        issued.append((ready, spans, n_lits, placement, dev))
+
     with ThreadPoolExecutor(n_workers) as ex:
-        script_iter = ex.map(one, frames)
-        from .deferred import SUB_LIT, lit_subs_split
-        for base in range(0, len(frames), per):
-            idxs = range(base, min(base + per, len(frames)))
-            sub = [next(script_iter) for _ in idxs]
-            if not all(s.supported for s in sub):
-                for _ in script_iter:
-                    pass  # drain the pool before falling back
-                return None
-            # deferred-v3: each lit sub-stream is one lane job (<=
-            # SUB_LIT literal bytes), so the queues pack tight no matter
-            # how the frames' literal loads vary
-            streams, n_lits, lcmaps, spds, spans = [], [], [], [], []
-            for i, s in zip(idxs, sub):
-                subs_i = lit_subs_split(frames[i].lit)
-                spans.append((len(streams), len(subs_i)))
-                for j, payload in enumerate(subs_i):
-                    streams.append(payload)
-                    n_lits.append(min(SUB_LIT, s.lit_total - j * SUB_LIT)
-                                  if s.lit_total else 0)
-                    lcmaps.append(s.lcmap)
-                    spds.append(s.speeds)
-            arrays, n_steps, placement = pack_lane_queues(
-                streams, n_lits, lcmaps, spds, chunk)
-            dev = issue_lane_queues(arrays, n_steps, chunk, layout,
-                                    interpret=interpret)
-            try:
-                dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            issued.append((sub, spans, n_lits, placement, dev))
-    out = bytearray()
-    for sub, spans, n_lits, placement, dev in issued:
+        # groups form in script-ARRIVAL order: completion order mixes
+        # frame sizes, so every group sees the whole size distribution
+        # and its lanes bin-pack to near-uniform load (contiguous
+        # file-order groups clustered small text frames into one scan
+        # and ran it half-empty)
+        futs = {ex.submit(one, frames[i]): i for i in range(len(frames))}
+        ready: list = []
+        for fut in as_completed(futs):
+            s = fut.result()
+            if not s.supported:
+                return None   # with-block drains remaining futures
+            ready.append((futs[fut], s))
+            if len(ready) >= per:
+                issue_group(ready)
+                ready = []
+        if ready:
+            issue_group(ready)
+    lit_by_frame: dict = {}
+    script_by_frame: dict = {}
+    for ready, spans, n_lits, placement, dev in issued:
         arr = np.asarray(dev)
-        for s, (off, k) in zip(sub, spans):
+        for (i, s), (off, k) in zip(ready, spans):
             lb = bytearray()
             for j in range(off, off + k):
                 if placement[j] is None:
@@ -926,7 +940,11 @@ def decompress_frames(frames, chunk: int, layout, options,
                 l, coff = placement[j]
                 o = coff * s_bytes
                 lb += arr[l, o:o + n_lits[j]].tobytes()
-            out += _execute(s, bytes(lb))
+            lit_by_frame[i] = bytes(lb)
+            script_by_frame[i] = s
+    out = bytearray()
+    for i in range(len(frames)):
+        out += _execute(script_by_frame[i], lit_by_frame[i])
     return bytes(out)
 
 

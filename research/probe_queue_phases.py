@@ -1,4 +1,4 @@
-"""Phase timing of the persistent-lane decode path.
+"""Phase timing of the persistent-lane decode path (deferred-v3 subs).
 
 Usage: python research/probe_queue_phases.py [size_mib] [quality] [groups]
 """
@@ -17,6 +17,7 @@ from divans_tpu.options import DivansOptions  # noqa: E402
 from divans_tpu import native  # noqa: E402
 from divans_tpu.container import format as fmt  # noqa: E402
 from divans_tpu.codec import pallas_decode as pd  # noqa: E402
+from divans_tpu.codec.deferred import SUB_LIT, lit_subs_split  # noqa: E402
 from divans_tpu.codec.layout import ModelLayout, PROFILES  # noqa: E402
 from large_file_study import build_corpus  # noqa: E402
 
@@ -44,53 +45,63 @@ def main():
     for base in range(0, len(frames), per):
         idxs = list(range(base, min(base + per, len(frames))))
         t0 = time.perf_counter()
+        streams, n_lits, lcmaps, spds, spans = [], [], [], [], []
+        for i in idxs:
+            s = scripts[i]
+            subs_i = lit_subs_split(frames[i].lit)
+            spans.append((len(streams), len(subs_i)))
+            for j, payload in enumerate(subs_i):
+                streams.append(payload)
+                n_lits.append(min(SUB_LIT, s.lit_total - j * SUB_LIT)
+                              if s.lit_total else 0)
+                lcmaps.append(s.lcmap)
+                spds.append(s.speeds)
         arrays, n_steps, placement = pd.pack_lane_queues(
-            [frames[i].lit for i in idxs],
-            [scripts[i].lit_total for i in idxs],
-            [scripts[i].lcmap for i in idxs],
-            [scripts[i].speeds for i in idxs], chunk)
+            streams, n_lits, lcmaps, spds, chunk)
         t_pack = time.perf_counter() - t0
-        groups.append((idxs, arrays, n_steps, placement))
+        groups.append((idxs, arrays, n_steps, placement, spans, n_lits))
         words = arrays[0]
-        print(f"group {base//per}: frames={len(idxs)} n_steps={n_steps} "
+        need = sum(-(-n // s_bytes) for n in n_lits if n)
+        print(f"group {base//per}: frames={len(idxs)} jobs={len(streams)} "
+              f"n_steps={n_steps} util={need/(128*n_steps):.2f} "
               f"W={words.shape[1]} F={arrays[2].shape[0]} "
               f"words={words.nbytes/1e6:.1f}MB pack {t_pack*1e3:7.1f}ms")
 
-    # warm compiles
-    for idxs, arrays, n_steps, placement in groups:
-        dev = pd.issue_lane_queues(arrays, n_steps, chunk, layout,
+    for g in groups:   # warm compiles
+        dev = pd.issue_lane_queues(g[1], g[2], chunk, layout,
                                    interpret=False)
         jax.block_until_ready(dev)
 
     for rep in range(2):
         devs = []
         t0 = time.perf_counter()
-        for idxs, arrays, n_steps, placement in groups:
-            dev = pd.issue_lane_queues(arrays, n_steps, chunk, layout,
-                                       interpret=False)
-            devs.append(dev)
+        for g in groups:
+            devs.append(pd.issue_lane_queues(g[1], g[2], chunk, layout,
+                                             interpret=False))
         t_disp = time.perf_counter() - t0
         jax.block_until_ready(devs)
         t_done = time.perf_counter() - t0
         t1 = time.perf_counter()
         arrs = [np.asarray(d) for d in devs]
         t_d2h = time.perf_counter() - t1
+        mb = sum(a.nbytes for a in arrs) / 1e6
         print(f"[{rep}] dispatch {t_disp*1e3:7.1f}ms  compute-done "
-              f"{t_done*1e3:7.1f}ms  d2h {t_d2h*1e3:7.1f}ms")
+              f"{t_done*1e3:7.1f}ms  d2h {t_d2h*1e3:7.1f}ms ({mb:.1f}MB)")
 
-    # execute
     t0 = time.perf_counter()
     out = bytearray()
-    g = 0
-    for idxs, arrays, n_steps, placement in groups:
-        arr = arrs[g]
-        g += 1
-        for j, i in enumerate(idxs):
-            s = scripts[i]
-            lane, coff = placement[j]
-            lb = arr[lane, coff * s_bytes:coff * s_bytes + s.lit_total] \
-                .tobytes()
-            out += pd._execute(s, lb)
+    for gi, (idxs, arrays, n_steps, placement, spans, n_lits) in \
+            enumerate(groups):
+        arr = arrs[gi]
+        for i, (off, k) in zip(idxs, spans):
+            lb = bytearray()
+            for j in range(off, off + k):
+                if placement[j] is None:
+                    continue
+                l, coff = placement[j]
+                o = coff * s_bytes
+                lb += arr[l, o:o + n_lits[j]].tobytes()
+            out += pd._execute(scripts[i], bytes(lb))
     t_x = time.perf_counter() - t0
     assert bytes(out) == data
     print(f"execute: {t_x*1e3:7.1f} ms")
