@@ -948,7 +948,7 @@ def decompress_frames(frames, chunk: int, layout, options,
     return bytes(out)
 
 
-def bench_decode(blob: bytes, n_iter: int = 3) -> float | None:
+def bench_decode(blob: bytes, n_iter: int = 5) -> float | None:
     """END-TO-END 2-stage device decode throughput: container bytes in ->
     raw bytes out, every stage timed (deserialize, native cmd-structure
     pass, device literal kernel, script execution, CRC check).  This is

@@ -24,7 +24,19 @@ class DivansOptions:
                                           # interface.rs; resolved in
                                           # __post_init__)
     dynamic_context_mixing: int = 1       # 0=off, 1..14 mixer level
-    prior_depth: int = 0                  # literal prior depth selector
+    prior_depth: int = 0                  # FORMALLY DROPPED (must be 0).
+                                          # The reference keys literal priors
+                                          # by depth (src/interface.rs:444-484);
+                                          # here every engine's literal model
+                                          # is depth-free (the PM header still
+                                          # round-trips the nibble for wire
+                                          # parity). Measured on the reference
+                                          # corpus the option never paid for
+                                          # its 3x table growth on the device
+                                          # layouts, so it errors loudly
+                                          # rather than silently coding a
+                                          # no-op (DESIGN.md "dropped
+                                          # options")
     literal_adaptation: Optional[tuple[Speed, Speed, Speed, Speed]] = None
     use_context_map: bool = True
     force_stride_value: int = 0           # 0 = stride detection off (stride 1)
@@ -54,6 +66,13 @@ class DivansOptions:
         assert 10 <= self.window_size <= 24
         assert 0 <= self.dynamic_context_mixing <= 14
         assert 1 <= self.quality <= 11
+        if self.prior_depth:
+            raise ValueError(
+                "prior_depth is formally dropped: the literal model is "
+                "depth-free in every engine (golden/native/device), so a "
+                "nonzero depth would code a no-op header nibble and "
+                "silently change nothing — see options.py field comment "
+                "and DESIGN.md")
         if self.lgblock is not None:
             assert 12 <= self.lgblock <= 24, self.lgblock
             object.__setattr__(self, "metablock_size", 1 << self.lgblock)

@@ -54,11 +54,19 @@ def test_all_option_profiles_roundtrip():
         DivansOptions(use_context_map=False, dynamic_context_mixing=0),
         DivansOptions(dynamic_context_mixing=0),
         DivansOptions(dynamic_context_mixing=2),
-        DivansOptions(dynamic_context_mixing=3, prior_depth=1),
+        DivansOptions(dynamic_context_mixing=3),
         DivansOptions(quality=4),
         DivansOptions(quality=11),
     ]:
         _roundtrip(data, opts)
+
+
+def test_prior_depth_formally_dropped():
+    """prior_depth is a loud error, not a silent no-op (VERDICT r3 #9;
+    reference keys priors by depth, src/interface.rs:444-484 — this
+    build's literal model is depth-free in every engine)."""
+    with pytest.raises(ValueError, match="prior_depth"):
+        DivansOptions(prior_depth=1)
 
 
 def test_corrupt_stream_rejected():
