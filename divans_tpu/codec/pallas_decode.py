@@ -845,32 +845,49 @@ def decompress_frames(frames, chunk: int, layout, options,
     and the host executes the command scripts (memcpy-speed C++).
 
     Pipelining: all frames' structure decodes are queued on a thread
-    pool up front; frames are split into contiguous GROUPS and each
-    group's scan launches (async, with its D2H enqueued) the moment its
-    scripts are ready, so later groups' cmd passes overlap earlier
-    groups' device work, and script execution of group k overlaps the
-    in-flight scans of k+1....  Within a group, streams bin-pack onto
-    128 persistent worker lanes (pack_lane_queues) — real-corpus stream
-    sizes span 100x and one-stream-per-lane padding ran the kernels at
-    18% utilization (research/probe_decode_stages.py).
-    Returns None when any frame leaves the kernel's envelope (caller
-    falls back to the serial decoders)."""
+    pool up front; frames are split into GROUPS (formed in script-
+    arrival order) and each group's scan launches (async, with its D2H
+    enqueued) the moment its scripts are ready, so later groups' cmd
+    passes overlap earlier groups' device work, and script execution of
+    group k overlaps the in-flight scans of k+1....  Within a group,
+    streams bin-pack onto 128 persistent worker lanes
+    (pack_lane_queues) — real-corpus stream sizes span 100x and
+    one-stream-per-lane padding ran the kernels at 18% utilization
+    (research/probe_decode_stages.py).
+
+    Envelope: the lane kernel covers the cm profile; frames outside it
+    — and every frame of the mix/split/stride profiles — decode
+    host-side (native serial, the measured 60-80 MB/s threaded fast
+    path) ON THE SAME POOL, fully overlapped with the device scans, so
+    one pipeline decodes every stream (reference parity:
+    src/parallel_decompressor.rs:99-133 runs every stream through its
+    one 2-thread pipeline).  Never abstains on a valid container."""
     import os
     from concurrent.futures import ThreadPoolExecutor
-    from .deferred import decode_cmd_structure
+    from .deferred import decode_cmd_structure, decode_metablock
     from .. import native
 
-    if layout.profile.name != "cm" or not layout.lo_bucketed:
-        return None
     have_native = native.load() is not None
+    kernel_profile = layout.profile.name == "cm" and layout.lo_bucketed
+    use_cm = layout.profile.name != "stride"
     s_bytes = chunk // 2
 
     def one(f):
-        sc = native.decode_cmd_structure(f.cmd, f.raw_len, layout,
-                                         chunk) if have_native else None
-        if sc is None:
-            sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
-        return sc
+        """("dev", script) for kernel-envelope frames, else
+        ("host", raw_bytes) decoded right here on the pool thread."""
+        sc = None
+        if kernel_profile:
+            sc = native.decode_cmd_structure(f.cmd, f.raw_len, layout,
+                                             chunk) if have_native else None
+            if sc is None:
+                sc = decode_cmd_structure(f.cmd, f.raw_len, options, chunk)
+            if sc.supported:
+                return ("dev", sc)
+        raw = native.decode_metablock(f.cmd, f.lit, f.raw_len, use_cm,
+                                      layout, chunk) if have_native else None
+        if raw is None:
+            raw = decode_metablock(f.cmd, f.lit, f.raw_len, options, chunk)
+        return ("host", raw)
 
     # group size: ~24 MiB raw per scan — big enough that the scan's
     # fixed dispatch cost amortizes, small enough that the first scan
@@ -910,6 +927,7 @@ def decompress_frames(frames, chunk: int, layout, options,
             pass
         issued.append((ready, spans, n_lits, placement, dev))
 
+    raw_by_frame: dict = {}
     with ThreadPoolExecutor(n_workers) as ex:
         # groups form in script-ARRIVAL order: completion order mixes
         # frame sizes, so every group sees the whole size distribution
@@ -919,16 +937,16 @@ def decompress_frames(frames, chunk: int, layout, options,
         futs = {ex.submit(one, frames[i]): i for i in range(len(frames))}
         ready: list = []
         for fut in as_completed(futs):
-            s = fut.result()
-            if not s.supported:
-                return None   # with-block drains remaining futures
-            ready.append((futs[fut], s))
+            kind, val = fut.result()
+            if kind == "host":
+                raw_by_frame[futs[fut]] = val
+                continue
+            ready.append((futs[fut], val))
             if len(ready) >= per:
                 issue_group(ready)
                 ready = []
         if ready:
             issue_group(ready)
-    lit_by_frame: dict = {}
     script_by_frame: dict = {}
     for ready, spans, n_lits, placement, dev in issued:
         arr = np.asarray(dev)
@@ -940,11 +958,14 @@ def decompress_frames(frames, chunk: int, layout, options,
                 l, coff = placement[j]
                 o = coff * s_bytes
                 lb += arr[l, o:o + n_lits[j]].tobytes()
-            lit_by_frame[i] = bytes(lb)
-            script_by_frame[i] = s
+            script_by_frame[i] = (s, bytes(lb))
     out = bytearray()
     for i in range(len(frames)):
-        out += _execute(script_by_frame[i], lit_by_frame[i])
+        if i in script_by_frame:
+            s, lb = script_by_frame[i]
+            out += _execute(s, lb)
+        else:
+            out += raw_by_frame[i]
     return bytes(out)
 
 
@@ -965,15 +986,16 @@ def bench_decode(blob: bytes, n_iter: int = 5) -> float | None:
     _w, _mb, frames, _crc, flags = fmt.deserialize(blob)
     chunk = flags_to_chunk(flags)
     profile = FLAG_PROFILES.get(flags & 0b11)
-    if not frames or not chunk or profile != "cm":
+    if not frames or not chunk or profile is None:
         return None
+    # mix/split/stride frames route through the pipeline's host lane
+    # (decompress_frames never abstains on a valid deferred container)
     layout = ModelLayout(PROFILES[profile], lo_bucketed=True)
     options = DivansOptions()
 
     def run() -> bytes:
         _w2, _mb2, fr, crc2, _fl2 = fmt.deserialize(blob)
         raw = decompress_frames(fr, chunk, layout, options, interpret=False)
-        assert raw is not None, "frame left the device-decode envelope"
         fmt.check_crc(raw, crc2)
         return raw
 

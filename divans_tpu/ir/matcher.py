@@ -14,12 +14,23 @@ model domains).
 """
 from __future__ import annotations
 
+import os
+
 from ..ir import commands as cmds
 from ..options import DivansOptions
 from ..probability.speed import Speed, MUD
 from .. import constants
 
 MIN_MATCH = 4
+# Per-position literal costs for the DP: TRIED AND REJECTED as the
+# default.  A sliding order-1 window estimate (native dtpu_lit_costs,
+# brotli literal_cost.c's shape) measured strictly WORSE than the one
+# calibrated constant at every scale swept — the adaptive context-mixed
+# coder's actual literal cost is not order-1-local, so local pricing
+# flips near-ties the wrong way (research/sweep_lit_cost.py: corpus q11
+# 0.1688 constant vs 0.1699-0.1715 per-position).  0 = constant (the
+# default); >0 enables the per-position estimate at that 1/16-bit scale.
+LIT_COST_SCALE16 = int(os.environ.get("DIVANS_LIT_COST_SCALE16", "0"))
 _HASH_MUL = 0x1E35A7BD  # Fibonacci-style multiplicative hash (public-domain LZ idiom)
 
 _DICT_INDEX: dict | None = None
@@ -107,7 +118,6 @@ def find_matches_optimal(data: bytes, quality: int):
     import numpy as np
 
     from .. import native
-    from .optimize import order1_bits_per_byte
 
     lib = native.load()
     if lib is None or len(data) < MIN_MATCH:
@@ -115,8 +125,39 @@ def find_matches_optimal(data: bytes, quality: int):
     lib.dtpu_match_optimal.restype = ctypes.c_int32
     n = len(data)
     depth = max(1, min(64, 1 << max(0, quality - 5)))  # q10: 32, q11: 64
-    lit16 = max(8, int(order1_bits_per_byte(data) * 0.92 * 16))
-    dist16 = np.array([64 + 9 * bl for bl in range(33)], np.int32)
+    # candidate frontier width: q10 keeps the 2-entry nearest+longest
+    # pair (its speed point); q11 prices every length at its cheapest
+    # distance over a 5-entry Pareto frontier and searches deeper
+    # chains (depth x ratio sweep in PERF_NOTES round-4 section)
+    kcand = 2
+    if quality >= 11:
+        depth = int(os.environ.get("DIVANS_Q11_DEPTH", "256"))
+        kcand = 5
+    # per-position literal costs (sliding order-1 window, C++): mixed
+    # data prices its literals locally — the one-constant-per-block
+    # estimate mispriced copy-vs-literal near-ties across text/binary
+    # region changes (brotli q11's literal_cost.c is the reference
+    # analog).  The global order-1 floor keeps the old calibration's
+    # scale where the local window has little signal.
+    if LIT_COST_SCALE16 > 0:
+        lit16s = np.zeros(n, np.int32)
+        lib.dtpu_lit_costs(
+            (ctypes.c_uint8 * n).from_buffer_copy(data), n,
+            LIT_COST_SCALE16,
+            lit16s.ctypes.data_as(ctypes.c_void_p))
+        np.maximum(lit16s, 8, out=lit16s)
+    else:   # research escape hatch: the old one-constant-per-block cost
+        from .optimize import order1_bits_per_byte
+        lit16s = np.full(n, max(8, int(order1_bits_per_byte(data)
+                                       * 0.92 * 16)), np.int32)
+    # distance cost ~ 40/16 + 9/16*bitlen bits: re-swept round 4 against
+    # the adaptive distance model's actual rates (the old 64 base
+    # over-penalized explicit distances and pushed the DP toward
+    # too-short copies; corpus q11 0.1665 -> 0.1658, alice 0.3092 ->
+    # 0.3089, q10 improves the same way).  _DIST_COST_OVERRIDE is the
+    # research sweep hook.
+    da, db = globals().get("_DIST_COST_OVERRIDE", (40, 9))
+    dist16 = np.array([da + db * bl for bl in range(33)], np.int32)
     if quality >= 11:
         dlen, dcost = _dict_candidate_arrays(data)
     else:
@@ -127,7 +168,8 @@ def find_matches_optimal(data: bytes, quality: int):
 
     def parse(lit16_, dist16_):
         nm = lib.dtpu_match_optimal(
-            buf, n, depth, lit16_,
+            buf, n, depth, kcand,
+            np.ascontiguousarray(lit16_).ctypes.data_as(ctypes.c_void_p),
             np.ascontiguousarray(dist16_).ctypes.data_as(ctypes.c_void_p),
             dlen.ctypes.data_as(ctypes.c_void_p),
             dcost.ctypes.data_as(ctypes.c_void_p),
@@ -140,7 +182,7 @@ def find_matches_optimal(data: bytes, quality: int):
                                out.ctypes.data_as(ctypes.c_void_p), nm)
         return out[:nm].tolist()
 
-    return parse(lit16, dist16)
+    return parse(lit16s, dist16)
     # NOTE: a Zopfli-style second iteration with costs measured from a
     # replay of the first parse (_measured_costs below) was tried and is
     # ratio-neutral-to-slightly-negative here: the adaptive distance

@@ -33,7 +33,8 @@ extern "C" {
 struct Match;  // fwd (defined below)
 
 extern "C" int32_t dtpu_match_optimal(const uint8_t* data, int32_t n,
-                                      int32_t depth, int32_t lit_cost16,
+                                      int32_t depth, int32_t kcand,
+                                      const int32_t* lit_cost16,
                                       const int32_t* dist_cost16,
                                       const int32_t* dict_len,
                                       const int32_t* dict_cost16,
@@ -207,8 +208,46 @@ static inline int32_t copy_cost16(int32_t len, int32_t dist,
     return c;
 }
 
+// Per-position literal cost estimate for the optimal-parse DP, in 1/16
+// bit units (the reference's q11 gets this from brotli's literal_cost.c
+// sliding histogram).  A sliding 4 KiB order-1 window tracks
+// p(byte | prev byte); regions of text vs binary then price their
+// literals locally instead of at one corpus-wide constant, which is
+// what decides copy-vs-literal near-ties correctly on mixed data.
+// `scale16` calibrates model-vs-estimate (the adaptive context-mixed
+// coder beats a raw order-1 estimate; swept in research).
+extern "C" void dtpu_lit_costs(const uint8_t* data, int32_t n,
+                               int32_t scale16, int32_t* out16) {
+    const int32_t W = 4096;
+    static thread_local std::vector<uint16_t> cnt;
+    static thread_local std::vector<int32_t> tot;
+    cnt.assign(1 << 16, 0);
+    tot.assign(256, 0);
+    // log2((tot+256)/(cnt+1)) via float log2f: encoder-side heuristic
+    // only — every engine sees the identical parse, so container
+    // equality is unaffected
+    for (int32_t i = 0; i < n; ++i) {
+        int32_t p = i ? data[i - 1] : 0;
+        int32_t c = cnt[(p << 8) | data[i]];
+        int32_t t = tot[p];
+        float bits = __builtin_log2f((float)(t + 256) / (float)(c + 1));
+        if (bits < 0.5f) bits = 0.5f;
+        if (bits > 14.0f) bits = 14.0f;
+        out16[i] = (int32_t)(bits * (float)scale16);
+        cnt[(p << 8) | data[i]] += 1;
+        tot[p] += 1;
+        if (i >= W) {
+            int32_t q = i - W ? data[i - W - 1] : 0;
+            cnt[(q << 8) | data[i - W]] -= 1;
+            tot[q] -= 1;
+        }
+    }
+}
+
 int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
-                           int32_t lit_cost16, const int32_t* dist_cost16,
+                           int32_t kcand,
+                           const int32_t* lit_cost16,
+                           const int32_t* dist_cost16,
                            const int32_t* dict_len,
                            const int32_t* dict_cost16,
                            Match* out, int32_t out_cap) {
@@ -240,36 +279,52 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         return l;
     };
 
-    // per-position candidates: the longest match, and the nearest
-    // occurrence (short distance = cheap explicit coding) when distinct
-    std::vector<int32_t> cand_len((size_t)n, 0), cand_dist((size_t)n, 0);
-    std::vector<int32_t> near_len((size_t)n, 0), near_dist((size_t)n, 0);
+    // Per-position candidate PARETO FRONTIER: walking the chain in
+    // ascending distance, a candidate only matters if strictly longer
+    // than everything nearer (same length nearer is always cheaper), so
+    // the useful set is (len, dist) strictly increasing in both — up to
+    // K entries per position (entry 0 is the nearest match; when more
+    // improvements occur than fit, the second-to-last slot is
+    // overwritten, keeping the near and long ends exact).  The DP then
+    // prices EVERY length at its cheapest available distance, which the
+    // old longest+nearest pair could not (mid-distance mid-length
+    // matches were invisible).
+    // K=2 degenerates to the old nearest+longest pair (the default
+    // quality's speed point); q11 pays for the wider frontier.
+    const int K = kcand < 2 ? 2 : (kcand > 8 ? 8 : kcand);
+    static thread_local std::vector<int32_t> fr_len, fr_dist;
+    fr_len.assign((size_t)n * K, 0);
+    fr_dist.assign((size_t)n * K, 0);
     for (int32_t i = 0; i + MIN_MATCH <= n; ++i) {
         uint32_t v;
         memcpy(&v, data + i, 4);
         uint32_t h = (v * 0x1E35A7BDu) >> 14;
-        int32_t best_len = 0, best_dist = 0, nl = 0, nd = 0;
+        int32_t best_len = 0;
+        int32_t nf = 0;
+        int32_t* fl = fr_len.data() + (size_t)i * K;
+        int32_t* fd = fr_dist.data() + (size_t)i * K;
         int32_t j = head[h];
         int32_t maxl = n - i;
         for (int32_t k = 0; k < depth && j >= 0; ++k, j = prev[j]) {
-            // cheap reject: a longer match must extend past best_len
-            // (also records the nearest candidate before rejecting)
-            if (best_len > 0 && nl != 0 && best_len < maxl
+            // cheap reject: a frontier entry must extend past best_len
+            if (best_len > 0 && best_len < maxl
                 && data[j + best_len] != data[i + best_len])
                 continue;
             int32_t l = match_len(j, i, maxl);
-            if (l >= MIN_MATCH && nl == 0) { nl = l; nd = i - j; }
-            if (l > best_len || (l == best_len && i - j < best_dist)) {
+            if (l > best_len && l >= MIN_MATCH) {
+                if (nf >= K) {          // keep the longest at K-1 exact
+                    fl[K - 1] = l;
+                    fd[K - 1] = i - j;
+                } else {
+                    fl[nf] = l;
+                    fd[nf] = i - j;
+                    ++nf;
+                }
                 best_len = l;
-                best_dist = i - j;
                 if (l >= 256) break;
             }
         }
-        if (best_len >= MIN_MATCH) {
-            cand_len[i] = best_len;
-            cand_dist[i] = best_dist;
-            if (nd != best_dist) { near_len[i] = nl; near_dist[i] = nd; }
-        }
+        // (slots beyond nf stay 0 — the DP stops at the first 0 length)
         prev[i] = head[h];
         head[h] = i;
     }
@@ -295,37 +350,38 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         return 0;
     };
     for (int32_t i = n - 1; i >= 0; --i) {
-        int64_t best = lit_cost16 + cost[i + 1];
+        int64_t best = lit_cost16[i] + cost[i + 1];
         int32_t bl = 0, bd = 0;
-        int32_t L = cand_len[i];
-        if (L >= MIN_MATCH) {
-            int32_t d = cand_dist[i];
-            // the longest length, plus all short lengths (a prefix of a
-            // match is a valid match at the same distance)
-            int32_t hi_short = L < 20 ? L : 20;
-            for (int32_t l = MIN_MATCH; l <= hi_short; ++l) {
+        const int32_t* fl = fr_len.data() + (size_t)i * K;
+        const int32_t* fd = fr_dist.data() + (size_t)i * K;
+        if (fl[0] >= MIN_MATCH) {
+            // every length prices at its cheapest available distance:
+            // the first frontier entry with len >= l.  Dense lengths to
+            // 24, then every frontier endpoint plus stride-16 samples
+            // (cost[] cliffs between samples are rare past 24 — a
+            // longer copy both covers more bytes and costs the same
+            // distance).
+            int32_t fi = 0;
+            int32_t L = 0;
+            for (int32_t k = 0; k < K && fl[k]; ++k) L = fl[k];
+            int32_t l = MIN_MATCH;
+            while (l <= L) {
+                while (fl[fi] < l) ++fi;   // ends: fl has an entry >= l
+                int32_t d = fd[fi];
                 int64_t c = copy_cost16(l, d, dist_cost16) + cost[i + l]
                     - rep_bonus(i + l, d);
                 if (c < best) { best = c; bl = l; bd = d; }
-            }
-            if (L > hi_short) {
-                int64_t c = copy_cost16(L, d, dist_cost16) + cost[i + L]
-                    - rep_bonus(i + L, d);
-                if (c < best) { best = c; bl = L; bd = d; }
-            }
-        }
-        if (near_len[i] >= MIN_MATCH) {
-            int32_t L2 = near_len[i], d2 = near_dist[i];
-            int32_t hi2 = L2 < 20 ? L2 : 20;
-            for (int32_t l = MIN_MATCH; l <= hi2; ++l) {
-                int64_t c = copy_cost16(l, d2, dist_cost16) + cost[i + l]
-                    - rep_bonus(i + l, d2);
-                if (c < best) { best = c; bl = l; bd = d2; }
-            }
-            if (L2 > hi2) {
-                int64_t c = copy_cost16(L2, d2, dist_cost16) + cost[i + L2]
-                    - rep_bonus(i + L2, d2);
-                if (c < best) { best = c; bl = L2; bd = d2; }
+                if (l < 24) {
+                    ++l;
+                } else if (l < fl[fi]) {
+                    // geometric sampling keeps long-run positions O(log L)
+                    // (dense stepping made runs quadratic: a 100 KiB zero
+                    // run is ~6k positions x ~6k samples)
+                    int32_t step = l >> 2 > 16 ? l >> 2 : 16;
+                    l = l + step <= fl[fi] ? l + step : fl[fi];
+                } else {
+                    ++l;                    // step to the next frontier tier
+                }
             }
         }
         if (dict_len && dict_len[i] > 0) {

@@ -174,11 +174,90 @@ def decode_child(proc_id: int, nprocs: int, mesh) -> None:
                           "digest": digest}), flush=True)
 
 
+def e2e_child(proc_id: int, nprocs: int, which: str) -> None:
+    """Whole-pipeline per-process scaling (VERDICT r3 #8): each process
+    compresses/decompresses its round-robin shard of a ~24 MiB mixed
+    corpus through the native engine — raw bytes -> container (matcher
+    included) or container -> raw bytes.  Frames are independent, so
+    there are no collectives at all; on a real pod the only cross-host
+    step is the ordered gather of finished frames (file assembly)."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(REPO, "research"))
+    from large_file_study import build_corpus
+    from divans_tpu.options import DivansOptions
+    from divans_tpu import native
+
+    data = build_corpus(24 << 20)
+    opts = DivansOptions(metablock_size=1 << 18, chunk_nibbles=CHUNK,
+                         quality=10)
+    mb = opts.metablock_size
+    blocks = [data[o:o + mb] for o in range(0, len(data), mb)]
+    shard = blocks[proc_id::nprocs]     # round-robin: balanced content mix
+    payload = b"|".join(shard)
+    if which == "dec_e2e":
+        shard_blobs = [native.compress(b, opts) for b in shard]
+
+        def run():
+            return b"".join(native.decompress(bl) for bl in shard_blobs)
+
+        assert run() == b"".join(shard)   # correctness, then timing
+    else:
+        def run():
+            return b"".join(native.compress(b, opts) for b in shard)
+
+        for b, bl in zip(shard, [native.compress(b, opts) for b in shard]):
+            assert native.decompress(bl) == b
+
+    out = run()   # warm (page cache, lib load)
+    t0 = time.perf_counter()
+    n_iter = 2
+    for _ in range(n_iter):
+        out = run()
+    dt = (time.perf_counter() - t0) / n_iter
+    digest = zlib.crc32(payload if which == "dec_e2e" else out)
+    # per-shard digests recombine order-independently via (id, crc) pairs
+    print(json.dumps({"nprocs": nprocs, "step_s": round(dt, 4),
+                      "mbps": round(sum(len(b) for b in shard) / dt / 1e6,
+                                    2),
+                      "digest": digest, "shard_bytes":
+                      sum(len(b) for b in shard)}), flush=True)
+
+
 def parent() -> None:
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         " --xla_force_host_platform_device_count=").strip()
     summary = {}
+    # e2e whole-pipeline scaling (no jax.distributed: frames are
+    # independent; each pinned process runs its shard through the
+    # native engine, matcher included)
+    ncores = os.cpu_count() or 1
+    for which in ("enc_e2e", "dec_e2e"):
+        results = {}
+        for nprocs in (1, 2, 4):
+            procs = []
+            for i in range(nprocs):
+                per = max(1, ncores // nprocs)
+                pin = ["taskset", "-c",
+                       ",".join(str(c) for c in range(i * per,
+                                                      (i + 1) * per))]
+                procs.append(subprocess.Popen(
+                    pin + [sys.executable, os.path.abspath(__file__),
+                           "--child", str(i), str(nprocs), "0", which],
+                    env=env, stdout=subprocess.PIPE, text=True))
+            outs = [p.communicate(timeout=1800)[0] for p in procs]
+            assert all(p.returncode == 0 for p in procs), outs
+            rows = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+            total_mb = sum(r["shard_bytes"] for r in rows) / 1e6
+            t_max = max(r["step_s"] for r in rows)
+            results[nprocs] = {"step_s": t_max,
+                               "mbps": round(total_mb / t_max, 2)}
+            print(which, nprocs, results[nprocs], flush=True)
+        summary[which] = {
+            f"efficiency_{n}proc": round(
+                results[1]["step_s"] / (n * results[n]["step_s"]), 3)
+            for n in (2, 4)}
+        summary[which]["mbps"] = {n: results[n]["mbps"] for n in (1, 2, 4)}
     for which in ("enc", "dec"):
         results = {}
         for nprocs in (1, 2, 4):
@@ -215,7 +294,11 @@ def parent() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
-              sys.argv[5] if len(sys.argv) > 5 else "enc")
+        mode = sys.argv[5] if len(sys.argv) > 5 else "enc"
+        if mode.endswith("_e2e"):
+            e2e_child(int(sys.argv[2]), int(sys.argv[3]), mode)
+        else:
+            child(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+                  mode)
     else:
         parent()
