@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             files.append(a)
 
+    if opts.get("quality", 0) >= 11 and "metablock_size" not in opts:
+        # q11 is the max-ratio point: default to the largest model domain
+        # (the reference sizes its window by quality the same way,
+        # src/divans_compressor.rs:90-91; brotli-q11's -w24 comparator).
+        # Pass -bs to trade ratio back for decode parallelism.
+        opts["metablock_size"] = 1 << 24
     options = DivansOptions(**opts)
     data = (open(files[0], "rb").read() if files
             else sys.stdin.buffer.read())

@@ -845,15 +845,19 @@ def decompress_frames(frames, chunk: int, layout, options,
     and the host executes the command scripts (memcpy-speed C++).
 
     Pipelining: all frames' structure decodes are queued on a thread
-    pool up front; frames are split into GROUPS (formed in script-
-    arrival order) and each group's scan launches (async, with its D2H
-    enqueued) the moment its scripts are ready, so later groups' cmd
-    passes overlap earlier groups' device work, and script execution of
-    group k overlaps the in-flight scans of k+1....  Within a group,
-    streams bin-pack onto 128 persistent worker lanes
-    (pack_lane_queues) — real-corpus stream sizes span 100x and
-    one-stream-per-lane padding ran the kernels at 18% utilization
-    (research/probe_decode_stages.py).
+    pool up front; frames accumulate into GROUPS in script-arrival
+    order, sized by literal CHUNK NEED (not frame count — frame-count
+    groups left lanes empty and ran scans at 48% utilization,
+    research/probe_queue_phases.py), and each group's scan launches
+    (async, with its D2H enqueued) the moment enough work is ready, so
+    later groups' cmd passes overlap earlier groups' device work.  Each
+    issued group's FINISH (D2H wait + literal reassembly + native
+    script execution) runs on a dedicated 2-thread pool, overlapped
+    with the in-flight scans and the cmd pass — only the last group's
+    finish is ever on the critical tail.  Within a group, streams
+    bin-pack onto 128 persistent worker lanes (pack_lane_queues) —
+    real-corpus stream sizes span 100x and one-stream-per-lane padding
+    ran the kernels at 18% utilization (research/probe_decode_stages.py).
 
     Envelope: the lane kernel covers the cm profile; frames outside it
     — and every frame of the mix/split/stride profiles — decode
@@ -872,11 +876,26 @@ def decompress_frames(frames, chunk: int, layout, options,
     use_cm = layout.profile.name != "stride"
     s_bytes = chunk // 2
 
+    import threading
+    inflight = [0]          # device scans issued but not finished
+    inflight_lock = threading.Lock()
+    # adaptive host/device split: when the chip is backlogged (>= N
+    # groups in flight), a spare pool thread full-decodes the frame
+    # natively instead of feeding the queue — the two engines drain the
+    # container together.  OFF by default: on this 4-core box the host
+    # is already saturated by the cmd pass + finishers (69.4 MB/s split
+    # off vs 64.9-68.8 at thresholds 2-4); on many-core hosts set
+    # DIVANS_DEC_BACKLOG to ~3 to add host-engine throughput on top of
+    # the chip's.  0 forces every frame host-side (the correctness
+    # escape hatch, exercised in tests).
+    BACKLOG = int(os.environ.get("DIVANS_DEC_BACKLOG", "999999"))
+
     def one(f):
         """("dev", script) for kernel-envelope frames, else
         ("host", raw_bytes) decoded right here on the pool thread."""
         sc = None
-        if kernel_profile:
+        backlogged = have_native and inflight[0] >= BACKLOG
+        if kernel_profile and not backlogged:
             sc = native.decode_cmd_structure(f.cmd, f.raw_len, layout,
                                              chunk) if have_native else None
             if sc is None:
@@ -889,17 +908,21 @@ def decompress_frames(frames, chunk: int, layout, options,
             raw = decode_metablock(f.cmd, f.lit, f.raw_len, options, chunk)
         return ("host", raw)
 
-    # group size: ~24 MiB raw per scan — big enough that the scan's
-    # fixed dispatch cost amortizes, small enough that the first scan
-    # launches early and the cmd pass pipelines behind it
-    total_raw = sum(f.raw_len for f in frames)
-    n_groups = max(1, min(8, round(total_raw / (24 << 20))))
-    per = -(-len(frames) // n_groups)
-    # leave one core for the main thread's kernel-issue path (H2D packing
-    # competes with the cmd pass for cores; the pool's native calls
-    # release the GIL)
-    n_workers = max(1, min(8, (os.cpu_count() or 2) - 1))
-    issued = []
+    # group size: target ~128 chunk-slots per lane per scan (~2 MiB of
+    # literals) — big enough that the scan's fixed dispatch cost
+    # amortizes and every lane is loaded, small enough that scans
+    # pipeline finely against the cmd pass and each other (swept on the
+    # 48 MiB corpus: 64 -> 47.9, 128 -> 67.0, 224 -> 58.7, 288 -> 44.0
+    # MB/s)
+    NEED_TARGET = LANES * int(os.environ.get("DIVANS_DEC_GROUP_CHUNKS",
+                                             "128"))
+    # one pool thread per core: the pool's native calls release the GIL
+    # and the main thread's issue path is mostly blocked on the pool
+    # (cpus-1 workers measured 58.7 vs 63.5 MB/s for cpus on the 48 MiB
+    # corpus; 2 finishers beat 3 — finish work is d2h-wait + memcpy)
+    n_workers = int(os.environ.get(
+        "DIVANS_DEC_WORKERS", max(1, min(8, os.cpu_count() or 2))))
+    n_finish = int(os.environ.get("DIVANS_DEC_FINISHERS", "2"))
     from concurrent.futures import as_completed
     from .deferred import SUB_LIT, lit_subs_split
 
@@ -925,31 +948,20 @@ def decompress_frames(frames, chunk: int, layout, options,
             dev.copy_to_host_async()
         except AttributeError:
             pass
-        issued.append((ready, spans, n_lits, placement, dev))
+        with inflight_lock:
+            inflight[0] += 1
+        return ready, spans, n_lits, placement, dev
 
-    raw_by_frame: dict = {}
-    with ThreadPoolExecutor(n_workers) as ex:
-        # groups form in script-ARRIVAL order: completion order mixes
-        # frame sizes, so every group sees the whole size distribution
-        # and its lanes bin-pack to near-uniform load (contiguous
-        # file-order groups clustered small text frames into one scan
-        # and ran it half-empty)
-        futs = {ex.submit(one, frames[i]): i for i in range(len(frames))}
-        ready: list = []
-        for fut in as_completed(futs):
-            kind, val = fut.result()
-            if kind == "host":
-                raw_by_frame[futs[fut]] = val
-                continue
-            ready.append((futs[fut], val))
-            if len(ready) >= per:
-                issue_group(ready)
-                ready = []
-        if ready:
-            issue_group(ready)
-    script_by_frame: dict = {}
-    for ready, spans, n_lits, placement, dev in issued:
+    def finish_group(group):
+        """D2H wait + per-frame literal reassembly + script execution.
+        Runs on the finish pool: np.asarray blocks with the GIL
+        released and native execute_script releases it too, so finishes
+        overlap later groups' cmd passes and scans."""
+        ready, spans, n_lits, placement, dev = group
         arr = np.asarray(dev)
+        with inflight_lock:
+            inflight[0] -= 1
+        done = {}
         for (i, s), (off, k) in zip(ready, spans):
             lb = bytearray()
             for j in range(off, off + k):
@@ -958,15 +970,40 @@ def decompress_frames(frames, chunk: int, layout, options,
                 l, coff = placement[j]
                 o = coff * s_bytes
                 lb += arr[l, o:o + n_lits[j]].tobytes()
-            script_by_frame[i] = (s, bytes(lb))
-    out = bytearray()
-    for i in range(len(frames)):
-        if i in script_by_frame:
-            s, lb = script_by_frame[i]
-            out += _execute(s, lb)
-        else:
-            out += raw_by_frame[i]
-    return bytes(out)
+            done[i] = _execute(s, bytes(lb))
+        return done
+
+    raw_by_frame: dict = {}
+    finish_futs = []
+    with ThreadPoolExecutor(n_workers) as ex, \
+            ThreadPoolExecutor(n_finish) as finisher:
+        # groups form in script-ARRIVAL order: completion order mixes
+        # frame sizes, so every group sees the whole size distribution
+        # and its lanes bin-pack to near-uniform load (contiguous
+        # file-order groups clustered small text frames into one scan
+        # and ran it half-empty)
+        futs = {ex.submit(one, frames[i]): i for i in range(len(frames))}
+        ready: list = []
+        need = 0
+        for fut in as_completed(futs):
+            kind, val = fut.result()
+            if kind == "host":
+                raw_by_frame[futs[fut]] = val
+                continue
+            ready.append((futs[fut], val))
+            # SUB_LIT is a multiple of s_bytes, so summing per-sub chunk
+            # ceils equals one ceil over the frame's literal total
+            need += -(-(val.lit_total or 0) // s_bytes)
+            if need >= NEED_TARGET:
+                finish_futs.append(finisher.submit(
+                    finish_group, issue_group(ready)))
+                ready, need = [], 0
+        if ready:
+            finish_futs.append(finisher.submit(
+                finish_group, issue_group(ready)))
+    for fut in finish_futs:
+        raw_by_frame.update(fut.result())
+    return b"".join(raw_by_frame[i] for i in range(len(frames)))
 
 
 def bench_decode(blob: bytes, n_iter: int = 5) -> float | None:

@@ -141,6 +141,21 @@ class TestPipeline:
                                               interpret=True)
         assert out == data
 
+    def test_decompress_frames_forced_host_split(self, monkeypatch):
+        """DIVANS_DEC_BACKLOG=0 sends every frame down the pipeline's
+        host lane (the adaptive host/device split's escape hatch) —
+        output must be identical to the device path."""
+        monkeypatch.setenv("DIVANS_DEC_BACKLOG", "0")
+        data = ALICE[:24000]
+        opts = DivansOptions(metablock_size=1 << 13, chunk_nibbles=256)
+        layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+        blob = jax_engine.compress(data, opts)
+        from divans_tpu.container import format as fmt
+        _w, _mb, frames, _crc, _fl = fmt.deserialize(blob)
+        out = pallas_decode.decompress_frames(frames, 256, layout, opts,
+                                              interpret=True)
+        assert out == data
+
     def test_structure_decode_records_ops(self):
         _, _, rows = _prep(ALICE[:12000], 1 << 13, 256)
         for raw, cb, lb, sc, lits in rows:
