@@ -826,13 +826,21 @@ def decode_structures(frames, chunk: int, layout, options) -> list | None:
     return scripts
 
 
-def _execute(script, lit_bytes: bytes) -> bytes:
+def _execute(script, lit_bytes, out: np.ndarray | None = None):
+    """Run a command script over its decoded literals; with `out` (a
+    uint8 view of the shared output buffer) the native path writes the
+    frame in place and returns None."""
     from .deferred import execute_script
     from .. import native
 
     if isinstance(script, native.NativeScript):
-        return native.execute_script(script, lit_bytes)
-    return execute_script(script, lit_bytes)
+        return native.execute_script(script, lit_bytes, out=out)
+    raw = execute_script(script, bytes(lit_bytes)
+                         if not isinstance(lit_bytes, bytes) else lit_bytes)
+    if out is None:
+        return raw
+    out[:] = np.frombuffer(raw, np.uint8)
+    return None
 
 
 def decompress_frames(frames, chunk: int, layout, options,
@@ -952,6 +960,12 @@ def decompress_frames(frames, chunk: int, layout, options,
             inflight[0] += 1
         return ready, spans, n_lits, placement, dev
 
+    # one preallocated output buffer; every frame executes directly into
+    # its slice (no per-frame staging buffer, no final 48 MiB join)
+    offsets = np.zeros(len(frames) + 1, np.int64)
+    np.cumsum([f.raw_len for f in frames], out=offsets[1:])
+    out_buf = np.empty(int(offsets[-1]), np.uint8)
+
     def finish_group(group):
         """D2H wait + per-frame literal reassembly + script execution.
         Runs on the finish pool: np.asarray blocks with the GIL
@@ -961,19 +975,18 @@ def decompress_frames(frames, chunk: int, layout, options,
         arr = np.asarray(dev)
         with inflight_lock:
             inflight[0] -= 1
-        done = {}
         for (i, s), (off, k) in zip(ready, spans):
-            lb = bytearray()
+            lb = np.empty(sum(n_lits[off:off + k]), np.uint8)
+            pos = 0
             for j in range(off, off + k):
                 if placement[j] is None:
                     continue
                 l, coff = placement[j]
                 o = coff * s_bytes
-                lb += arr[l, o:o + n_lits[j]].tobytes()
-            done[i] = _execute(s, bytes(lb))
-        return done
+                lb[pos:pos + n_lits[j]] = arr[l, o:o + n_lits[j]]
+                pos += n_lits[j]
+            _execute(s, lb, out=out_buf[offsets[i]:offsets[i + 1]])
 
-    raw_by_frame: dict = {}
     finish_futs = []
     with ThreadPoolExecutor(n_workers) as ex, \
             ThreadPoolExecutor(n_finish) as finisher:
@@ -988,7 +1001,9 @@ def decompress_frames(frames, chunk: int, layout, options,
         for fut in as_completed(futs):
             kind, val = fut.result()
             if kind == "host":
-                raw_by_frame[futs[fut]] = val
+                i = futs[fut]
+                out_buf[offsets[i]:offsets[i + 1]] = \
+                    np.frombuffer(val, np.uint8)
                 continue
             ready.append((futs[fut], val))
             # SUB_LIT is a multiple of s_bytes, so summing per-sub chunk
@@ -1002,8 +1017,8 @@ def decompress_frames(frames, chunk: int, layout, options,
             finish_futs.append(finisher.submit(
                 finish_group, issue_group(ready)))
     for fut in finish_futs:
-        raw_by_frame.update(fut.result())
-    return b"".join(raw_by_frame[i] for i in range(len(frames)))
+        fut.result()
+    return out_buf.tobytes()
 
 
 def bench_decode(blob: bytes, n_iter: int = 5) -> float | None:

@@ -33,10 +33,11 @@ _T = [_TABLES[k] for k in range(8)]
 def crc32c(data: bytes, crc: int = 0) -> int:
     native = _native_crc()
     if native is not None:
-        import ctypes
-        buf = (ctypes.c_uint8 * max(1, len(data))).from_buffer_copy(
-            data or b"\0")
-        return native(buf, len(data), crc) & 0xFFFFFFFF
+        # bytes pass zero-copy as c_char_p (read-only in C); the old
+        # from_buffer_copy staging memcpy'd the whole input and cost
+        # more than the SSE4.2 crc itself on large buffers
+        return native(bytes(data) if not isinstance(data, bytes)
+                      else (data or b"\0"), len(data), crc) & 0xFFFFFFFF
     return _crc32c_py(data, crc)
 
 
@@ -53,7 +54,7 @@ def _native_crc():
             if lib is not None:
                 import ctypes
                 lib.dtpu_crc32c.restype = ctypes.c_uint32
-                lib.dtpu_crc32c.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                lib.dtpu_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                             ctypes.c_uint32]
                 _NATIVE_CRC = lib.dtpu_crc32c
             else:

@@ -460,24 +460,41 @@ def decode_cmd_structure(cmd: bytes, raw_len: int, layout: ModelLayout,
                         int(info[0]), list(range(64)), speeds, supported)
 
 
-def execute_script(script: NativeScript, lit_bytes: bytes) -> bytes:
-    """Replay a NativeScript with the device-decoded literal bytes."""
+def execute_script(script: NativeScript, lit_bytes,
+                   out: np.ndarray | None = None) -> bytes | None:
+    """Replay a NativeScript with the device-decoded literal bytes.
+
+    lit_bytes: bytes (passed zero-copy as char*) or a contiguous uint8
+    ndarray.  When `out` (a uint8 ndarray view of length raw_len) is
+    given, the script executes directly into it and returns None — the
+    decode pipeline preallocates one output buffer and each frame lands
+    at its offset with no per-frame staging copy."""
     from .codec.engine_np import CorruptStream
     lib = load()
     ops = np.ascontiguousarray(script.ops, np.int32)
-    out = np.zeros(max(1, script.raw_len), np.uint8)
-    lbuf = (ctypes.c_uint8 * max(1, len(lit_bytes))).from_buffer_copy(
-        lit_bytes or b"\0")
-    pbuf = (ctypes.c_uint8 * max(1, len(script.pool))).from_buffer_copy(
-        script.pool or b"\0")
+    if out is None:
+        dst = np.zeros(max(1, script.raw_len), np.uint8)
+    else:
+        assert out.dtype == np.uint8 and out.size == script.raw_len
+        assert out.flags["C_CONTIGUOUS"]
+        dst = out if script.raw_len else np.zeros(1, np.uint8)
+    if isinstance(lit_bytes, np.ndarray):
+        n_lit = lit_bytes.size
+        lbuf = lit_bytes.ctypes.data_as(ctypes.c_void_p) if n_lit \
+            else b"\0"
+    else:
+        n_lit = len(lit_bytes)
+        lbuf = lit_bytes or b"\0"
     rc = lib.dtpu_execute_script(
         ops.ctypes.data_as(ctypes.c_void_p), ops.shape[0],
-        lbuf, ctypes.c_int64(len(lit_bytes)),
-        pbuf, len(script.pool),
-        out.ctypes.data_as(ctypes.c_void_p), script.raw_len)
+        lbuf, ctypes.c_int64(n_lit),
+        script.pool or b"\0", len(script.pool),
+        dst.ctypes.data_as(ctypes.c_void_p), script.raw_len)
     if rc != 0:
         raise CorruptStream("script execution failed")
-    return out[:script.raw_len].tobytes()
+    if out is None:
+        return dst[:script.raw_len].tobytes()
+    return None
 
 
 # --------------------------------------------------- host-native engine
