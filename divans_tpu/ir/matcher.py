@@ -132,7 +132,7 @@ def find_matches_optimal(data: bytes, quality: int):
     kcand = 2
     if quality >= 11:
         depth = int(os.environ.get("DIVANS_Q11_DEPTH", "256"))
-        kcand = 5
+        kcand = int(os.environ.get("DIVANS_Q11_KCAND", "5"))
     # per-position literal costs (sliding order-1 window, C++): mixed
     # data prices its literals locally — the one-constant-per-block
     # estimate mispriced copy-vs-literal near-ties across text/binary

@@ -17,6 +17,7 @@
 // ctypes by divans_tpu/native.py).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -196,16 +197,20 @@ static inline int32_t bitlen_u32(uint32_t v) {
     return v ? 32 - __builtin_clz(v) : 0;
 }
 
-static inline int32_t copy_cost16(int32_t len, int32_t dist,
-                                  const int32_t* dist_cost16) {
-    // cmd nibble ~1.6 bits + length mnemonic/mantissas + a per-bitlen
-    // distance cost table (default calibrated from billing; the second
-    // parse iteration passes costs measured from a replay of the first)
+static inline int32_t copy_len_cost16(int32_t len) {
+    // cmd nibble ~1.6 bits + length mnemonic/mantissas
     int32_t c = 26;
     if (len < 15) c += 40;
     else c += 64 + 11 * ((bitlen_u32((uint32_t)len) - 4) & ~3);
-    c += dist_cost16[bitlen_u32((uint32_t)dist)];
     return c;
+}
+
+static inline int32_t copy_cost16(int32_t len, int32_t dist,
+                                  const int32_t* dist_cost16) {
+    // length cost + a per-bitlen distance cost table (default calibrated
+    // from billing; the second parse iteration passes costs measured
+    // from a replay of the first)
+    return copy_len_cost16(len) + dist_cost16[bitlen_u32((uint32_t)dist)];
 }
 
 // Per-position literal cost estimate for the optimal-parse DP, in 1/16
@@ -329,38 +334,112 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         head[h] = i;
     }
 
-    // backward DP: cost[i] = cheapest coding of data[i:]
-    std::vector<int64_t> cost((size_t)n + 1, 0);
-    std::vector<int32_t> take_len((size_t)n, 0), take_dist((size_t)n, 0);
-    // next_take[i]: position of the first copy taken at or after i
-    std::vector<int32_t> next_take((size_t)n + 1, n);
-    auto rep_bonus = [&](int32_t i_end, int32_t d) -> int64_t {
-        // a later copy at the same distance hits the distance-LRU
-        // mnemonic (~3 bits) instead of its explicit cost; credit the
-        // pair on this edge (total cost is a sum, so the transfer is
-        // exact for adjacent same-distance takes)
-        int32_t j = next_take[i_end];
-        for (int k = 0; k < 2 && j < n; ++k) {
-            if (take_dist[j] == d) {
-                int32_t full = dist_cost16[bitlen_u32((uint32_t)d)];
-                return full > 48 ? full - 48 : 0;
-            }
-            j = next_take[j + take_len[j]];
+    // Forward DP carrying the TRUE distance-LRU along the best path
+    // (the zopfli dist-cache idea, brotli backward_references_hq.c's
+    // ZopfliNode cache): cost[i] = cheapest coding of data[:i]; each
+    // position's cache is the last <= 4 distinct copy distances on ITS
+    // OWN best path, read by walking the copy-end anchor chain.  The
+    // old backward DP's pair-credit (rep_bonus) left the mnemonic rate
+    // at ~7% of copies while explicit distances averaged ~14.7 bits —
+    // half of all q11 bits (billing, PERF_NOTES round-4).  Here cache
+    // hits price at the mnemonic differential AND the cache distances
+    // are probed as first-class match candidates: a slightly shorter
+    // copy at a reused distance routinely beats a longer one at
+    // explicit cost.
+    const int64_t INF = (int64_t)1 << 60;
+    std::vector<int64_t> cost((size_t)n + 1, INF);
+    // edge INTO position i: elen 0 = literal, else copy/dict of that
+    // length ending at i (edist 0 marks dict)
+    std::vector<int32_t> elen((size_t)n + 1, 0), edist((size_t)n + 1, 0);
+    std::vector<int32_t> anchor((size_t)n + 1, -1);  // latest copy-end on path
+    std::vector<int32_t> aprev((size_t)n + 1, -1);   // at a copy-end: previous
+    std::vector<int32_t> adist((size_t)n + 1, 0);    // at a copy-end: distance
+    cost[0] = 0;
+    // mnemonic differential: both paths pay the dmn nibble; a hit skips
+    // dbeg/dlast/dmant but raises dmn entropy as the rate climbs —
+    // priced at 3 bits (swept 8..48: flat band, 48 best on corpus AND
+    // alice — matching the old rep_bonus credit)
+    const int32_t mn16 = [&]{
+        const char* e = getenv("DIVANS_MN_COST16");
+        return e ? atoi(e) : 48;
+    }();
+    // cache PRICING is free for every quality (replaces the old
+    // rep_bonus pair-credit); cache PROBING (4 match_len per position)
+    // is paid only at the q11 frontier widths
+    const bool probe_cache = K >= 3;
+    for (int32_t i = 0; i < n; ++i) {
+        const int64_t ci = cost[i];
+        // literal edge
+        if (ci + lit_cost16[i] < cost[i + 1]) {
+            cost[i + 1] = ci + lit_cost16[i];
+            elen[i + 1] = 0;
+            anchor[i + 1] = anchor[i];
         }
-        return 0;
-    };
-    for (int32_t i = n - 1; i >= 0; --i) {
-        int64_t best = lit_cost16[i] + cost[i + 1];
-        int32_t bl = 0, bd = 0;
+        int32_t cache[4];
+        int nc = 0;
+        for (int32_t a = anchor[i]; a >= 0 && nc < 4; a = aprev[a]) {
+            int32_t d = adist[a];
+            bool dup = false;
+            for (int k = 0; k < nc; ++k)
+                if (cache[k] == d) { dup = true; break; }
+            if (!dup) cache[nc++] = d;
+        }
+        auto relax_copy = [&](int32_t l, int32_t d, int32_t c16) {
+            if (ci + c16 < cost[i + l]) {
+                cost[i + l] = ci + c16;
+                elen[i + l] = l;
+                edist[i + l] = d;
+                anchor[i + l] = i + l;
+                aprev[i + l] = anchor[i];
+                adist[i + l] = d;
+            }
+        };
+        auto dist16 = [&](int32_t d) -> int32_t {
+            for (int k = 0; k < nc; ++k)
+                if (cache[k] == d) return mn16;
+            return dist_cost16[bitlen_u32((uint32_t)d)];
+        };
+        int32_t maxl = n - i;
+        // cache-distance candidates: the 4 LRU distances (mnemonics
+        // 0-3) plus lru[0..1] +/- 1..3 (mnemonics 4-14), each probed as
+        // a first-class match
+        int32_t probes[16];
+        int np = 0;
+        if (probe_cache) {
+            for (int k = 0; k < nc; ++k) probes[np++] = cache[k];
+            for (int k = 0; k < nc && k < 2; ++k)
+                for (int32_t s = 1; s <= 3; ++s) {
+                    probes[np++] = cache[k] + s;
+                    probes[np++] = cache[k] - s;
+                }
+        }
+        for (int k = 0; k < np; ++k) {
+            int32_t d = probes[k];
+            if (d <= 0 || d > i) continue;
+            bool dup = false;
+            for (int k2 = 0; k2 < k; ++k2)
+                if (probes[k2] == d) { dup = true; break; }
+            if (dup) continue;
+            int32_t l = match_len(i - d, i, maxl);
+            if (l < 2) continue;
+            int32_t l2 = 2;
+            while (l2 <= l) {
+                relax_copy(l2, d, copy_len_cost16(l2) + mn16);
+                if (l2 < 24) ++l2;
+                else if (l2 < l) {
+                    int32_t step = l2 >> 2 > 16 ? l2 >> 2 : 16;
+                    l2 = l2 + step <= l ? l2 + step : l;
+                } else ++l2;
+            }
+        }
+        // frontier edges: every length prices at its cheapest available
+        // distance — the first frontier entry with len >= l.  Dense
+        // lengths to 24, then every frontier endpoint plus geometric
+        // samples (cost[] cliffs between samples are rare past 24; dense
+        // stepping made long runs quadratic).
         const int32_t* fl = fr_len.data() + (size_t)i * K;
         const int32_t* fd = fr_dist.data() + (size_t)i * K;
         if (fl[0] >= MIN_MATCH) {
-            // every length prices at its cheapest available distance:
-            // the first frontier entry with len >= l.  Dense lengths to
-            // 24, then every frontier endpoint plus stride-16 samples
-            // (cost[] cliffs between samples are rare past 24 — a
-            // longer copy both covers more bytes and costs the same
-            // distance).
             int32_t fi = 0;
             int32_t L = 0;
             for (int32_t k = 0; k < K && fl[k]; ++k) L = fl[k];
@@ -368,15 +447,10 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
             while (l <= L) {
                 while (fl[fi] < l) ++fi;   // ends: fl has an entry >= l
                 int32_t d = fd[fi];
-                int64_t c = copy_cost16(l, d, dist_cost16) + cost[i + l]
-                    - rep_bonus(i + l, d);
-                if (c < best) { best = c; bl = l; bd = d; }
+                relax_copy(l, d, copy_len_cost16(l) + dist16(d));
                 if (l < 24) {
                     ++l;
                 } else if (l < fl[fi]) {
-                    // geometric sampling keeps long-run positions O(log L)
-                    // (dense stepping made runs quadratic: a 100 KiB zero
-                    // run is ~6k positions x ~6k samples)
                     int32_t step = l >> 2 > 16 ? l >> 2 : 16;
                     l = l + step <= fl[fi] ? l + step : fl[fi];
                 } else {
@@ -386,27 +460,37 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         }
         if (dict_len && dict_len[i] > 0) {
             // static-dictionary edge; dist 0 marks it for the caller
-            int64_t c = dict_cost16[i] + cost[i + dict_len[i]];
-            if (c < best) { best = c; bl = dict_len[i]; bd = 0; }
+            int32_t dl = dict_len[i];
+            if (ci + dict_cost16[i] < cost[i + dl]) {
+                cost[i + dl] = ci + dict_cost16[i];
+                elen[i + dl] = dl;
+                edist[i + dl] = 0;
+                anchor[i + dl] = anchor[i];   // dict skips the distance LRU
+            }
         }
-        cost[i] = best;
-        take_len[i] = bl;
-        take_dist[i] = bd;
-        next_take[i] = bl ? i : next_take[i + 1];
     }
 
-    // forward reconstruction
+    // backward reconstruction, emitted forward
     int32_t count = 0;
-    for (int32_t i = 0; i < n;) {
-        if (take_len[i]) {
-            if (count >= out_cap) return -1;
-            out[count].pos = i;
-            out[count].dist = take_dist[i];
-            out[count].len = take_len[i];
+    for (int32_t i = n; i > 0;) {
+        if (elen[i]) {
             ++count;
-            i += take_len[i];
+            i -= elen[i];
         } else {
-            ++i;
+            --i;
+        }
+    }
+    if (count > out_cap) return -1;
+    int32_t w = count;
+    for (int32_t i = n; i > 0;) {
+        if (elen[i]) {
+            --w;
+            out[w].pos = i - elen[i];
+            out[w].dist = edist[i];
+            out[w].len = elen[i];
+            i -= elen[i];
+        } else {
+            --i;
         }
     }
     return count;
