@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import LOG2_SCALE
 from ..ans.coder_np import RENORM_BITS, STATE_LOW, SCALE_MASK
+from .. import tracelog
 
 READY = True
 
@@ -948,10 +949,12 @@ def decompress_frames(frames, chunk: int, layout, options,
                               if s.lit_total else 0)
                 lcmaps.append(s.lcmap)
                 spds.append(s.speeds)
-        arrays, n_steps, placement = pack_lane_queues(
-            streams, n_lits, lcmaps, spds, chunk)
-        dev = issue_lane_queues(arrays, n_steps, chunk, layout,
-                                interpret=interpret)
+        with tracelog.span("decode/pack_group", jobs=len(streams)):
+            arrays, n_steps, placement = pack_lane_queues(
+                streams, n_lits, lcmaps, spds, chunk)
+        with tracelog.span("decode/issue_scan", n_steps=n_steps):
+            dev = issue_lane_queues(arrays, n_steps, chunk, layout,
+                                    interpret=interpret)
         try:
             dev.copy_to_host_async()
         except AttributeError:
@@ -972,7 +975,8 @@ def decompress_frames(frames, chunk: int, layout, options,
         released and native execute_script releases it too, so finishes
         overlap later groups' cmd passes and scans."""
         ready, spans, n_lits, placement, dev = group
-        arr = np.asarray(dev)
+        with tracelog.span("decode/d2h_wait", frames=len(ready)):
+            arr = np.asarray(dev)
         with inflight_lock:
             inflight[0] -= 1
         for (i, s), (off, k) in zip(ready, spans):

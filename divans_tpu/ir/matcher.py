@@ -150,13 +150,14 @@ def find_matches_optimal(data: bytes, quality: int):
         from .optimize import order1_bits_per_byte
         lit16s = np.full(n, max(8, int(order1_bits_per_byte(data)
                                        * 0.92 * 16)), np.int32)
-    # distance cost ~ 40/16 + 9/16*bitlen bits: re-swept round 4 against
-    # the adaptive distance model's actual rates (the old 64 base
-    # over-penalized explicit distances and pushed the DP toward
-    # too-short copies; corpus q11 0.1665 -> 0.1658, alice 0.3092 ->
-    # 0.3089, q10 improves the same way).  _DIST_COST_OVERRIDE is the
-    # research sweep hook.
-    da, db = globals().get("_DIST_COST_OVERRIDE", (40, 9))
+    # distance cost ~ 40/16 + 7/16*bitlen bits: re-swept after the
+    # forward-DP distance-LRU landed (rep copies now price at the
+    # mnemonic differential, so the explicit-distance slope flattened:
+    # (40,9) -> (40,7) is q11 0.1672 -> 0.1668, q10 0.1759 -> 0.1751,
+    # alice11 0.3188 -> 0.3183; the neighborhood is flat +/-4 on the
+    # base, +/-1 on the slope).  _DIST_COST_OVERRIDE is the research
+    # sweep hook.
+    da, db = globals().get("_DIST_COST_OVERRIDE", (40, 7))
     dist16 = np.array([da + db * bl for bl in range(33)], np.int32)
     if quality >= 11:
         dlen, dcost = _dict_candidate_arrays(data)

@@ -206,6 +206,42 @@ def test_q11_native_end_to_end():
     assert native.decompress(blob) == data
 
 
+def test_forward_dp_reuses_distances():
+    """The forward DP carries the distance-LRU along the best path
+    (trace_builder.cpp dtpu_match_optimal) and probes the cache
+    distances as candidates, so structurally repetitive data parses
+    into copies that overwhelmingly reuse a handful of distances — the
+    parse-level property that makes the distance-mnemonic coding cheap
+    (PERF_NOTES round-4: distance was half of all q11 bits at a 6.6%
+    mnemonic rate)."""
+    import random
+
+    from divans_tpu.ir.matcher import find_matches_optimal
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = random.Random(7)
+    # records with a fixed 96-byte layout: field edits break up long
+    # matches so copies must recur at the record stride
+    rec = bytes(rng.randrange(256) for _ in range(96))
+    rows = bytearray()
+    for i in range(400):
+        r = bytearray(rec)
+        r[5] = i & 0xFF
+        r[40] = (i * 7) & 0xFF
+        rows += r
+    m = find_matches_optimal(bytes(rows), 11)
+    assert m and len(m) > 300
+    dists = [d for (_p, _l, d) in m]
+    top4 = sum(sorted((dists.count(d) for d in set(dists)),
+                      reverse=True)[:4])
+    assert top4 / len(dists) > 0.9, (top4, len(dists))
+    # and the parse round-trips through the whole native pipeline
+    opts = DivansOptions(quality=11)
+    blob = native.compress(bytes(rows), opts)
+    assert native.decompress(blob) == bytes(rows)
+
+
 def test_build_trace_cmds_matches_python_twin():
     from divans_tpu.codec import trace as trace_mod
     if native.load() is None:
