@@ -975,10 +975,15 @@ def decompress_frames(frames, chunk: int, layout, options,
         released and native execute_script releases it too, so finishes
         overlap later groups' cmd passes and scans."""
         ready, spans, n_lits, placement, dev = group
-        with tracelog.span("decode/d2h_wait", frames=len(ready)):
-            arr = np.asarray(dev)
-        with inflight_lock:
-            inflight[0] -= 1
+        # try/finally: if D2H or script execution raises, the inflight
+        # counter must still drop or the DIVANS_DEC_BACKLOG host-split
+        # heuristic stays forced on for the rest of the call
+        try:
+            with tracelog.span("decode/d2h_wait", frames=len(ready)):
+                arr = np.asarray(dev)
+        finally:
+            with inflight_lock:
+                inflight[0] -= 1
         for (i, s), (off, k) in zip(ready, spans):
             lb = np.empty(sum(n_lits[off:off + k]), np.uint8)
             pos = 0

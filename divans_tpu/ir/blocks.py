@@ -9,9 +9,11 @@ context-map rows (engine_np._literal_nibble: cmap_index =
 ctx + btype << 6), so heterogeneous segments (text vs binary vs tables)
 stop polluting each other's literal models.
 
-Opt-in via DivansOptions.block_split: splits trade the fast decode
-profiles for ratio — streams with switches decode on the golden engine
-(the device/native profiles are nb=1 by design, COMPONENTS.md row 21).
+Opt-in via DivansOptions.block_split.  Since round 3, nb<=4 split
+streams encode AND decode on the native fast path (split profile,
+container flag 3 — native.py, COMPONENTS.md row 21); only nb>4 or
+non-identity literal context maps fall back to the golden engine.
+The full profile->decode-path matrix lives in DESIGN.md.
 """
 from __future__ import annotations
 

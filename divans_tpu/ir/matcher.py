@@ -165,7 +165,11 @@ def find_matches_optimal(data: bytes, quality: int):
         dlen = np.zeros(n, np.int32)
         dcost = np.zeros(n, np.int32)
     buf = (ctypes.c_uint8 * n).from_buffer_copy(data)
-    out = np.zeros((n // 4 + 8, 3), np.int32)
+    # sized for the forward DP's minimum copy length of 2 (cache-distance
+    # probes at q11 emit len-2/3 copies): a parse dominated by len-2
+    # copies must still fit, or the -1 fallback silently drops to greedy
+    # on exactly the repetitive data the feature targets
+    out = np.zeros((n // 2 + 8, 3), np.int32)
 
     def parse(lit16_, dist16_):
         nm = lib.dtpu_match_optimal(

@@ -475,8 +475,15 @@ def execute_script(script: NativeScript, lit_bytes,
     if out is None:
         dst = np.zeros(max(1, script.raw_len), np.uint8)
     else:
-        assert out.dtype == np.uint8 and out.size == script.raw_len
-        assert out.flags["C_CONTIGUOUS"]
+        # hard errors, not asserts: under python -O a wrong-sized `out`
+        # would let dtpu_execute_script write raw_len bytes past the
+        # caller's slice (native heap corruption, not a Python error)
+        if out.dtype != np.uint8 or out.size != script.raw_len:
+            raise ValueError(
+                f"out must be uint8[{script.raw_len}], got "
+                f"{out.dtype}[{out.size}]")
+        if not out.flags["C_CONTIGUOUS"]:
+            raise ValueError("out must be C-contiguous")
         dst = out if script.raw_len else np.zeros(1, np.uint8)
     if isinstance(lit_bytes, np.ndarray):
         n_lit = lit_bytes.size

@@ -47,8 +47,10 @@ class DivansOptions:
     block_split: bool = False             # literal block-type segmentation
                                           # (ir/blocks.py; the reference gets
                                           # splits from brotli's splitter).
-                                          # Ratio mode: streams with switches
-                                          # decode on the golden engine
+                                          # nb<=4 split streams run the
+                                          # native fast path both directions
+                                          # (split profile, flag 3); see the
+                                          # decode-path matrix in DESIGN.md
     external_probs: Optional[bytes] = None  # per-bit literal probabilities
                                           # (8 bytes per raw byte, reference
                                           # feature external-literal-probability;

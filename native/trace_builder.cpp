@@ -17,9 +17,19 @@
 // ctypes by divans_tpu/native.py).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
+
+// DIVANS_DP_TIMING=1: per-call phase timing for dtpu_match_optimal on
+// stderr (research tooling; no effect on output)
+static inline double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
 
 extern "C" {
 
@@ -296,6 +306,8 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     // matches were invisible).
     // K=2 degenerates to the old nearest+longest pair (the default
     // quality's speed point); q11 pays for the wider frontier.
+    const bool timing = getenv("DIVANS_DP_TIMING") != nullptr;
+    double t0 = timing ? now_s() : 0.0;
     const int K = kcand < 2 ? 2 : (kcand > 8 ? 8 : kcand);
     static thread_local std::vector<int32_t> fr_len, fr_dist;
     fr_len.assign((size_t)n * K, 0);
@@ -333,6 +345,8 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         prev[i] = head[h];
         head[h] = i;
     }
+
+    double t1 = timing ? now_s() : 0.0;
 
     // Forward DP carrying the TRUE distance-LRU along the best path
     // (the zopfli dist-cache idea, brotli backward_references_hq.c's
@@ -468,6 +482,11 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
                 anchor[i + dl] = anchor[i];   // dict skips the distance LRU
             }
         }
+    }
+    if (timing) {
+        double t2 = now_s();
+        fprintf(stderr, "[dp_timing] n=%d frontier=%.3fs dp=%.3fs\n",
+                n, t1 - t0, t2 - t1);
     }
 
     // backward reconstruction, emitted forward

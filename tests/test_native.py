@@ -232,7 +232,7 @@ def test_forward_dp_reuses_distances():
         rows += r
     m = find_matches_optimal(bytes(rows), 11)
     assert m and len(m) > 300
-    dists = [d for (_p, _l, d) in m]
+    dists = [d for (_p, d, _l) in m]
     top4 = sum(sorted((dists.count(d) for d in set(dists)),
                       reverse=True)[:4])
     assert top4 / len(dists) > 0.9, (top4, len(dists))
