@@ -65,6 +65,7 @@ LANES = 128
 N_HI = 64          # lit_hi planes (cm profile: (1, 64))
 N_LO = 128         # lit_lo planes ((8, 16) bucketed)
 N_PLANES = 2 * N_HI + 2 * N_LO   # 384 CDF planes in kernel order
+N_PLANES_MIX = N_HI + N_LO       # 192 premixed planes per kernel phase
 
 
 def _exact_div(a, b):
@@ -178,8 +179,8 @@ def _p_start_freq(cdf, sym):
 
 # ----------------------------------------------------------------- kernel
 
-def _make_lit_kernel(s_bytes, n_wrows):
-    """One-chunk literal decode: s_bytes bytes per lane, gather-only.
+def _make_lit_kernel(s_bytes, n_wrows, n_q=1):
+    """One-chunk literal decode: s_bytes bytes per queue, gather-only.
 
     The model planes arrive PREMIXED: mixed = average(cm, nib, weight)
     is computed once per chunk outside the kernel (tables and mixer
@@ -189,29 +190,37 @@ def _make_lit_kernel(s_bytes, n_wrows):
     freq logs the chunk commit needs are recomputed outside from those
     (see _decode_lit_scan).
 
-    refs: model [16*192, 128] int16 (64 mixed-hi ++ 128 mixed-lo
-    planes), words [n_wrows, 128] (u16 pairs packed 2-per-int32, window
-    starting at the even word below each lane's cursor), lcmap [16, 128]
-    (6-bit packed), luts [128, 128] (lut0 ++ lut1, 6-bit packed,
-    lane-broadcast), sc [8, 128] scalars (state, p1, p2, n_rem, word
-    parity); outs: bytes [s_bytes, 128], ctx [s_bytes, 128],
-    sc_out [8, 128] (state, p1, p2, pulls)."""
+    n_q INDEPENDENT queues share each hardware lane, decoded
+    interleaved inside the byte loop: one queue's decode is a single
+    long dependency chain (gather -> entropy -> state -> gather), so
+    the loop is LATENCY-bound, not op-bound — n_q chains overlap to
+    ~2.5x throughput at n_q=3-4 (research/probe_r5_kernel.py; the
+    reference's 2-interleaved dual-state rANS, src/ans.rs, is the same
+    trick one level down).
+
+    refs (phase q's rows stacked along axis 0): model
+    [n_q*16*192, 128] int16 (64 mixed-hi ++ 128 mixed-lo planes per
+    phase), words [n_q*n_wrows, 128] (u16 pairs packed 2-per-int32,
+    window starting at the even word below each queue's cursor), lcmap
+    [n_q*16, 128] (6-bit packed), luts [128, 128] (lut0 ++ lut1, 6-bit
+    packed, lane-broadcast, shared), sc [n_q*8, 128] scalars (state,
+    p1, p2, n_rem, word parity); outs: bytes [n_q*s_bytes, 128], ctx
+    [n_q*s_bytes, 128], sc_out [n_q*8, 128] (state, p1, p2, pulls)."""
 
     def kernel(model_ref, words_ref, lcmap_ref, luts_ref, sc_ref,
                bytes_ref, ctx_ref, sc_out_ref):
-        n_rem = sc_ref[3:4, :]
-        parity = sc_ref[4:5, :]
-
-        def pull(state, pulls, active):
+        def pull(q, state, pulls, active, w_bound):
+            parity = sc_ref[q * 8 + 4:q * 8 + 5, :]
             need = active & (state < STATE_LOW)
             gidx = pulls + parity
-            packed = _lookup_rows(words_ref, 0, n_wrows, gidx >> 1)
+            packed = _lookup_rows(words_ref, q * n_wrows, w_bound,
+                                  gidx >> 1)
             w = (packed >> ((gidx & 1) * 16)) & 0xFFFF
             state = jnp.where(need, (state << RENORM_BITS) | w, state)
             return state, pulls + need.astype(jnp.int32)
 
-        def decode_nib(mixed, state, pulls, active):
-            state, pulls = pull(state, pulls, active)
+        def decode_nib(q, mixed, state, pulls, active, w_bound):
+            state, pulls = pull(q, state, pulls, active, w_bound)
             slot = state & SCALE_MASK
             sym = _p_offset_to_sym(mixed, slot)
             st_, fr_ = _p_start_freq(mixed, sym)
@@ -219,49 +228,77 @@ def _make_lit_kernel(s_bytes, n_wrows):
                               fr_ * (state >> LOG2_SCALE) + slot - st_, state)
             return sym, state, pulls
 
-        def body(t, carry):
-            state, p1, p2, pulls = carry
-            active = t < n_rem
-            sel = (_lookup_p6(luts_ref, 0, 64, p1)
-                   | _lookup_p6(luts_ref, 64, 64, p2))
-            ctx = _lookup_p6(lcmap_ref, 0, 16, sel)
-            c3 = ctx >> 3
-            # high nibble: premixed average(cm_first[ctx], lit_hi[ctx])
-            hi, state, pulls = decode_nib(
-                _fetch1(model_ref, 0, N_HI, ctx), state, pulls, active)
-            # low nibble: premixed average(cm_second[hi, c3],
-            # lit_lo[c3, hi]) — cm_second planes are permuted to
-            # (c3, hi) order so both halves share one plane index
-            idx_lo = c3 * 16 + hi
-            lo, state, pulls = decode_nib(
-                _fetch1(model_ref, N_HI, N_LO, idx_lo), state, pulls, active)
+        def make_body(w_bound):
+            def body(t, carry):
+                outs = []
+                for q in range(n_q):
+                    state, p1, p2, pulls = carry[q]
+                    active = t < sc_ref[q * 8 + 3:q * 8 + 4, :]
+                    sel = (_lookup_p6(luts_ref, 0, 64, p1)
+                           | _lookup_p6(luts_ref, 64, 64, p2))
+                    ctx = _lookup_p6(lcmap_ref, q * 16, 16, sel)
+                    c3 = ctx >> 3
+                    # high nibble: premixed average(cm_first[ctx],
+                    # lit_hi[ctx])
+                    hi, state, pulls = decode_nib(
+                        q, _fetch1(model_ref, q * N_PLANES_MIX, N_HI,
+                                   ctx),
+                        state, pulls, active, w_bound)
+                    # low nibble: premixed average(cm_second[hi, c3],
+                    # lit_lo[c3, hi]) — cm_second planes are permuted
+                    # to (c3, hi) order so both halves share one plane
+                    # index
+                    idx_lo = c3 * 16 + hi
+                    lo, state, pulls = decode_nib(
+                        q, _fetch1(model_ref, q * N_PLANES_MIX + N_HI,
+                                   N_LO, idx_lo),
+                        state, pulls, active, w_bound)
 
-            b = jnp.where(active, (hi << 4) | lo, 0)
-            bytes_ref[pl.ds(t, 1), :] = b
-            ctx_ref[pl.ds(t, 1), :] = jnp.where(active, ctx, 0)
-            p2n = jnp.where(active, p1, p2)
-            p1n = jnp.where(active, b, p1)
-            return (state, p1n, p2n, pulls)
+                    b = jnp.where(active, (hi << 4) | lo, 0)
+                    bytes_ref[pl.ds(q * s_bytes + t, 1), :] = b
+                    ctx_ref[pl.ds(q * s_bytes + t, 1), :] = \
+                        jnp.where(active, ctx, 0)
+                    p2n = jnp.where(active, p1, p2)
+                    p1n = jnp.where(active, b, p1)
+                    outs.append((state, p1n, p2n, pulls))
+                return tuple(outs)
+            return body
 
-        init = (sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :],
-                jnp.zeros((1, LANES), jnp.int32))
-        state, p1, p2, pulls = jax.lax.fori_loop(0, s_bytes, body, init)
-        sc_out_ref[0:1, :] = state
-        sc_out_ref[1:2, :] = p1
-        sc_out_ref[2:3, :] = p2
-        sc_out_ref[3:4, :] = pulls
-        sc_out_ref[4:8, :] = jnp.zeros((4, LANES), jnp.int32)
+        # Staged word-window bound: at byte t a queue has pulled at most
+        # 2(t+1) halfwords, so the packed-word row index is <= t+1 —
+        # early bytes only ever hit the front of the window, so the
+        # lookup scans only its reachable prefix per stage.
+        carry = tuple(
+            (sc_ref[q * 8:q * 8 + 1, :], sc_ref[q * 8 + 1:q * 8 + 2, :],
+             sc_ref[q * 8 + 2:q * 8 + 3, :],
+             jnp.zeros((1, LANES), jnp.int32))
+            for q in range(n_q))
+        n_stages = 4 if s_bytes >= 64 else 1
+        seg = s_bytes // n_stages
+        for k in range(n_stages):
+            hi_t = (k + 1) * seg if k < n_stages - 1 else s_bytes
+            w_bound = min(hi_t + 2, n_wrows)
+            carry = jax.lax.fori_loop(k * seg, hi_t, make_body(w_bound),
+                                      carry)
+        for q in range(n_q):
+            state, p1, p2, pulls = carry[q]
+            sc_out_ref[q * 8:q * 8 + 1, :] = state
+            sc_out_ref[q * 8 + 1:q * 8 + 2, :] = p1
+            sc_out_ref[q * 8 + 2:q * 8 + 3, :] = p2
+            sc_out_ref[q * 8 + 3:q * 8 + 4, :] = pulls
+            sc_out_ref[q * 8 + 4:q * 8 + 8, :] = \
+                jnp.zeros((4, LANES), jnp.int32)
 
     return kernel
 
 
-def _chunk_call(s_bytes, n_wrows, interpret):
+def _chunk_call(s_bytes, n_wrows, interpret, n_q=1):
     return pl.pallas_call(
-        _make_lit_kernel(s_bytes, n_wrows),
+        _make_lit_kernel(s_bytes, n_wrows, n_q),
         out_shape=(
-            jax.ShapeDtypeStruct((s_bytes, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((s_bytes, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((8, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_q * s_bytes, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_q * s_bytes, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_q * 8, LANES), jnp.int32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
@@ -293,9 +330,11 @@ def kernel_perm(layout):
 
 
 @functools.partial(jax.jit, static_argnames=("r_lit", "chunk", "n_chunks",
-                                             "offs", "interpret"))
+                                             "offs", "interpret",
+                                             "n_renorm"))
 def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
-                     r_lit, chunk, n_chunks, offs, interpret):
+                     r_lit, chunk, n_chunks, offs, interpret,
+                     n_renorm: int | None = None):
     """One stream per lane (the original 128-metablock batch shape):
     trivial single-frame queues over the general _decode_lit_scan_q."""
     b = LANES
@@ -303,15 +342,42 @@ def _decode_lit_scan(states, words, n_lit, lcmap_t, luts, spd, perm,
     out, cursor = _decode_lit_scan_q(
         words, counts, states[None, :], n_lit[None, :],
         jnp.zeros((1, b), jnp.int32), lcmap_t[None], spd[None], luts, perm,
-        r_lit, chunk, n_chunks, offs, interpret)
+        r_lit, chunk, n_chunks, offs, interpret, n_renorm=n_renorm)
     return out, cursor
 
 
+def _renorm_bound_q(spd_all, s_bytes: int) -> int | None:
+    """Static worst-case renorm passes for the decode commit, from the
+    packed per-stream speeds [..., 6] = (inc,lim)x3 (mirror of
+    pallas_cmd_pass.renorm_passes_bound): at apply time a row's max is
+    < lim + inc*s_bytes and each pass maps m -> (m+16)-((m+16)>>2).
+    None when any pair exceeds MAX_RENORM_PASSES (callers keep the
+    while_loop)."""
+    from .deferred import MAX_RENORM_PASSES
+    sp = np.asarray(spd_all).reshape(-1, 6)
+    pairs = {(int(i), int(l)) for r in sp
+             for i, l in (r[0:2], r[2:4], r[4:6]) if i}
+    p_max = 0
+    for inc, lim in pairs:
+        m = max(lim - 1, 64) + inc * s_bytes
+        p = 0
+        while m >= lim and p <= MAX_RENORM_PASSES:
+            m = (m + 16) - ((m + 16) >> 2)
+            p += 1
+        if p > MAX_RENORM_PASSES:
+            return None
+        p_max = max(p_max, p)
+    return p_max
+
+
 @functools.partial(jax.jit, static_argnames=("r_lit", "chunk", "n_steps",
-                                             "offs", "interpret"))
+                                             "offs", "interpret",
+                                             "n_renorm", "_ablate"))
 def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
                        lcmap_all, spd_all, luts, perm,
-                       r_lit, chunk, n_steps, offs, interpret):
+                       r_lit, chunk, n_steps, offs, interpret,
+                       n_renorm: int | None = None,
+                       _ablate: str = ""):
     """lax.scan over lit chunks with PERSISTENT WORKER LANES: each of the
     128 lanes decodes a queue of whole literal streams back-to-back, so
     small and large metablocks pack the grid tightly (one-stream-per-lane
@@ -343,7 +409,11 @@ def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
     assert r_lit == 385, r_lit
     # pend row hi*8+c3 (cm_second) <- count row c3*16+hi (lo fetch index)
     perm_cm2 = np.array([(i % 8) * 16 + i // 8 for i in range(128)], np.int32)
-    b = LANES
+    b = counts.shape[0]
+    # n_q queue-lanes share each hardware lane (latency interleave,
+    # _make_lit_kernel); queue-lane index = q * LANES + hw_lane
+    assert b % LANES == 0, b
+    n_q = b // LANES
     # All per-chunk commit state lives in [B, 16, P] layout — symbol
     # entries on sublanes, CDF planes on the 128-lane axis.  The natural
     # [B, P, 16] layout wastes 8x of every vector op (a 16-wide minor
@@ -363,7 +433,7 @@ def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
         "wadj": jnp.zeros((b, 2, 2), jnp.int32),
     }
     n_wrows = chunk // 2 + 8
-    call = _chunk_call(s_bytes, n_wrows, interpret)
+    call = _chunk_call(s_bytes, n_wrows, interpret, n_q)
     w_max = words.shape[1] - 1
     byte_iota = jnp.arange(s_bytes, dtype=jnp.int32)
 
@@ -441,8 +511,17 @@ def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
             cb = arr + bias
             return i + 1, jnp.where(over[:, None, :], cb - (cb >> 2), arr)
 
-        _, committed = jax.lax.while_loop(_ren_cond, _ren_body,
-                                          (jnp.int32(0), committed))
+        if n_renorm is not None and n_renorm <= 3:
+            # static unroll (bit-exact: extra passes are identity for
+            # rows already under their limit, exactly as the masked
+            # while-loop body).  Drops the while_loop's full-array
+            # reduce + scalar cond per chunk — the single largest XLA
+            # commit cost (35 of 145 ms on the round-5 ablation)
+            for _ in range(max(1, n_renorm)):
+                _, committed = _ren_body((jnp.int32(0), committed))
+        else:
+            _, committed = jax.lax.while_loop(_ren_cond, _ren_body,
+                                              (jnp.int32(0), committed))
         w01 = weights[:, :, :2] + pend["wadj"]
         w01 = jnp.clip(w01, 1, deferred.WEIGHT_MAX)
         w0f, w1f = weights_mod._fix_weights(w01[:, :, 0], w01[:, :, 1], jnp)
@@ -484,31 +563,53 @@ def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
                 "wadj": jnp.where(swb, 0, pend["wadj"])}
 
         # per-lane packed-word window from the even word below the cursor
-        # (overruns clamp; reads gated by `need` in the kernel)
+        # (overruns clamp; reads gated by `need` in the kernel); phase
+        # blocks stacked along rows for the n_q-interleaved kernel
         widx = jnp.clip((cursor >> 1)[:, None] + jnp.arange(n_wrows), 0, w_max)
-        words_chunk = jnp.take_along_axis(words, widx, axis=1).T  # [n_wrows,128]
-        g = committed[:, :, perm]                       # [B, 16, 384]
-        nw_lo = (weights[:, 0, 2] & 0xFFFF)[:, None, None]
-        nw_hi = (weights[:, 1, 2] & 0xFFFF)[:, None, None]
-        # premix the frozen cm/nib pairs once per chunk (bit-exact with
-        # the per-byte average the kernel used to do: same frozen inputs)
-        mix_hi = _average_t(g[:, :, 64:128], g[:, :, 0:64], nw_hi)
-        mix_lo = _average_t(g[:, :, 256:384], g[:, :, 128:256], nw_lo)
+        words_chunk = jnp.take_along_axis(words, widx, axis=1) \
+            .reshape(n_q, LANES, n_wrows).transpose(0, 2, 1) \
+            .reshape(n_q * n_wrows, LANES)
+        if "nopremix" in _ablate:     # timing ablation: wrong bytes
+            g = committed0[:, :, perm]
+            mix_hi = g[:, :, 64:128]
+            mix_lo = g[:, :, 256:384]
+        else:
+            g = committed[:, :, perm]                   # [B, 16, 384]
+            nw_lo = (weights[:, 0, 2] & 0xFFFF)[:, None, None]
+            nw_hi = (weights[:, 1, 2] & 0xFFFF)[:, None, None]
+            # premix the frozen cm/nib pairs once per chunk (bit-exact
+            # with the per-byte average the kernel used to do: same
+            # frozen inputs)
+            mix_hi = _average_t(g[:, :, 64:128], g[:, :, 0:64], nw_hi)
+            mix_lo = _average_t(g[:, :, 256:384], g[:, :, 128:256], nw_lo)
         kmodel = jnp.concatenate([mix_hi, mix_lo], axis=2) \
-            .transpose(2, 1, 0).reshape((N_HI + N_LO) * 16, b) \
-            .astype(jnp.int16)
+            .reshape(n_q, LANES, 16, N_PLANES_MIX).transpose(0, 3, 2, 1) \
+            .reshape(n_q * N_PLANES_MIX * 16, LANES).astype(jnp.int16)
+        lcmap_k = lcmap_cur.reshape(16, n_q, LANES) \
+            .transpose(1, 0, 2).reshape(n_q * 16, LANES)
         sc_in = jnp.stack([state, p1, p2, n_rem, cursor & 1,
                            jnp.zeros_like(state), jnp.zeros_like(state),
-                           jnp.zeros_like(state)], axis=0)
-        bytes_c, ctx_c, sc_out = call(kmodel, words_chunk, lcmap_cur, luts,
-                                      sc_in)
-        bytes_l = bytes_c.T            # [128 lanes, s_bytes]
-        ctx_l = ctx_c.T
+                           jnp.zeros_like(state)], axis=0) \
+            .reshape(8, n_q, LANES).transpose(1, 0, 2) \
+            .reshape(n_q * 8, LANES)
+        bytes_c, ctx_c, sc_raw = call(kmodel, words_chunk, lcmap_k,
+                                      luts[:, :LANES], sc_in)
+        sc_out = sc_raw.reshape(n_q, 8, LANES).transpose(1, 0, 2) \
+            .reshape(8, b)
+        bytes_l = bytes_c.reshape(n_q, s_bytes, LANES) \
+            .transpose(0, 2, 1).reshape(b, s_bytes)
+        ctx_l = ctx_c.reshape(n_q, s_bytes, LANES) \
+            .transpose(0, 2, 1).reshape(b, s_bytes)
         hi = bytes_l >> 4
         lo = bytes_l & 0xF
         c3 = ctx_l >> 3
         active = byte_iota[None, :] < n_rem[:, None]            # [B, s]
 
+        if "nohist" in _ablate:       # timing ablation: wrong bytes
+            carry = (committed, weights, pend, sc_out[0],
+                     cursor + sc_out[3], sc_out[1], sc_out[2],
+                     n_rem - s_bytes, fidx, lcmap_cur, spd_cur)
+            return carry, bytes_l
         # ---- per-class count histograms.  The lit-only chunk has exactly
         # four blend sites per byte with *constant* (inc, lim) per lane
         # (the PredictionMode speeds), and the nib/cm sites of each nibble
@@ -540,14 +641,18 @@ def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
         # per-(row, sym) constants under the frozen chunk tables, so the
         # chunk's summed adjustment contracts the count histograms with
         # the precomputed adj tables — no per-byte freq math at all
-        wadj_rows = []
-        for cnt, mix, cmt, nibt in (
-                (cnt_hi, mix_hi, g[:, :, 64:128], g[:, :, 0:64]),
-                (cnt_lo, mix_lo, g[:, :, 256:384], g[:, :, 128:256])):
-            adj = _adj_tables(mix, cmt, nibt)
-            wadj_rows.append(jnp.stack(
-                [jnp.sum(cnt * adj[i], axis=(1, 2)) for i in (0, 1)], -1))
-        wadj = jnp.stack([wadj_rows[1], wadj_rows[0]], axis=1)  # [B, 2, 2]
+        if "nowadj" in _ablate:       # timing ablation: wrong bytes
+            wadj = pend0["wadj"]
+        else:
+            wadj_rows = []
+            for cnt, mix, cmt, nibt in (
+                    (cnt_hi, mix_hi, g[:, :, 64:128], g[:, :, 0:64]),
+                    (cnt_lo, mix_lo, g[:, :, 256:384], g[:, :, 128:256])):
+                adj = _adj_tables(mix, cmt, nibt)
+                wadj_rows.append(jnp.stack(
+                    [jnp.sum(cnt * adj[i], axis=(1, 2)) for i in (0, 1)],
+                    -1))
+            wadj = jnp.stack([wadj_rows[1], wadj_rows[0]], axis=1)  # [B,2,2]
 
         def seg(cnt_mat, inc_col, lim_col):
             """One class's (add, limsum, cnt) from its [B, 16, P] count
@@ -573,7 +678,8 @@ def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
                 [zrow[:, 0, :]] + [s_[2] for s_ in segs], axis=1),
             "wadj": wadj,
         }
-        committed, weights = _apply_pend_t(committed, weights, pend)
+        if "nocommit" not in _ablate:  # timing ablation: wrong bytes
+            committed, weights = _apply_pend_t(committed, weights, pend)
 
         carry = (committed, weights, new_pend, sc_out[0], cursor + sc_out[3],
                  sc_out[1], sc_out[2], n_rem - s_bytes,
@@ -685,7 +791,8 @@ def _issue_lit_batch(lit_streams: list[bytes], n_lits: list[int],
     out, _ = _decode_lit_scan(
         jnp.asarray(states), jnp.asarray(words), jnp.asarray(n_lit),
         jnp.asarray(lcmap_t), jnp.asarray(luts), jnp.asarray(spd),
-        jnp.asarray(perm), r_lit, chunk, n_chunks, offs, interpret)
+        jnp.asarray(perm), r_lit, chunk, n_chunks, offs, interpret,
+        n_renorm=_renorm_bound_q(spd, chunk // 2))
     # bound shape diversity: columns padded to 4 KiB multiples
     ncols = min(out.shape[1], max(4096, -(-max_lit // 4096) * 4096))
     return _trim_cast(out, ncols)
@@ -792,7 +899,8 @@ def issue_lane_queues(arrays, n_steps: int, chunk: int, layout,
     r_lit = layout.num_rows - lit_base + 1
     out, _cursor = _decode_lit_scan_q(
         *[jnp.asarray(a) for a in arrays], jnp.asarray(perm),
-        r_lit, chunk, n_steps, offs, interpret)
+        r_lit, chunk, n_steps, offs, interpret,
+        n_renorm=_renorm_bound_q(arrays[6], chunk // 2))
     return _cast_u8(out)
 
 
@@ -917,14 +1025,17 @@ def decompress_frames(frames, chunk: int, layout, options,
             raw = decode_metablock(f.cmd, f.lit, f.raw_len, options, chunk)
         return ("host", raw)
 
-    # group size: target ~128 chunk-slots per lane per scan (~2 MiB of
-    # literals) — big enough that the scan's fixed dispatch cost
-    # amortizes and every lane is loaded, small enough that scans
-    # pipeline finely against the cmd pass and each other (swept on the
-    # 48 MiB corpus: 64 -> 47.9, 128 -> 67.0, 224 -> 58.7, 288 -> 44.0
-    # MB/s)
-    NEED_TARGET = LANES * int(os.environ.get("DIVANS_DEC_GROUP_CHUNKS",
-                                             "128"))
+    # queues per hardware lane (latency interleave, _make_lit_kernel):
+    # one queue's decode is a serial dependency chain, so 3 queues per
+    # lane run ~2.5x the single-queue kernel rate
+    QPL = int(os.environ.get("DIVANS_DEC_QPL", "3"))
+    # group size: target ~128 chunk-slots per queue-lane per scan —
+    # big enough that the scan's fixed dispatch cost amortizes and
+    # every lane is loaded, small enough that scans pipeline finely
+    # against the cmd pass and each other (swept on the 48 MiB corpus
+    # at QPL=1: 64 -> 47.9, 128 -> 67.0, 224 -> 58.7, 288 -> 44.0 MB/s)
+    NEED_TARGET = QPL * LANES * int(os.environ.get(
+        "DIVANS_DEC_GROUP_CHUNKS", "128"))
     # one pool thread per core: the pool's native calls release the GIL
     # and the main thread's issue path is mostly blocked on the pool
     # (cpus-1 workers measured 58.7 vs 63.5 MB/s for cpus on the 48 MiB
@@ -951,7 +1062,7 @@ def decompress_frames(frames, chunk: int, layout, options,
                 spds.append(s.speeds)
         with tracelog.span("decode/pack_group", jobs=len(streams)):
             arrays, n_steps, placement = pack_lane_queues(
-                streams, n_lits, lcmaps, spds, chunk)
+                streams, n_lits, lcmaps, spds, chunk, lanes=QPL * LANES)
         with tracelog.span("decode/issue_scan", n_steps=n_steps):
             dev = issue_lane_queues(arrays, n_steps, chunk, layout,
                                     interpret=interpret)

@@ -104,15 +104,30 @@ def _match_len(data: bytes, a: int, b: int, limit: int) -> int:
     return n
 
 
-def find_matches_optimal(data: bytes, quality: int):
+def find_matches_optimal(data: bytes, quality: int, as_array: bool = False):
     """Cost-model optimal parse (native DP, quality >= 10) or None.
 
     The reference reaches its q10/q11 ratio through brotli's optimal
     parse (backward references chosen by a shortest-path cost model);
     this is the equivalent front-end, implemented in
-    native/trace_builder.cpp (dtpu_match_optimal) with
-    billing-calibrated integer costs.  Static-dictionary edges join at
-    quality 11 (their candidate probing is the expensive part)."""
+    native/trace_builder.cpp (dtpu_parse_optimal = literal costs + DP +
+    repeat-distance rewrite in ONE GIL-free call) with billing-calibrated
+    integer costs.  Static-dictionary edges join at quality 11 (their
+    candidate probing is the expensive part).
+
+    Literal pricing: one calibrated constant per block (order-1 entropy
+    * 0.92 — computed in C).  The per-position sliding-window estimate
+    (brotli literal_cost.c's shape) was TRIED AND REJECTED as default:
+    strictly worse at every scale swept (research/sweep_lit_cost.py);
+    DIVANS_LIT_COST_SCALE16 re-enables it.
+
+    Distance cost ~ 40/16 + 7/16*bitlen bits: re-swept after the
+    forward-DP distance-LRU landed (PERF_NOTES round-4);
+    _DIST_COST_OVERRIDE is the research sweep hook.
+
+    as_array=True returns the int32[n,3] ndarray view (the native
+    trace-build path consumes arrays; tolist of ~13k matches per frame
+    held the GIL long enough to serialize the encode pool)."""
     import ctypes
 
     import numpy as np
@@ -122,7 +137,7 @@ def find_matches_optimal(data: bytes, quality: int):
     lib = native.load()
     if lib is None or len(data) < MIN_MATCH:
         return None
-    lib.dtpu_match_optimal.restype = ctypes.c_int32
+    lib.dtpu_parse_optimal.restype = ctypes.c_int32
     n = len(data)
     depth = max(1, min(64, 1 << max(0, quality - 5)))  # q10: 32, q11: 64
     # candidate frontier width: q10 keeps the 2-entry nearest+longest
@@ -133,61 +148,28 @@ def find_matches_optimal(data: bytes, quality: int):
     if quality >= 11:
         depth = int(os.environ.get("DIVANS_Q11_DEPTH", "256"))
         kcand = int(os.environ.get("DIVANS_Q11_KCAND", "5"))
-    # per-position literal costs (sliding order-1 window, C++): mixed
-    # data prices its literals locally — the one-constant-per-block
-    # estimate mispriced copy-vs-literal near-ties across text/binary
-    # region changes (brotli q11's literal_cost.c is the reference
-    # analog).  The global order-1 floor keeps the old calibration's
-    # scale where the local window has little signal.
-    if LIT_COST_SCALE16 > 0:
-        lit16s = np.zeros(n, np.int32)
-        lib.dtpu_lit_costs(
-            (ctypes.c_uint8 * n).from_buffer_copy(data), n,
-            LIT_COST_SCALE16,
-            lit16s.ctypes.data_as(ctypes.c_void_p))
-        np.maximum(lit16s, 8, out=lit16s)
-    else:   # research escape hatch: the old one-constant-per-block cost
-        from .optimize import order1_bits_per_byte
-        lit16s = np.full(n, max(8, int(order1_bits_per_byte(data)
-                                       * 0.92 * 16)), np.int32)
-    # distance cost ~ 40/16 + 7/16*bitlen bits: re-swept after the
-    # forward-DP distance-LRU landed (rep copies now price at the
-    # mnemonic differential, so the explicit-distance slope flattened:
-    # (40,9) -> (40,7) is q11 0.1672 -> 0.1668, q10 0.1759 -> 0.1751,
-    # alice11 0.3188 -> 0.3183; the neighborhood is flat +/-4 on the
-    # base, +/-1 on the slope).  _DIST_COST_OVERRIDE is the research
-    # sweep hook.
+    elif quality == 10:
+        depth = int(os.environ.get("DIVANS_Q10_DEPTH", str(depth)))
     da, db = globals().get("_DIST_COST_OVERRIDE", (40, 7))
-    dist16 = np.array([da + db * bl for bl in range(33)], np.int32)
     if quality >= 11:
         dlen, dcost = _dict_candidate_arrays(data)
+        dlen_p = dlen.ctypes.data_as(ctypes.c_void_p)
+        dcost_p = dcost.ctypes.data_as(ctypes.c_void_p)
     else:
-        dlen = np.zeros(n, np.int32)
-        dcost = np.zeros(n, np.int32)
-    buf = (ctypes.c_uint8 * n).from_buffer_copy(data)
+        dlen_p = dcost_p = None
     # sized for the forward DP's minimum copy length of 2 (cache-distance
     # probes at q11 emit len-2/3 copies): a parse dominated by len-2
     # copies must still fit, or the -1 fallback silently drops to greedy
     # on exactly the repetitive data the feature targets
     out = np.zeros((n // 2 + 8, 3), np.int32)
-
-    def parse(lit16_, dist16_):
-        nm = lib.dtpu_match_optimal(
-            buf, n, depth, kcand,
-            np.ascontiguousarray(lit16_).ctypes.data_as(ctypes.c_void_p),
-            np.ascontiguousarray(dist16_).ctypes.data_as(ctypes.c_void_p),
-            dlen.ctypes.data_as(ctypes.c_void_p),
-            dcost.ctypes.data_as(ctypes.c_void_p),
-            out.ctypes.data_as(ctypes.c_void_p), out.shape[0])
-        if nm < 0:
-            return None
-        # repeat-distance LRU rewrite, in place (C++ twin of
-        # _prefer_repeat_distances — bit-identical, tests/test_native.py)
-        lib.dtpu_prefer_repeat(buf, n,
-                               out.ctypes.data_as(ctypes.c_void_p), nm)
-        return out[:nm].tolist()
-
-    return parse(lit16s, dist16)
+    nm = lib.dtpu_parse_optimal(
+        data, n, depth, kcand, LIT_COST_SCALE16, da, db,
+        dlen_p, dcost_p,
+        out.ctypes.data_as(ctypes.c_void_p), out.shape[0])
+    if nm < 0:
+        return None
+    res = out[:nm]
+    return res if as_array else res.tolist()
     # NOTE: a Zopfli-style second iteration with costs measured from a
     # replay of the first parse (_measured_costs below) was tried and is
     # ratio-neutral-to-slightly-negative here: the adaptive distance

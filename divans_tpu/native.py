@@ -110,11 +110,15 @@ def build_trace(raw: bytes, options: DivansOptions,
     if options.quality >= 10 and n >= 4:
         # default quality takes the cost-model optimal parse — the same
         # matches the golden engine's build_commands uses (ir/matcher
-        # find_matches), so containers stay byte-identical
-        from .ir.matcher import find_matches
-        m = find_matches(raw, options.quality)
-        matches = np.ascontiguousarray(
-            np.array(m, np.int32).reshape(-1, 3))
+        # find_matches), so containers stay byte-identical.  Array path:
+        # no per-frame tolist/relist under the GIL (the encode pool
+        # serialized on it)
+        from .ir.matcher import find_matches, find_matches_optimal
+        matches = find_matches_optimal(raw, options.quality, as_array=True)
+        if matches is None:
+            m = find_matches(raw, options.quality)
+            matches = np.array(m, np.int32).reshape(-1, 3)
+        matches = np.ascontiguousarray(matches)
         nm = matches.shape[0]
         if nm == 0:
             matches = np.zeros((1, 3), np.int32)

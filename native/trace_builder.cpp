@@ -238,17 +238,34 @@ extern "C" void dtpu_lit_costs(const uint8_t* data, int32_t n,
     static thread_local std::vector<int32_t> tot;
     cnt.assign(1 << 16, 0);
     tot.assign(256, 0);
-    // log2((tot+256)/(cnt+1)) via float log2f: encoder-side heuristic
-    // only — every engine sees the identical parse, so container
-    // equality is unaffected
+    // log2((tot+256)/(cnt+1)) via a fixed-point table: log2(a)-log2(b)
+    // with 8-bit mantissa interpolation (max error ~0.003 bits, well
+    // under the DP's 1/16-bit cost grid).  Encoder-side heuristic only —
+    // every engine sees the identical parse, so container equality is
+    // unaffected.  (log2f per byte was ~20% of q10 matcher time.)
+    static int32_t log2_q8[512];     // log2(256 + m) * 256 for m in 0..255
+    static bool log2_init = false;   // (cheap idempotent init; races benign)
+    if (!log2_init) {
+        for (int32_t m = 0; m < 512; ++m)
+            log2_q8[m] = (int32_t)(__builtin_log2f(256.0f + m) * 256.0f
+                                   + 0.5f);
+        log2_init = true;
+    }
+    auto log2q8 = [&](uint32_t v) -> int32_t {
+        // v >= 1; returns log2(v) * 256
+        int32_t e = 31 - __builtin_clz(v);
+        uint32_t m = e >= 8 ? (v >> (e - 8)) : (v << (8 - e));
+        return ((e - 8) << 8) + log2_q8[m - 256];
+    };
     for (int32_t i = 0; i < n; ++i) {
         int32_t p = i ? data[i - 1] : 0;
         int32_t c = cnt[(p << 8) | data[i]];
         int32_t t = tot[p];
-        float bits = __builtin_log2f((float)(t + 256) / (float)(c + 1));
-        if (bits < 0.5f) bits = 0.5f;
-        if (bits > 14.0f) bits = 14.0f;
-        out16[i] = (int32_t)(bits * (float)scale16);
+        int32_t bits_q8 = log2q8((uint32_t)(t + 256))
+            - log2q8((uint32_t)(c + 1));
+        if (bits_q8 < 128) bits_q8 = 128;          // 0.5 bits
+        if (bits_q8 > 14 * 256) bits_q8 = 14 * 256;
+        out16[i] = (bits_q8 * scale16) >> 8;
         cnt[(p << 8) | data[i]] += 1;
         tot[p] += 1;
         if (i >= W) {
@@ -312,14 +329,37 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     static thread_local std::vector<int32_t> fr_len, fr_dist;
     fr_len.assign((size_t)n * K, 0);
     fr_dist.assign((size_t)n * K, 0);
+    // Long-match skip (brotli backward_references_hq's shortcut): once a
+    // position finds a match of length >= SKIP, the positions it covers
+    // almost always ride that copy on the optimal path — searching their
+    // chains re-finds suffixes of the same match at full depth cost.
+    // Those positions get a SYNTHESIZED single-entry frontier instead:
+    // "continue the long match" (len decaying, same distance), which is
+    // the edge the DP actually uses there, and chain insertion still
+    // happens so later positions see them as candidates.
+    const int32_t SKIP = [&]{
+        const char* e = getenv("DIVANS_DP_SKIP");
+        return e ? atoi(e) : 64;
+    }();
+    int32_t skip_end = 0, skip_d = 0;
     for (int32_t i = 0; i + MIN_MATCH <= n; ++i) {
         uint32_t v;
         memcpy(&v, data + i, 4);
         uint32_t h = (v * 0x1E35A7BDu) >> 14;
-        int32_t best_len = 0;
-        int32_t nf = 0;
         int32_t* fl = fr_len.data() + (size_t)i * K;
         int32_t* fd = fr_dist.data() + (size_t)i * K;
+        if (i < skip_end) {
+            int32_t rem = skip_end - i;
+            if (rem >= MIN_MATCH) {
+                fl[0] = rem;
+                fd[0] = skip_d;
+            }
+            prev[i] = head[h];
+            head[h] = i;
+            continue;
+        }
+        int32_t best_len = 0;
+        int32_t nf = 0;
         int32_t j = head[h];
         int32_t maxl = n - i;
         for (int32_t k = 0; k < depth && j >= 0; ++k, j = prev[j]) {
@@ -344,6 +384,10 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         // (slots beyond nf stay 0 — the DP stops at the first 0 length)
         prev[i] = head[h];
         head[h] = i;
+        if (SKIP > 0 && best_len >= SKIP) {
+            skip_end = i + best_len;
+            skip_d = nf >= K ? fd[K - 1] : fd[nf - 1];  // longest entry
+        }
     }
 
     double t1 = timing ? now_s() : 0.0;
@@ -381,6 +425,13 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     // rep_bonus pair-credit); cache PROBING (4 match_len per position)
     // is paid only at the q11 frontier widths
     const bool probe_cache = K >= 3;
+    // the distance cache is a pure function of anchor[i], and the anchor
+    // chain below position i is frozen (forward DP writes only forward
+    // indices) — memoize it across the long runs of positions that share
+    // one anchor instead of re-walking the chain every position
+    int32_t cache[4];
+    int nc = 0;
+    int32_t cache_anchor = -2;
     for (int32_t i = 0; i < n; ++i) {
         const int64_t ci = cost[i];
         // literal edge
@@ -389,14 +440,16 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
             elen[i + 1] = 0;
             anchor[i + 1] = anchor[i];
         }
-        int32_t cache[4];
-        int nc = 0;
-        for (int32_t a = anchor[i]; a >= 0 && nc < 4; a = aprev[a]) {
-            int32_t d = adist[a];
-            bool dup = false;
-            for (int k = 0; k < nc; ++k)
-                if (cache[k] == d) { dup = true; break; }
-            if (!dup) cache[nc++] = d;
+        if (anchor[i] != cache_anchor) {
+            cache_anchor = anchor[i];
+            nc = 0;
+            for (int32_t a = cache_anchor; a >= 0 && nc < 4; a = aprev[a]) {
+                int32_t d = adist[a];
+                bool dup = false;
+                for (int k = 0; k < nc; ++k)
+                    if (cache[k] == d) { dup = true; break; }
+                if (!dup) cache[nc++] = d;
+            }
         }
         auto relax_copy = [&](int32_t l, int32_t d, int32_t c16) {
             if (ci + c16 < cost[i + l]) {
@@ -458,10 +511,16 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
             int32_t L = 0;
             for (int32_t k = 0; k < K && fl[k]; ++k) L = fl[k];
             int32_t l = MIN_MATCH;
+            // hoist the distance cost per frontier ENTRY (<= K lookups)
+            // instead of per length (~L lookups)
+            int32_t d = fd[0], dc = dist16(d);
             while (l <= L) {
-                while (fl[fi] < l) ++fi;   // ends: fl has an entry >= l
-                int32_t d = fd[fi];
-                relax_copy(l, d, copy_len_cost16(l) + dist16(d));
+                if (fl[fi] < l) {           // step to the next tier
+                    while (fl[fi] < l) ++fi;   // ends: some entry >= l
+                    d = fd[fi];
+                    dc = dist16(d);
+                }
+                relax_copy(l, d, copy_len_cost16(l) + dc);
                 if (l < 24) {
                     ++l;
                 } else if (l < fl[fi]) {
@@ -513,6 +572,65 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         }
     }
     return count;
+}
+
+// One-call q10/q11 parse: literal costs + DP + repeat-distance rewrite
+// in a single GIL-free native call.  The Python orchestration
+// (ir/matcher.find_matches_optimal) funnels here, so the golden and
+// native engines share the identical parse by construction; the win is
+// removing the per-frame Python round-trips (tolist of ~13k matches,
+// double buffer copies, numpy entropy) that serialized the encode pool
+// on the GIL.
+//   lit_scale16 > 0: per-position sliding order-1 costs (dtpu_lit_costs)
+//   lit_scale16 = 0: one calibrated constant = order-1 entropy * 0.92
+//                    (ir/optimize.order1_bits_per_byte's rule)
+extern "C" int32_t dtpu_parse_optimal(const uint8_t* data, int32_t n,
+                                      int32_t depth, int32_t kcand,
+                                      int32_t lit_scale16,
+                                      int32_t dist_base16,
+                                      int32_t dist_slope16,
+                                      const int32_t* dict_len,
+                                      const int32_t* dict_cost16,
+                                      Match* out, int32_t out_cap) {
+    if (n < 4) return 0;
+    static thread_local std::vector<int32_t> lit;
+    lit.resize((size_t)n);
+    if (lit_scale16 > 0) {
+        dtpu_lit_costs(data, n, lit_scale16, lit.data());
+        for (int32_t i = 0; i < n; ++i)
+            if (lit[i] < 8) lit[i] = 8;
+    } else {
+        // order-1 conditional entropy, bits/byte (double math, matching
+        // the numpy twin's formula)
+        static thread_local std::vector<uint32_t> cnt;
+        cnt.assign(1 << 16, 0);
+        uint32_t row[256] = {0};
+        for (int32_t i = 1; i < n; ++i) {
+            cnt[((uint32_t)data[i - 1] << 8) | data[i]] += 1;
+            row[data[i - 1]] += 1;
+        }
+        double h = 0.0;
+        for (int32_t p = 0; p < 256; ++p) {
+            if (!row[p]) continue;
+            double t = (double)row[p];
+            const uint32_t* cp = cnt.data() + (p << 8);
+            for (int32_t c = 0; c < 256; ++c)
+                if (cp[c])
+                    h -= (double)cp[c] * __builtin_log2((double)cp[c] / t);
+        }
+        double bits = n >= 2 ? h / (double)(n - 1) : 8.0;
+        int32_t c16 = (int32_t)(bits * 0.92 * 16.0);
+        if (c16 < 8) c16 = 8;
+        for (int32_t i = 0; i < n; ++i) lit[i] = c16;
+    }
+    int32_t dist16[33];
+    for (int32_t bl = 0; bl < 33; ++bl)
+        dist16[bl] = dist_base16 + dist_slope16 * bl;
+    int32_t nm = dtpu_match_optimal(data, n, depth, kcand, lit.data(),
+                                    dist16, dict_len, dict_cost16,
+                                    out, out_cap);
+    if (nm > 0) dtpu_prefer_repeat(data, n, out, nm);
+    return nm;
 }
 
 struct Speed { int32_t inc, lim; };
