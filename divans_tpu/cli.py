@@ -20,6 +20,10 @@ Flags (a subset of the reference's ~40, same spellings where they exist):
                 N = chunk nibbles, default 256; ~+0.4% ratio)
   -blocksplit   literal block-type segmentation + per-segment strides
                 (ratio mode on heterogeneous data; golden-engine decode)
+  -cmapcluster[=K] data-adaptive literal context map: cluster the 64
+                utf8 contexts to <= K shared priors (default 16;
+                measured ratio-neutral on adaptive CDFs — map-coding
+                parity feature; golden-engine encode)
   -priormask[=q] per-context prior-bitmask detection (stride-vs-context
                 prior per literal context; ratio mode, golden decode)
   -serial       force the golden serial engine (no device batching)
@@ -82,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
         elif a == "-blocksplit":
             # literal block-type segmentation (ir/blocks.py): ratio mode
             opts["block_split"] = True
+        elif a.startswith("-cmapcluster"):
+            # clustered literal context map (ir/cmaps.py)
+            opts["cmap_clustering"] = \
+                int(a.split("=")[1]) if "=" in a else 16
         elif a == "-serial":
             engine = "golden"
         elif a == "-bill":

@@ -930,11 +930,12 @@ def compress(data: bytes, options: DivansOptions | None = None,
     from . import deferred
     options = options or DivansOptions()
     if (options.external_probs is not None or options.block_split
-            or options.prior_bitmask_detection):
+            or options.prior_bitmask_detection or options.cmap_clustering):
         from . import engine_np
-        # ECDF, block-split, and per-context-mask streams are golden-
-        # engine paths (the trace builder and device profiles are nb=1 /
-        # constant-mask / external-prob-free)
+        # ECDF, block-split, clustered-cmap, and per-context-mask
+        # streams are golden-engine paths (the trace builder and device
+        # profiles are nb=1 / identity-map / constant-mask /
+        # external-prob-free)
         return engine_np.compress(data, options)
     if (options.stride_detection_quality or options.speed_detection_quality
             or options.force_stride_value):

@@ -519,6 +519,16 @@ def _dict_matches_in(raw: bytes, lo: int, hi: int) -> list[tuple[int, tuple]]:
 
 def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
     out: list[cmds.Command] = [default_prediction_mode(options)]
+    if (options.cmap_clustering and options.use_context_map
+            and not options.block_split):
+        # data-adaptive literal context map (the reference consumes
+        # brotli's clustered maps here, brotli_ir_gen.rs:133-167)
+        import dataclasses
+        from . import cmaps
+        out[0] = dataclasses.replace(
+            out[0],
+            literal_context_map=cmaps.cluster_lcm(
+                raw, max_clusters=options.cmap_clustering))
     matches = find_matches(raw, options.quality)
     # static-dictionary matching inside literal runs (quality 11 trades
     # device-scan decode for ratio: dict commands decode via the golden

@@ -90,6 +90,7 @@ def supports(options: DivansOptions) -> bool:
             and options.prior_depth == 0
             and options.external_probs is None
             and not options.block_split         # switches: cmds path only
+            and options.cmap_clustering == 0    # clustered maps: golden path
             and options.divans_ir_optimizer == 0)  # actuary is Python-side
 
 

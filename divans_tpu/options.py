@@ -51,6 +51,20 @@ class DivansOptions:
                                           # native fast path both directions
                                           # (split profile, flag 3); see the
                                           # decode-path matrix in DESIGN.md
+    cmap_clustering: int = 0              # 0 = identity literal context map;
+                                          # else cluster the 64 utf8 contexts
+                                          # to <= N shared priors per
+                                          # metablock (ir/cmaps.py — the
+                                          # generation side of the reference's
+                                          # brotli-computed maps,
+                                          # brotli_ir_gen.rs:133-167).
+                                          # MEASURED ratio-neutral (+-0.1%)
+                                          # on this engine's always-adaptive
+                                          # CDFs (research/probe_cmap_cluster:
+                                          # adaptive models self-cluster);
+                                          # shipped opt-in for map-coding
+                                          # parity + heterogeneous corpora.
+                                          # Golden-engine encode path.
     external_probs: Optional[bytes] = None  # per-bit literal probabilities
                                           # (8 bytes per raw byte, reference
                                           # feature external-literal-probability;

@@ -342,6 +342,11 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         return e ? atoi(e) : 64;
     }();
     int32_t skip_end = 0, skip_d = 0;
+    // positions whose frontier is the synthesized continue-the-long-match
+    // edge: cache probing is skipped there (the copy dominates; probes
+    // just re-find its suffixes at full relax cost)
+    static thread_local std::vector<uint8_t> synth;
+    synth.assign((size_t)n, 0);
     for (int32_t i = 0; i + MIN_MATCH <= n; ++i) {
         uint32_t v;
         memcpy(&v, data + i, 4);
@@ -354,6 +359,7 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
                 fl[0] = rem;
                 fd[0] = skip_d;
             }
+            synth[i] = 1;
             prev[i] = head[h];
             head[h] = i;
             continue;
@@ -474,12 +480,19 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
         int np = 0;
         if (probe_cache) {
             for (int k = 0; k < nc; ++k) probes[np++] = cache[k];
-            for (int k = 0; k < nc && k < 2; ++k)
-                for (int32_t s = 1; s <= 3; ++s) {
-                    probes[np++] = cache[k] + s;
-                    probes[np++] = cache[k] - s;
-                }
+            // the +/-1..3 mnemonic variants only pay off where the
+            // parse is open; inside a synthesized long-match region
+            // they just re-find the copy's suffixes (measured
+            // ratio-neutral to skip, probe sweep in PERF_NOTES r5)
+            if (!synth[i])
+                for (int k = 0; k < nc && k < 2; ++k)
+                    for (int32_t s = 1; s <= 3; ++s) {
+                        probes[np++] = cache[k] + s;
+                        probes[np++] = cache[k] - s;
+                    }
         }
+        const int32_t* fl_i = fr_len.data() + (size_t)i * K;
+        const int32_t* fd_i = fr_dist.data() + (size_t)i * K;
         for (int k = 0; k < np; ++k) {
             int32_t d = probes[k];
             if (d <= 0 || d > i) continue;
@@ -487,7 +500,19 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
             for (int k2 = 0; k2 < k; ++k2)
                 if (probes[k2] == d) { dup = true; break; }
             if (dup) continue;
-            int32_t l = match_len(i - d, i, maxl);
+            // PURE cache distance == the NEAREST frontier entry: every
+            // length 4..fl[0] at d is priced at the mnemonic by dist16()
+            // in the frontier relax below (d is in the cache, entry 0
+            // covers all those lengths), so only the len-2/3 edges are
+            // new — skip the long relax loop (the probe pass's dominant
+            // cost on repetitive data).  +/-1..3 variants are NOT in the
+            // cache (they price via mnemonics 4-14 that dist16 cannot
+            // see), and farther frontier entries only cover their own
+            // tier — both keep the full probe.
+            int32_t lmax = maxl;
+            if (k < nc && fl_i[0] >= MIN_MATCH && fd_i[0] == d)
+                lmax = lmax < 3 ? lmax : 3;
+            int32_t l = match_len(i - d, i, lmax);
             if (l < 2) continue;
             int32_t l2 = 2;
             while (l2 <= l) {

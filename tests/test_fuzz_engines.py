@@ -44,6 +44,9 @@ def test_fuzz_cross_engine():
             metablock_size=rng.choice([4096, 1 << 18]),
             chunk_nibbles=rng.choice([0, 0, 128, 1024]),
             divans_ir_optimizer=rng.choice([0, 0, 1]),
+            # clustered literal context maps (ir/cmaps.py): non-identity
+            # maps exercised end-to-end across every engine
+            cmap_clustering=rng.choice([0, 0, 0, 8, 16]),
         )
         bg = engine_np.compress(data, opts)
         assert jax_engine.compress(data, opts) == bg, opts
