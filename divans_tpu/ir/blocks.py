@@ -124,26 +124,126 @@ def prediction_mode_for(nb: int, options, strides=None):
     )
 
 
-def inject_switches(raw: bytes, commands: list, segments, options) -> list:
+def _cluster_windows(feats: np.ndarray, thresh: float,
+                     win_bytes: int) -> list[tuple[int, int]]:
+    """Greedy online clustering of per-window feature rows into
+    <= MAX_TYPES centroids -> [(start_offset, type)] with
+    first-appearance renumbering (the literal splitter's algorithm,
+    factored for the cmd/dist streams)."""
+    centroids: list[np.ndarray] = []
+    counts: list[int] = []
+    labels = np.zeros(len(feats), np.int32)
+    for i, f in enumerate(feats):
+        if centroids:
+            d = [float(np.abs(f - c).sum()) for c in centroids]
+            j = int(np.argmin(d))
+        else:
+            d, j = [thresh + 1], 0
+        if d[j] > thresh and len(centroids) < MAX_TYPES:
+            centroids.append(f.copy())
+            counts.append(1)
+            j = len(centroids) - 1
+        else:
+            counts[j] += 1
+            centroids[j] += (f - centroids[j]) / counts[j]
+        labels[i] = j
+    segs: list[list[int]] = []
+    for i, lab in enumerate(labels):
+        if segs and segs[-1][1] == lab:
+            continue
+        start = i * win_bytes
+        if segs and start - segs[-1][0] < MIN_SEG:
+            continue
+        segs.append([start, int(lab)])
+    remap: dict[int, int] = {}
+    out = []
+    for start, lab in segs:
+        t = remap.setdefault(lab, len(remap))
+        if out and out[-1][1] == t:
+            continue
+        out.append((start, t))
+    return out
+
+
+def segment_commands(raw: bytes, commands) -> tuple[list, list]:
+    """(cmd_segments, dist_segments) — block splits for the command and
+    distance streams, from the parsed commands' own statistics (the
+    reference inherits 3-family splits from brotli,
+    /root/reference/src/codec/block_type.rs:18-195; here each family
+    clusters its own feature windows).
+
+    Command features per window: histogram of (copy-length bucket,
+    literal-run bucket); distance features: histogram of
+    bitlen(distance) buckets.  Windows are raw-position aligned so
+    switches land at stable offsets."""
+    from . import commands as cmds
+    n = len(raw)
+    if n < 2 * MIN_SEG:
+        return [(0, 0)], [(0, 0)]
+    nwin = max(1, n // WIN)
+    fc = np.zeros((nwin, 8), np.float64)    # copy-len + lit-run buckets
+    fd = np.zeros((nwin, 8), np.float64)    # distance bitlen buckets
+    pos = 0
+    for c in commands:
+        w = min(pos // WIN, nwin - 1)
+        if isinstance(c, cmds.Literal):
+            fc[w, 4 + min(3, len(c.data).bit_length() // 4)] += 1
+            pos += len(c.data)
+        elif isinstance(c, cmds.Copy):
+            fc[w, min(3, c.num_bytes.bit_length() // 4)] += 1
+            fd[w, min(7, c.distance.bit_length() // 3)] += 1
+            pos += c.num_bytes
+        elif isinstance(c, cmds.Dict):
+            pos += c.final_size
+    for f in (fc, fd):
+        tot = f.sum(axis=1, keepdims=True)
+        f /= np.maximum(tot, 1)
+    # cmd/dist histograms vary more window-to-window than byte-class
+    # fractions: 0.8 keeps homogeneous text at one segment while the
+    # heterogeneous fixture still splits 4-5 ways (threshold probe,
+    # PERF_NOTES round 5)
+    return (_cluster_windows(fc, 0.8, WIN),
+            _cluster_windows(fd, 0.8, WIN))
+
+
+def inject_switches(raw: bytes, commands: list, segments, options,
+                    cmd_segs=None, dist_segs=None) -> list:
     """Post-pass over the matcher's command list: split literal runs at
     segment boundaries and insert BlockSwitchLiteral commands; replaces
-    the PredictionMode header with the nb-type variant."""
+    the PredictionMode header with the nb-type variant.  When cmd/dist
+    segment lists are given (segment_commands), the corresponding
+    BlockSwitchCommand / BlockSwitchDistance commands are emitted at
+    their own boundaries (the reference's 3-family splits,
+    block_type.rs:18-195) — the copy/distance priors are keyed by those
+    types (engine_np.code_copy ctype / model.get_distance_prior)."""
     from . import commands as cmds
-    if len(segments) < 2:
+    have_lit = len(segments) >= 2
+    have_cmd = cmd_segs is not None and len(cmd_segs) >= 2
+    have_dist = dist_segs is not None and len(dist_segs) >= 2
+    if not (have_lit or have_cmd or have_dist):
         return commands
     nb = max(t for _, t in segments) + 1
     assert isinstance(commands[0], cmds.PredictionMode)
     out: list = [prediction_mode_for(nb, options,
                                      per_type_strides(raw, segments))]
-    bounds = list(segments[1:]) + [(len(raw) + 1, -1)]
-    si = 0
+    end = (len(raw) + 1, -1)
+    bounds = list(segments[1:]) + [end]
+    cbounds = (list(cmd_segs[1:]) if have_cmd else []) + [end]
+    dbounds = (list(dist_segs[1:]) if have_dist else []) + [end]
+    si = ci = di = 0
     pos = 0
 
     def maybe_switch(p: int) -> None:
-        nonlocal si
+        nonlocal si, ci, di
         while p >= bounds[si][0]:
             out.append(cmds.BlockSwitchLiteral(block_type=bounds[si][1]))
             si += 1
+        while p >= cbounds[ci][0]:
+            out.append(cmds.BlockSwitchCommand(block_type=cbounds[ci][1]))
+            ci += 1
+        while p >= dbounds[di][0]:
+            out.append(cmds.BlockSwitchDistance(block_type=dbounds[di][1]))
+            di += 1
 
     for cmd in commands[1:]:
         if isinstance(cmd, cmds.Literal):

@@ -34,33 +34,177 @@ LIT_COST_SCALE16 = int(os.environ.get("DIVANS_LIT_COST_SCALE16", "0"))
 _HASH_MUL = 0x1E35A7BD  # Fibonacci-style multiplicative hash (public-domain LZ idiom)
 
 _DICT_INDEX: dict | None = None
-_DICT_LENGTHS = range(4, 10)   # lengths probed at match time
+_DICT_LENGTHS = range(4, 25)   # word lengths indexed (full RFC 7932 span)
+# transform families materialized into the index (the reference scores
+# all 121 via brotli's matcher, src/codec/dict.rs:157-169; the
+# UppercaseAll family targets ALL-CAPS text and costs 19x13.5k extra
+# entries for no measured gain on the corpora, so it stays out —
+# DIVANS_DICT_ALL_TR=1 adds every transform)
+_DICT_TTYPES = (0,            # Identity (64 prefix/suffix variants)
+                10,           # UppercaseFirst (20 variants)
+                1, 2,         # OmitLast1/2
+                12)           # OmitFirst1
 
 
 def _dict_index() -> dict:
-    """bytes -> (word_size, word_id, transform) for identity and
-    identity+space transforms of the probed lengths (static dictionary
-    matching; the reference gets this from the brotli encoder,
-    src/brotli_ir_gen.rs)."""
+    """4-byte-prefix bucket -> [(output_bytes, word_size, word_id,
+    transform)] for every materialized transform output, longest output
+    first (static dictionary matching; the reference gets this from the
+    brotli encoder, src/brotli_ir_gen.rs).  Outputs shorter than
+    MIN_MATCH are useless (a literal is cheaper) and are skipped."""
     global _DICT_INDEX
     if _DICT_INDEX is not None:
         return _DICT_INDEX
+    import os as _os
+
+    import numpy as np
+
     from .. import dictionary
     d = dictionary.load()
-    index: dict[bytes, tuple[int, int, int]] = {}
+    by_out: dict[bytes, tuple[int, int, int]] = {}
     if d.available:
-        tids = {}
-        for tid, (prefix, ttype, suffix) in enumerate(d.transforms):
-            if ttype == 0 and prefix == b"" and suffix in (b"", b" "):
-                tids.setdefault(suffix, tid)
+        all_tr = _os.environ.get("DIVANS_DICT_ALL_TR") == "1"
+        tids = [tid for tid, (_p, tt, _s) in enumerate(d.transforms)
+                if all_tr or tt in _DICT_TTYPES]
         for wlen in _DICT_LENGTHS:
+            if not dictionary.DICT_BITS[wlen]:
+                continue
             nwords = 1 << dictionary.DICT_BITS[wlen]
             for wid in range(nwords):
-                w = d.raw_word(wlen, wid)
-                for suffix, tid in tids.items():
-                    index.setdefault(w + suffix, (wlen, wid, tid))
-    _DICT_INDEX = index
-    return index
+                for tid in tids:
+                    out = d.transform_word(wlen, wid, tid)
+                    if len(out) >= MIN_MATCH:
+                        # ties prefer the shorter word (cheaper id
+                        # mantissa) then the earlier transform
+                        by_out.setdefault(out, (wlen, wid, tid))
+    buckets: dict[int, list] = {}
+    for out, val in by_out.items():
+        g = int.from_bytes(out[:4], "big")
+        buckets.setdefault(g, []).append((out, *val))
+    for g in buckets:
+        buckets[g].sort(key=lambda e: -len(e[0]))
+    _DICT_INDEX = buckets
+    return buckets
+
+
+_DICT_FLAT = None
+
+
+def _dict_flat_index():
+    """The bucket index flattened for the C scan (dtpu_dict_scan):
+    (grams u32[G] sorted, bucket_off i32[G+1], out_blob bytes,
+    ent_off/ent_len/ent_wlen/ent_wid/ent_tid i32[E])."""
+    global _DICT_FLAT
+    if _DICT_FLAT is None:
+        import numpy as np
+        buckets = _dict_index()
+        grams = np.sort(np.array(list(buckets.keys()), np.uint32)) \
+            if buckets else np.zeros(0, np.uint32)
+        off = [0]
+        blob = bytearray()
+        eo, el, ew, ei, et = [], [], [], [], []
+        for g in grams:
+            for (out, wlen, wid, tid) in buckets[int(g)]:
+                eo.append(len(blob))
+                el.append(len(out))
+                ew.append(wlen)
+                ei.append(wid)
+                et.append(tid)
+                blob += out
+            off.append(len(eo))
+        # 2^16-entry prefix ranges: pref16[p..p+1] bounds the grams
+        # sharing high-16-bit prefix p (the C scan's fast reject)
+        pref16 = np.searchsorted(
+            grams >> np.uint32(16),
+            np.arange(65537, dtype=np.uint32)).astype(np.int32)
+        # per-entry 8-byte big-endian prefix + length mask: a bucket is
+        # scanned longest-first, so most entries FAIL — one u64
+        # compare per entry replaces a memcmp (the scan's hot cost)
+        eo_a = np.array(eo, np.int32)
+        el_a = np.array(el, np.int32)
+        p8 = np.zeros(len(eo), np.uint64)
+        m8 = np.zeros(len(eo), np.uint64)
+        bb = bytes(blob)
+        for k in range(len(eo)):
+            o, l = int(eo_a[k]), min(8, int(el_a[k]))
+            v = int.from_bytes(bb[o:o + l] + b"\0" * (8 - l), "big")
+            p8[k] = v
+            m8[k] = ((1 << (8 * l)) - 1) << (8 * (8 - l))
+        _DICT_FLAT = (
+            np.ascontiguousarray(grams),
+            np.array(off, np.int32),
+            bb,
+            eo_a, el_a,
+            np.array(ew, np.int32), np.array(ei, np.int32),
+            np.array(et, np.int32),
+            np.ascontiguousarray(pref16),
+            np.ascontiguousarray(p8), np.ascontiguousarray(m8))
+    return _DICT_FLAT
+
+
+def _dict_scan(data: bytes):
+    """(out_len i32[n], ent_idx i32[n]) — longest dict-transform output
+    at every position (C fast path; Python fallback keeps behavior
+    identical when the native library is absent)."""
+    import ctypes
+
+    import numpy as np
+
+    from .. import native
+
+    n = len(data)
+    out_len = np.zeros(max(1, n), np.int32)
+    ent_idx = np.full(max(1, n), -1, np.int32)
+    (grams, boff, blob, eo, el, ew, ei, et, pref16, p8,
+     m8) = _dict_flat_index()
+    if n < 4 or grams.shape[0] == 0:
+        return out_len[:n], ent_idx[:n]
+    lib = native.load()
+    if lib is not None:
+        lib.dtpu_dict_scan(
+            data, n,
+            grams.ctypes.data_as(ctypes.c_void_p), grams.shape[0],
+            pref16.ctypes.data_as(ctypes.c_void_p),
+            boff.ctypes.data_as(ctypes.c_void_p),
+            blob,
+            eo.ctypes.data_as(ctypes.c_void_p),
+            el.ctypes.data_as(ctypes.c_void_p),
+            p8.ctypes.data_as(ctypes.c_void_p),
+            m8.ctypes.data_as(ctypes.c_void_p),
+            out_len.ctypes.data_as(ctypes.c_void_p),
+            ent_idx.ctypes.data_as(ctypes.c_void_p))
+        return out_len, ent_idx
+    buckets = _dict_index()
+    for i in range(n - 3):
+        hit = _dict_best_at(data, i)
+        if hit is not None:
+            flen = hit[0]
+            out_len[i] = flen
+            # entry id: position within the flattened bucket
+            g = int.from_bytes(data[i:i + 4], "big")
+            base = int(boff[int(np.searchsorted(grams, g))])
+            for k, e in enumerate(buckets[g]):
+                if len(e[0]) == flen and data[i:i + flen] == e[0]:
+                    ent_idx[i] = base + k
+                    break
+    return out_len, ent_idx
+
+
+def _dict_best_at(data, i: int, limit: int | None = None):
+    """Longest dict-transform output matching data[i:...], or None.
+    Shared by the DP candidate pass, the greedy literal-run pass, and
+    command materialization so they can never disagree."""
+    buckets = _dict_index()
+    if i + 4 > len(data):
+        return None
+    b = buckets.get(int.from_bytes(data[i:i + 4], "big"))
+    if b is None:
+        return None
+    hi = len(data) if limit is None else limit
+    for (out, wlen, wid, tid) in b:
+        if i + len(out) <= hi and data[i:i + len(out)] == out:
+            return (len(out), wlen, wid, tid)
+    return None
 
 
 def default_prediction_mode(options: DivansOptions) -> cmds.PredictionMode:
@@ -182,15 +326,15 @@ _DICT_PREFIX4 = None
 
 
 def _dict_prefix4():
-    """Sorted uint32 array of the big-endian 4-byte prefixes of every
-    index key — a vectorized prefilter so per-position dict probing only
-    pays the Python dict.get at positions that can possibly hit."""
+    """Sorted uint32 array of the bucket keys (big-endian 4-byte output
+    prefixes) — a vectorized prefilter so per-position dict probing only
+    pays the Python bucket scan at positions that can possibly hit."""
     global _DICT_PREFIX4
     if _DICT_PREFIX4 is None:
         import numpy as np
         keys = _dict_index().keys()
-        _DICT_PREFIX4 = np.unique(np.frombuffer(
-            b"".join(k[:4] for k in keys), ">u4")) if keys else             np.zeros(0, ">u4")
+        _DICT_PREFIX4 = (np.sort(np.array(list(keys), np.uint32))
+                         if keys else np.zeros(0, np.uint32))
     return _DICT_PREFIX4
 
 
@@ -202,43 +346,25 @@ def _dict_candidate_arrays(data):
     from .. import dictionary
 
     n = len(data)
-    dlen = np.zeros(n, np.int32)
-    dcost = np.zeros(n, np.int32)
-    index = _dict_index()
-    if index and n >= 4:
-        a = np.frombuffer(data, np.uint8).astype(np.uint32)
-        grams = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
-        pref = _dict_prefix4()
-        pos = np.searchsorted(pref, grams)
-        cand = np.nonzero((pos < pref.shape[0])
-                          & (pref[np.minimum(pos, pref.shape[0] - 1)]
-                             == grams))[0]
-        for i in cand:
-            for wl in (9, 8, 7, 6, 5, 4):
-                if i + wl <= n:
-                    hit = index.get(data[i:i + wl])
-                    if hit is not None:
-                        wlen = hit[0]
-                        dlen[i] = wl
-                        # cmd nibble + size/transform overhead + word-id
-                        # mantissa at ~0.63 bits/bit: swept against the
-                        # corpus — the adaptive dict priors make word ids
-                        # far cheaper than their raw bit count
-                        dcost[i] = 80 + 10 * dictionary.DICT_BITS[wlen]
-                        break
+    dlen, ent_idx = _dict_scan_cached(data)
+    # cmd nibble + size/transform overhead + word-id mantissa at ~0.63
+    # bits/bit: swept against the corpus — the adaptive dict priors make
+    # word ids far cheaper than their raw bit count
+    ew = _dict_flat_index()[5]
+    bits = np.asarray(dictionary.DICT_BITS, np.int32)
+    wlen = np.where(ent_idx >= 0, ew[np.maximum(ent_idx, 0)], 4)
+    dcost = np.where(dlen > 0, 80 + 10 * bits[wlen], 0).astype(np.int32)
     return dlen, dcost
 
 
 def _dict_command_at(data, pos):
-    """The dict candidate the DP chose at `pos` (same probe order)."""
-    index = _dict_index()
-    for wl in (9, 8, 7, 6, 5, 4):
-        if pos + wl <= len(data):
-            hit = index.get(data[pos:pos + wl])
-            if hit is not None:
-                wlen, wid, tid = hit
-                return cmds.Dict(word_size=wlen, word_id=wid,
-                                 transform=tid, final_size=wl)
+    """The dict candidate the DP chose at `pos` (the same scan)."""
+    out_len, ent_idx = _dict_scan_cached(data)
+    e = int(ent_idx[pos])
+    if out_len[pos] > 0 and e >= 0:
+        ew, ei, et = _dict_flat_index()[5:8]
+        return cmds.Dict(word_size=int(ew[e]), word_id=int(ei[e]),
+                         transform=int(et[e]), final_size=int(out_len[pos]))
     raise AssertionError(f"no dict candidate at {pos}")
 
 
@@ -496,23 +622,40 @@ def _find_matches_greedy(data: bytes, quality: int):
     return matches
 
 
+import threading as _threading
+
+_SCAN_CACHE = _threading.local()
+
+
+def _dict_scan_cached(raw: bytes):
+    """One C dict scan per block, shared across the DP candidate pass,
+    the literal-run pass, and command materialization (thread-local:
+    encode pools run blocks concurrently)."""
+    slot = getattr(_SCAN_CACHE, "slot", None)
+    if slot is None or slot[0] is not raw:
+        slot = (raw, _dict_scan(raw))
+        _SCAN_CACHE.slot = slot
+    return slot[1]
+
+
 def _dict_matches_in(raw: bytes, lo: int, hi: int) -> list[tuple[int, tuple]]:
-    """Greedy static-dictionary matches inside the literal run [lo, hi)."""
-    index = _dict_index()
-    if not index:
+    """Greedy static-dictionary matches inside the literal run [lo, hi).
+
+    A hit whose output crosses `hi` is skipped (the run ends at a copy);
+    the longest-match-per-position scan is block-global and cached."""
+    if not _dict_index():
         return []
+    out_len, ent_idx = _dict_scan_cached(raw)
+    ew, ei, et = _dict_flat_index()[5:8]
     out = []
     i = lo
     while i + MIN_MATCH <= hi:
-        hit = None
-        for wlen in (9, 8, 7, 6, 5, 4):
-            if i + wlen <= hi:
-                hit = index.get(raw[i:i + wlen])
-                if hit is not None:
-                    out.append((i, (wlen, *hit)))
-                    i += wlen
-                    break
-        if hit is None:
+        flen = int(out_len[i])
+        if flen >= MIN_MATCH and i + flen <= hi:
+            e = int(ent_idx[i])
+            out.append((i, (flen, int(ew[e]), int(ei[e]), int(et[e]))))
+            i += flen
+        else:
             i += 1
     return out
 
@@ -566,7 +709,14 @@ def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
         out = out[:1] + optimize(raw, out[1:])
     if options.block_split and options.use_context_map:
         from . import blocks
-        out = blocks.inject_switches(raw, out, blocks.segment(raw), options)
+        # 3-family splits (literal + command + distance,
+        # block_type.rs:18-195); DIVANS_SPLIT_LIT_ONLY=1 ablates to the
+        # literal-only splitter
+        cseg = dseg = None
+        if os.environ.get("DIVANS_SPLIT_LIT_ONLY") != "1":
+            cseg, dseg = blocks.segment_commands(raw, out)
+        out = blocks.inject_switches(raw, out, blocks.segment(raw), options,
+                                     cseg, dseg)
     elif (options.prior_bitmask_detection and options.use_context_map
           and not options.force_stride_value):
         import dataclasses

@@ -599,6 +599,76 @@ int32_t dtpu_match_optimal(const uint8_t* data, int32_t n, int32_t depth,
     return count;
 }
 
+// Static-dictionary candidate scan (q11): for every position, the
+// longest materialized transform output matching the data, via a
+// binary search over the sorted 4-byte output prefixes and a
+// longest-first memcmp scan of the matching bucket.  The index arrays
+// are built once in Python (ir/matcher._dict_flat_index) from the RFC
+// 7932 dictionary + transform set; this pass is what makes full-breadth
+// dict matching affordable (the Python per-position scan was ~100x
+// slower).  Writes out_len[i] (0 = no hit) and ent_idx[i] (entry id for
+// wid/tid recovery).
+extern "C" void dtpu_dict_scan(const uint8_t* data, int32_t n,
+                               const uint32_t* grams, int32_t n_grams,
+                               const int32_t* pref16_off,
+                               const int32_t* bucket_off,
+                               const uint8_t* out_blob,
+                               const int32_t* ent_off,
+                               const int32_t* ent_len,
+                               const uint64_t* ent_p8,
+                               const uint64_t* ent_m8,
+                               int32_t* out_len, int32_t* ent_idx) {
+    // rolling big-endian gram; pref16_off[p..p+1] bounds the sorted-gram
+    // range sharing 16-bit prefix p, so the common case (no dictionary
+    // word starts here) is two loads and a compare.  Bucket entries are
+    // longest-first, so most FAIL: one masked u64 compare per entry
+    // (ent_p8/ent_m8 = the entry's first <=8 bytes) replaces a memcmp.
+    uint32_t g = n >= 4
+        ? (((uint32_t)data[0] << 24) | ((uint32_t)data[1] << 16)
+           | ((uint32_t)data[2] << 8) | (uint32_t)data[3])
+        : 0;
+    for (int32_t i = 0; i + 4 <= n; ++i) {
+        out_len[i] = 0;
+        ent_idx[i] = -1;
+        int32_t lo = pref16_off[g >> 16], hi = pref16_off[(g >> 16) + 1];
+        if (lo < hi) {
+            while (lo < hi) {
+                int32_t mid = (lo + hi) >> 1;
+                if (grams[mid] < g) lo = mid + 1;
+                else hi = mid;
+            }
+            if (lo < n_grams && grams[lo] == g) {
+                uint64_t d8 = 0;
+                if (i + 8 <= n) {
+                    memcpy(&d8, data + i, 8);
+                    d8 = __builtin_bswap64(d8);
+                } else {
+                    for (int32_t b = 0; b < n - i; ++b)
+                        d8 |= (uint64_t)data[i + b] << (8 * (7 - b));
+                }
+                for (int32_t e = bucket_off[lo]; e < bucket_off[lo + 1];
+                     ++e) {
+                    int32_t l = ent_len[e];
+                    if (i + l > n) continue;
+                    if ((d8 & ent_m8[e]) != ent_p8[e]) continue;
+                    if (l <= 8
+                        || memcmp(data + i + 8, out_blob + ent_off[e] + 8,
+                                  (size_t)(l - 8)) == 0) {
+                        out_len[i] = l;
+                        ent_idx[i] = e;
+                        break;
+                    }
+                }
+            }
+        }
+        if (i + 4 < n) g = (g << 8) | data[i + 4];
+    }
+    for (int32_t i = n < 4 ? 0 : n - 3; i < n; ++i) {
+        out_len[i] = 0;
+        ent_idx[i] = -1;
+    }
+}
+
 // One-call q10/q11 parse: literal costs + DP + repeat-distance rewrite
 // in a single GIL-free native call.  The Python orchestration
 // (ir/matcher.find_matches_optimal) funnels here, so the golden and

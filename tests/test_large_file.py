@@ -90,6 +90,53 @@ def test_q11_beats_brotli_q9_ratio(corpus):
     assert len(blob) < len(br), (len(blob), len(br))
 
 
+def test_q11_beats_zstd19_ratio(corpus):
+    """Round 5 (VERDICT r4 task 3 gate): q11 at the CLI-default 2^24
+    metablock must beat zstd-19 on the >=10 MB mixed corpus.  Measured:
+    q11 mb 2^24 0.1618 vs zstd-19 0.1620, brotli-q11-w24 0.1573
+    (research/large_file_study.py, round-5 PERF_NOTES).  Gated on a
+    4 MiB slice (one metablock) to keep CI time bounded."""
+    data = corpus[: 4 << 20]
+    blob = native.compress(data, DivansOptions(quality=11,
+                                               metablock_size=1 << 24,
+                                               window_size=24))
+    assert blob is not None
+    assert native.decompress(blob) == data
+    spec = importlib.util.spec_from_file_location(
+        "compare_corpora",
+        os.path.join(os.path.dirname(__file__), "..", "research",
+                     "compare_corpora.py"))
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+    if cc._ZSTD is None:
+        pytest.skip("libzstd unavailable")
+    zs = cc.zstd_compress(data, 19)
+    assert len(blob) < len(zs), (len(blob), len(zs))
+
+
+def test_three_family_block_switches_roundtrip():
+    """cmd/dist block switches (block_type.rs:18-195 families) emitted by
+    the splitter survive a full golden round-trip."""
+    from divans_tpu.ir import blocks
+    from divans_tpu.ir.matcher import build_commands
+    from divans_tpu.ir import commands as cmds
+    from divans_tpu.codec import engine_np
+    td = "/root/reference/testdata/"
+    het = (open(td + "alice29", "rb").read()[:120000]
+           + bytes(range(256)) * 256
+           + open(td + "random_then_unicode", "rb").read()[:80000])
+    opts = DivansOptions(quality=10, block_split=True,
+                        metablock_size=1 << 22)
+    commands = build_commands(het, opts)
+    kinds = {type(c) for c in commands}
+    assert cmds.BlockSwitchLiteral in kinds
+    # command/distance families must actually be exercised
+    assert (cmds.BlockSwitchCommand in kinds
+            or cmds.BlockSwitchDistance in kinds), kinds
+    blob = engine_np.compress(het, opts)
+    assert engine_np.decompress(blob) == het
+
+
 def test_bench_suite_configs():
     """The multi-config suite (research/bench_suite.py — the reference's
     benchmark.rs:446-560 analog) must round-trip and hold its ratio
