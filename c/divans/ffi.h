@@ -23,6 +23,14 @@ typedef uint8_t DivansResult;
 #define DIVANS_NEEDS_MORE_OUTPUT ((uint8_t)2)
 #define DIVANS_FAILURE ((uint8_t)3)
 
+/* EXTENSION beyond the reference ABI: the structured error code
+ * (divans_tpu.errors.ErrCode — the reference's internal ErrMsg
+ * taxonomy, interface.rs:28-64) behind the most recent DIVANS_FAILURE.
+ * 0 = none since startup; 1 = generic.  Container codes are 10..39
+ * (10 bad magic, 12 bad window, 16 truncated frame, 19 crc mismatch,
+ * ...), codec-stream codes 40+ (41 distance beyond window, ...). */
+int32_t divans_last_error_code(void);
+
 typedef uint8_t DivansOptionSelect;
 
 #define DIVANS_OPTION_QUALITY 1

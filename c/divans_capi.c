@@ -82,8 +82,31 @@ static PyObject* capi_call(const char* fn, PyObject* args) {
     return r;
 }
 
+/* Last structured error code (divans_tpu.errors.ErrCode) captured from
+ * the Python exception that produced the most recent DIVANS_FAILURE —
+ * the FFI surface of the reference's ErrMsg taxonomy
+ * (/root/reference/src/interface.rs:28-64).  0 = none; 1 = generic. */
+static int32_t g_last_err_code = 0;
+
+int32_t divans_last_error_code(void) { return g_last_err_code; }
+
 static DivansResult fail_clear(void) {
-    if (PyErr_Occurred()) PyErr_Clear();
+    if (PyErr_Occurred()) {
+        PyObject *type, *value, *tb;
+        PyErr_Fetch(&type, &value, &tb);
+        PyErr_NormalizeException(&type, &value, &tb);
+        g_last_err_code = 1; /* GENERIC */
+        if (value) {
+            PyObject* code = PyObject_GetAttrString(value, "code");
+            if (code) {
+                long c = PyLong_AsLong(code);
+                if (c > 0 && c < (1L << 30)) g_last_err_code = (int32_t)c;
+                Py_DECREF(code);
+            }
+            if (PyErr_Occurred()) PyErr_Clear(); /* no .code attr */
+        }
+        Py_XDECREF(type); Py_XDECREF(value); Py_XDECREF(tb);
+    }
     return DIVANS_FAILURE;
 }
 

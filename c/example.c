@@ -47,6 +47,40 @@ int main(int argc, char** argv) {
         fprintf(stderr, "MISMATCH\n");
         return 1;
     }
+
+    /* structured error taxonomy (extension): corrupt streams must fail
+     * with DISTINCT codes per check — magic (10) vs crc (19) */
+    {
+        unsigned char* bad = malloc(clen);
+        size_t bin, bout;
+        int32_t code_magic, code_crc;
+        struct DivansDecompressorState* d2;
+
+        memcpy(bad, comp, clen);
+        bad[0] = 0;                              /* magic */
+        d2 = divans_new_decompressor();
+        bin = bout = 0;
+        r = divans_decode(d2, bad, clen, &bin, out, n + 1024, &bout);
+        if (r != DIVANS_FAILURE) { fprintf(stderr, "magic not caught\n"); return 1; }
+        code_magic = divans_last_error_code();
+        divans_free_decompressor(d2);
+
+        memcpy(bad, comp, clen);
+        bad[clen - 8] ^= 0xFF;                   /* stored crc */
+        d2 = divans_new_decompressor();
+        bin = bout = 0;
+        r = divans_decode(d2, bad, clen, &bin, out, n + 1024, &bout);
+        if (r != DIVANS_FAILURE) { fprintf(stderr, "crc not caught\n"); return 1; }
+        code_crc = divans_last_error_code();
+        divans_free_decompressor(d2);
+        free(bad);
+
+        if (code_magic == 0 || code_crc == 0 || code_magic == code_crc) {
+            fprintf(stderr, "error codes not distinct: magic=%d crc=%d\n",
+                    code_magic, code_crc);
+            return 1;
+        }
+    }
     printf("ok %zu -> %zu (ratio %.4f)\n", n, clen, (double)clen / (double)n);
     return 0;
 }

@@ -88,6 +88,8 @@ src/interface.rs:235-290 — here the lane count scales with the data):
 """
 from __future__ import annotations
 
+from .. import errors
+
 import numpy as np
 
 from ..probability import scalar
@@ -119,7 +121,7 @@ def lit_subs_split(lit_field: bytes) -> list[bytes]:
         return [b""]
     n, pos = read_varint(lit_field, 0)
     if not 1 <= n <= 1 << 20:
-        raise CorruptContainer(f"bad lit sub-stream count {n}")
+        raise CorruptContainer(f"bad lit sub-stream count {n}", errors.ErrCode.BAD_LIT_SUBS)
     lens = []
     for _ in range(n - 1):
         ln, pos = read_varint(lit_field, pos)
@@ -127,7 +129,7 @@ def lit_subs_split(lit_field: bytes) -> list[bytes]:
     subs = []
     for ln in lens:
         if pos + ln > len(lit_field):
-            raise CorruptContainer("lit sub-stream overruns the field")
+            raise CorruptContainer("lit sub-stream overruns the field", errors.ErrCode.LIT_SUB_OVERRUN)
         subs.append(lit_field[pos:pos + ln])
         pos += ln
     subs.append(lit_field[pos:])

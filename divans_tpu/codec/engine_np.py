@@ -14,6 +14,8 @@ src/codec/interface.rs:72-98).
 """
 from __future__ import annotations
 
+from .. import errors
+
 from ..ans.coder_np import ANSEncoder, ANSDecoder
 from ..probability import scalar
 from ..probability.speed import (Speed, MUD, SLOW, MED, FAST, PLANE, ROCKET,
@@ -140,7 +142,7 @@ class MetablockCodec:
             shortcut = self._nib(io, bk.lit_len_priors, ("cs", ctype, 0),
                                  0, MED)
             if shortcut == NUM_LITERAL_LENGTH_MNEMONIC + 1:
-                raise CorruptStream("repeated high-entropy escape")
+                raise CorruptStream("repeated high-entropy escape", errors.ErrCode.HIGH_ENTROPY_ESCAPE)
         if shortcut < NUM_LITERAL_LENGTH_MNEMONIC:
             num_bytes = shortcut + 1
             bk.last_llen = num_bytes
@@ -328,7 +330,7 @@ class MetablockCodec:
             distance, ok, _ = get_distance_from_mnemonic_code(
                 bk.distance_lru, mnemonic, num_bytes)
             if not ok:
-                raise CorruptStream("bad distance mnemonic")
+                raise CorruptStream("bad distance mnemonic", errors.ErrCode.BAD_DIST_MNEMONIC)
             bk.last_dlen = bit_length(distance)
             return distance, num_bytes
         # DistanceLengthFirst (:197-226)
@@ -384,7 +386,7 @@ class MetablockCodec:
                              (cmd.word_size - 19) if io.is_encoder else 0, MUD)
             word_size = last + 19
             if word_size > 24:
-                raise CorruptStream("dict word size too large")
+                raise CorruptStream("dict word size too large", errors.ErrCode.DICT_SIZE)
         else:
             word_size = beg + 4
         bits = dictionary.DICT_BITS[word_size]
@@ -399,11 +401,11 @@ class MetablockCodec:
                         (cmd.transform & 0xF) if io.is_encoder else 0, FAST)
         transform = (high << 4) | low
         if transform >= dictionary.NUM_TRANSFORMS:
-            raise CorruptStream("dict transform out of range")
+            raise CorruptStream("dict transform out of range", errors.ErrCode.DICT_TRANSFORM)
         if not self.dict.available:
-            raise CorruptStream("stream uses the static dictionary but none is loaded")
+            raise CorruptStream("stream uses the static dictionary but none is loaded", errors.ErrCode.DICT_MISSING)
         if word_id >= (1 << bits):
-            raise CorruptStream("dict word id out of range")
+            raise CorruptStream("dict word id out of range", errors.ErrCode.DICT_WORD_ID)
         return self.dict.transform_word(word_size, word_id, transform)
 
     def code_block_switch(self, which: int, value: int, max_seen_key: int) -> int:
@@ -447,7 +449,7 @@ class MetablockCodec:
         pm_in = cmd.literal_prediction_mode if io.is_encoder else 0
         out.literal_prediction_mode = self._nib(io, pp, ("only",), pm_in, MED)
         if out.literal_prediction_mode > 3:
-            raise CorruptStream("bad prediction mode")
+            raise CorruptStream("bad prediction mode", errors.ErrCode.BAD_PREDICTION_MODE)
         # DynamicContextMixing (:187-207)
         mix_in = (bk.desired_context_mixing | ((cmd.adv_context_map & 1) << 3)) \
             if io.is_encoder else 0
@@ -551,7 +553,7 @@ class MetablockCodec:
                 mv_out.append(self._nib(io, pp, ("mix", prior), nib_in, PLANE))
             out.mixing_values = bytes(mv_out)
         else:
-            raise CorruptStream("bad mixing-value mode")
+            raise CorruptStream("bad mixing-value mode", errors.ErrCode.BAD_MV_MODE)
         return out
 
     def _code_context_map(self, in_map: bytes | None, is_distance: bool) -> bytearray:
@@ -655,7 +657,7 @@ def _run_one_command(codec: MetablockCodec, cmd) -> None:
 
 def _execute_copy(output: bytearray, distance: int, num_bytes: int) -> None:
     if distance == 0 or distance > len(output):
-        raise CorruptStream(f"copy distance {distance} beyond window {len(output)}")
+        raise CorruptStream(f"copy distance {distance} beyond window {len(output)}", errors.ErrCode.BAD_DISTANCE)
     start = len(output) - distance
     if distance >= num_bytes:
         output += output[start:start + num_bytes]
@@ -714,12 +716,12 @@ def _decode_loop(codec: MetablockCodec, raw_len: int) -> bytes:
             pm = codec.code_prediction_mode(None)
             lbk.obs_prediction_mode(pm, bk.desired_do_context_map)
         else:
-            raise CorruptStream(f"bad command nibble {nib}")
+            raise CorruptStream(f"bad command nibble {nib}", errors.ErrCode.BAD_COMMAND)
         guard += 1
         if len(codec.output) > raw_len or guard > 8 * raw_len + 1024:
-            raise CorruptStream("metablock decode overran declared length")
+            raise CorruptStream("metablock decode overran declared length", errors.ErrCode.LENGTH_OVERRUN)
     if len(codec.output) != raw_len:
-        raise CorruptStream(f"metablock decoded {len(codec.output)} != {raw_len}")
+        raise CorruptStream(f"metablock decoded {len(codec.output)} != {raw_len}", errors.ErrCode.LENGTH_MISMATCH)
     return bytes(codec.output)
 
 

@@ -10,9 +10,12 @@ trajectories are asserted bit-equal to this model.
 """
 from __future__ import annotations
 
+from .. import errors
+
 from ..probability import scalar
 from ..probability.speed import Speed, DEFAULT_LITERAL_SPEED
 from .. import constants
+from ..errors import CodedError, ErrCode
 
 
 class PriorTable:
@@ -142,7 +145,7 @@ class CrossCommandBookKeeping:
             self.cmap_lru = [val] + lru[:-1]
         if is_distance:
             if index >= len(self.distance_context_map):
-                raise CorruptStream("distance context map index out of range")
+                raise CorruptStream("distance context map index out of range", ErrCode.DIST_CMAP_RANGE)
             self.distance_context_map[index] = val
 
 
@@ -209,8 +212,9 @@ class LiteralBookKeeping:
             self.mixing_mask[i] = mv[i] if i < len(mv) else 0
 
 
-class CorruptStream(Exception):
-    pass
+class CorruptStream(CodedError):
+    """Codec-stream decode failure; `.code` names the failed check
+    (errors.ErrCode — the reference's ErrMsg analog)."""
 
 
 class Speeds:

@@ -17,10 +17,13 @@ cmd/lit stream split.)
 """
 from __future__ import annotations
 
+from .. import errors
+
 import dataclasses
 
 from .. import constants
 from .crc32c import crc32c
+from ..errors import CodedError, ErrCode
 
 
 def write_varint(n: int) -> bytes:
@@ -40,7 +43,7 @@ def read_varint(data: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     while True:
         if pos >= len(data):
-            raise CorruptContainer("truncated varint")
+            raise CorruptContainer("truncated varint", ErrCode.TRUNCATED_VARINT)
         b = data[pos]
         pos += 1
         n |= (b & 0x7F) << shift
@@ -48,11 +51,12 @@ def read_varint(data: bytes, pos: int) -> tuple[int, int]:
             return n, pos
         shift += 7
         if shift > 63:
-            raise CorruptContainer("varint too long")
+            raise CorruptContainer("varint too long", ErrCode.VARINT_TOO_LONG)
 
 
-class CorruptContainer(Exception):
-    pass
+class CorruptContainer(CodedError):
+    """Container-layer failure; `.code` names the failed check
+    (errors.ErrCode — the reference's ErrMsg analog)."""
 
 
 @dataclasses.dataclass
@@ -70,12 +74,12 @@ def write_header(window_size: int, mb_log2: int, flags: int = 0) -> bytes:
 def parse_header(data: bytes) -> tuple[int, int, int]:
     """returns (window_size, mb_log2, flags)"""
     if len(data) < 16 or data[:4] != constants.MAGIC:
-        raise CorruptContainer("bad magic")
+        raise CorruptContainer("bad magic", ErrCode.BAD_MAGIC)
     if data[4] != constants.FORMAT_VERSION:
-        raise CorruptContainer(f"unsupported version {data[4]}")
+        raise CorruptContainer(f"unsupported version {data[4]}", ErrCode.BAD_VERSION)
     window_size = data[5]
     if not 10 <= window_size <= 24:
-        raise CorruptContainer(f"window size {window_size} out of range")
+        raise CorruptContainer(f"window size {window_size} out of range", ErrCode.BAD_WINDOW)
     return window_size, data[7], data[6]
 
 
@@ -102,27 +106,27 @@ def deserialize(data: bytes) -> tuple[int, int, list[MetablockFrame], int, int]:
     frames: list[MetablockFrame] = []
     while True:
         if pos >= len(data):
-            raise CorruptContainer("missing EOF frame")
+            raise CorruptContainer("missing EOF frame", ErrCode.MISSING_EOF)
         ftype = data[pos]
         pos += 1
         if ftype == constants.FRAME_EOF:
             break
         if ftype != constants.FRAME_METABLOCK:
-            raise CorruptContainer(f"unknown frame type {ftype:#x}")
+            raise CorruptContainer(f"unknown frame type {ftype:#x}", ErrCode.TRUNCATED_FRAME)
         raw_len, pos = read_varint(data, pos)
         cmd_len, pos = read_varint(data, pos)
         lit_len, pos = read_varint(data, pos)
         if pos + cmd_len + lit_len > len(data):
-            raise CorruptContainer("truncated frame payload")
+            raise CorruptContainer("truncated frame payload", ErrCode.TRUNCATED_FRAME)
         cmd = data[pos:pos + cmd_len]
         pos += cmd_len
         lit = data[pos:pos + lit_len]
         pos += lit_len
         frames.append(MetablockFrame(raw_len, cmd, lit))
     if pos + 8 > len(data):
-        raise CorruptContainer("truncated trailer")
+        raise CorruptContainer("truncated trailer", ErrCode.TRUNCATED_TRAILER)
     if data[pos + 4:pos + 8] != constants.TRAILER_SUFFIX:
-        raise CorruptContainer("bad trailer magic")
+        raise CorruptContainer("bad trailer magic", ErrCode.BAD_TRAILER_MAGIC)
     stored_crc = int.from_bytes(data[pos:pos + 4], "little")
     return window_size, mb_log2, frames, stored_crc, flags
 
@@ -130,4 +134,4 @@ def deserialize(data: bytes) -> tuple[int, int, list[MetablockFrame], int, int]:
 def check_crc(raw: bytes, stored_crc: int) -> None:
     actual = crc32c(raw)
     if actual != stored_crc:
-        raise CorruptContainer(f"crc mismatch: stored {stored_crc:#x} actual {actual:#x}")
+        raise CorruptContainer(f"crc mismatch: stored {stored_crc:#x} actual {actual:#x}", ErrCode.CRC_MISMATCH)

@@ -12,6 +12,8 @@ incrementally (crc32c supports streaming update).
 """
 from __future__ import annotations
 
+from . import errors
+
 import io
 
 from .options import DivansOptions
@@ -175,11 +177,11 @@ class DecompressorReader(io.RawIOBase):
                         return self._dry("truncated trailer")
                 if bytes(data[self._pos + 5:self._pos + 9]) != \
                         fmt.constants.TRAILER_SUFFIX:
-                    raise fmt.CorruptContainer("bad trailer magic")
+                    raise fmt.CorruptContainer("bad trailer magic", errors.ErrCode.BAD_TRAILER_MAGIC)
                 self._stored_crc = int.from_bytes(
                     data[self._pos + 1:self._pos + 5], "little")
                 if self._stored_crc != self._crc:
-                    raise fmt.CorruptContainer("crc mismatch")
+                    raise fmt.CorruptContainer("crc mismatch", errors.ErrCode.CRC_MISMATCH)
                 self._eof = True
                 return False
             try:
@@ -187,7 +189,7 @@ class DecompressorReader(io.RawIOBase):
                 cmd_len, p = fmt.read_varint(data, p)
                 lit_len, p = fmt.read_varint(data, p)
                 if p + cmd_len + lit_len > len(data):
-                    raise fmt.CorruptContainer("partial frame")
+                    raise fmt.CorruptContainer("partial frame", errors.ErrCode.PARTIAL_FRAME)
             except fmt.CorruptContainer:
                 if not self._fill():
                     return self._dry("truncated frame")

@@ -18,6 +18,8 @@ disables the fast path.
 """
 from __future__ import annotations
 
+from . import errors
+
 import ctypes
 import os
 import subprocess
@@ -503,7 +505,7 @@ def execute_script(script: NativeScript, lit_bytes,
         script.pool or b"\0", len(script.pool),
         dst.ctypes.data_as(ctypes.c_void_p), script.raw_len)
     if rc != 0:
-        raise CorruptStream("script execution failed")
+        raise CorruptStream("script execution failed", errors.ErrCode.SCRIPT_FAILED)
     if out is None:
         return dst[:script.raw_len].tobytes()
     return None

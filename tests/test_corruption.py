@@ -55,6 +55,28 @@ def test_magic_and_trailer_checks():
         engine_np.decompress(bad)
 
 
+def test_error_codes_name_the_failed_check():
+    """Structured taxonomy (reference ErrMsg, interface.rs:28-64): each
+    corruption class carries the ErrCode of the check that caught it."""
+    from divans_tpu.errors import ErrCode
+    data, blob = _blob()
+    cases = [
+        (b"\x00" + blob[1:], ErrCode.BAD_MAGIC),
+        (blob[:4] + b"\x63" + blob[5:], ErrCode.BAD_VERSION),
+        (blob[:5] + b"\x02" + blob[6:], ErrCode.BAD_WINDOW),
+        (blob[:-4] + b"XXXX", ErrCode.BAD_TRAILER_MAGIC),
+        (blob[:-8] + b"\xff\xff\xff\xff" + blob[-4:], ErrCode.CRC_MISMATCH),
+        (blob[:17], ErrCode.TRUNCATED_VARINT),
+        (blob[:40], ErrCode.TRUNCATED_FRAME),
+        (blob[:len(blob) - 9], ErrCode.MISSING_EOF),
+        (blob[:-5], ErrCode.TRUNCATED_TRAILER),
+    ]
+    for bad, want in cases:
+        with pytest.raises((CorruptContainer, CorruptStream)) as ei:
+            engine_np.decompress(bytes(bad))
+        assert ei.value.code == want, (want, ei.value.code, ei.value)
+
+
 def test_native_decoder_rejects_corrupt():
     from divans_tpu import native
     if native.load() is None:
