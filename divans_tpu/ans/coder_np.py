@@ -53,33 +53,61 @@ class ANSEncoder:
         self._pairs.append((start, freq))
 
     def flush(self) -> bytes:
+        return self.flush_with_marks()[0]
+
+    def flush_with_marks(self) -> tuple[bytes, list[int]]:
+        """(wire bytes, cumulative pull counts): marks[S] = number of
+        renorm-word pulls a decoder makes while decoding the first S
+        symbols, so the stream PREFIX needed to decode them is
+        4 + 2*marks[S] bytes (0 when S == 0 and the stream is empty).
+        The streamed container's sub-frame chunk table is built from
+        these (bounded-latency streaming; the wire bytes are identical
+        to flush())."""
         if not self._pairs:
-            return b""
+            return b"", [0]
         state = ENC_START_STATE
+        n = len(self._pairs)
+        pulled = [0] * n
         words: list[int] = []  # u16 renorm words, reverse-chronological emit order
-        for start, freq in reversed(self._pairs):
+        for j in range(n - 1, -1, -1):
+            start, freq = self._pairs[j]
             if state >= (freq << RENORM_BITS):
                 words.append(state & 0xFFFF)
                 state >>= RENORM_BITS
+                # by rANS symmetry this word is the one the decoder
+                # pulls immediately before decoding symbol j
+                pulled[j] = 1
             state = ((state // freq) << LOG2_SCALE) + (state % freq) + start
         out = bytearray(state.to_bytes(4, "little"))
         for w in reversed(words):  # wire order = forward-symbol (decode) order
             out += w.to_bytes(2, "little")
+        marks = [0] * (n + 1)
+        for j in range(n):
+            marks[j + 1] = marks[j] + pulled[j]
         self._pairs.clear()
-        return bytes(out)
+        return bytes(out), marks
 
 
 class ANSDecoder:
-    """Streaming decoder over a complete byte string."""
+    """Streaming decoder over a byte string; extend() appends more wire
+    bytes mid-decode (the streamed container feeds prefixes chunk by
+    chunk — prefix sufficiency is guaranteed by the encoder's chunk
+    table, flush_with_marks)."""
 
     def __init__(self, data: bytes):
         self.data = data
-        if data:
+        if len(data) >= 4:
             self.state = int.from_bytes(data[:4], "little")
             self.pos = 4
         else:
             self.state = 0
             self.pos = 0
+
+    def extend(self, more: bytes) -> None:
+        self.data = self.data + more
+        if self.pos == 0 and len(self.data) >= 4:
+            self.state = int.from_bytes(self.data[:4], "little")
+            self.pos = 4
 
     def peek_offset(self) -> int:
         """15-bit cdf offset of the next symbol (pulls renorm word if due)."""

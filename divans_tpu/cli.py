@@ -24,6 +24,10 @@ Flags (a subset of the reference's ~40, same spellings where they exist):
                 utf8 contexts to <= K shared priors (default 16;
                 measured ratio-neutral on adaptive CDFs — map-coding
                 parity feature; golden-engine encode)
+  -streaming[=N] bounded-latency streamed frames: sub-frame chunk
+                table so a reader emits output every ~N input bytes
+                (default 64 KiB) regardless of metablock size
+                (reference mux.rs interleave; golden encode path)
   -priormask[=q] per-context prior-bitmask detection (stride-vs-context
                 prior per literal context; ratio mode, golden decode)
   -serial       force the golden serial engine (no device batching)
@@ -90,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
             # clustered literal context map (ir/cmaps.py)
             opts["cmap_clustering"] = \
                 int(a.split("=")[1]) if "=" in a else 16
+        elif a.startswith("-streaming"):
+            # bounded-latency streamed frames (sub-frame chunk table;
+            # N = chunk bytes, default 64 KiB)
+            opts["streaming_chunk_bytes"] = \
+                int(a.split("=")[1]) if "=" in a else 1 << 16
         elif a == "-serial":
             engine = "golden"
         elif a == "-bill":

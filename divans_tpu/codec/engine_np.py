@@ -613,6 +613,106 @@ def encode_metablock(raw: bytes, commands: list[cmds.Command],
     return io_cmd.finish(), io_lit.finish()
 
 
+def encode_metablock_streamed(raw: bytes, commands: list[cmds.Command],
+                              options: DivansOptions, chunk_raw: int):
+    """Encode one metablock as a STREAMED frame: [(raw_delta, cmd_chunk,
+    lit_chunk)] where feeding the first k chunks lets a decoder emit
+    sum(raw_delta[:k]) output bytes — decode latency bounded by
+    chunk_raw, not metablock size (the reference's <=64 KiB stream
+    interleave, mux.rs:23,445-478).  Chunk boundaries land on command
+    boundaries; the concatenated chunks are exactly the plain frame's
+    cmd/lit streams, so non-streaming consumers reassemble and decode
+    unchanged.  The sub-stream prefix property comes from the rANS wire
+    layout: state[4] ++ forward-order renorm words, so the prefix needed
+    for the first S symbols is 4 + 2*pulls(S) (ANSEncoder
+    flush_with_marks)."""
+    io_cmd = EncIO()
+    io_lit = EncIO()
+    codec = MetablockCodec(io_cmd, io_lit, options)
+    marks = []                       # (raw_pos, cmd_syms, lit_syms)
+    for cmd in commands:
+        _run_one_command(codec, cmd)
+        marks.append((len(codec.output), len(io_cmd.ans._pairs),
+                      len(io_lit.ans._pairs)))
+    codec.code_command_type(cmds.END_NIBBLE)
+    assert bytes(codec.output) == raw, "encoder ring-buffer replay mismatch"
+    # the END nibble belongs to the final chunk
+    marks.append((len(raw), len(io_cmd.ans._pairs),
+                  len(io_lit.ans._pairs)))
+    cmd_b, cmarks = io_cmd.ans.flush_with_marks()
+    lit_b, lmarks = io_lit.ans.flush_with_marks()
+
+    def pref(b, mk, s):
+        return 0 if s == 0 else 4 + 2 * mk[s]
+
+    bounds = []
+    target = chunk_raw
+    for m in marks[:-1]:
+        if m[0] >= target:
+            if not bounds or m != bounds[-1]:
+                bounds.append(m)
+            target = m[0] + chunk_raw
+    if not bounds or bounds[-1] != marks[-1]:
+        bounds.append(marks[-1])
+    chunks = []
+    prev = (0, 0, 0)
+    for m in bounds:
+        chunks.append((m[0] - prev[0],
+                       cmd_b[pref(cmd_b, cmarks, prev[1]):
+                             pref(cmd_b, cmarks, m[1])],
+                       lit_b[pref(lit_b, lmarks, prev[2]):
+                             pref(lit_b, lmarks, m[2])]))
+        prev = m
+    assert b"".join(c[1] for c in chunks) == cmd_b
+    assert b"".join(c[2] for c in chunks) == lit_b
+    return chunks
+
+
+class StreamedMetablockDecoder:
+    """Incremental decoder for one streamed frame: feed chunks, collect
+    output bytes as they unlock (resume granularity = one chunk)."""
+
+    def __init__(self, raw_len: int, options: DivansOptions):
+        self.raw_len = raw_len
+        self.codec = MetablockCodec(DecIO(b""), DecIO(b""), options)
+        self._raw_done = 0
+        self._ended = False
+        self._guard = 0
+
+    def feed(self, raw_delta: int, cmd_chunk: bytes,
+             lit_chunk: bytes) -> bytes:
+        """Feed one chunk; returns the newly decodable raw bytes."""
+        self.codec.io_cmd.ans.extend(cmd_chunk)
+        self.codec.io_lit.ans.extend(lit_chunk)
+        self._raw_done += raw_delta
+        return self._pump(self._raw_done)
+
+    def finish(self) -> bytes:
+        """All chunks fed: decode through the END command and verify."""
+        out = self._pump(self._raw_done, expect_end=True)
+        if len(self.codec.output) != self.raw_len:
+            raise CorruptStream(
+                f"metablock decoded {len(self.codec.output)} != "
+                f"{self.raw_len}", errors.ErrCode.LENGTH_MISMATCH)
+        return out
+
+    def _pump(self, raw_limit: int, expect_end: bool = False) -> bytes:
+        codec = self.codec
+        start = len(codec.output)
+        while not self._ended and (len(codec.output) < raw_limit
+                                   or expect_end):
+            if not _decode_one_command(codec):
+                self._ended = True
+                break
+            self._guard += 1
+            if (len(codec.output) > self.raw_len
+                    or self._guard > 8 * self.raw_len + 1024):
+                raise CorruptStream(
+                    "metablock decode overran declared length",
+                    errors.ErrCode.LENGTH_OVERRUN)
+        return bytes(codec.output[start:])
+
+
 def _run_one_command(codec: MetablockCodec, cmd) -> None:
     bk, lbk = codec.bk, codec.lbk
     nib = cmds.CMD_NIBBLE[type(cmd)]
@@ -675,48 +775,53 @@ def decode_metablock(cmd_stream: bytes, lit_stream: bytes, raw_len: int,
     return _decode_loop(codec, raw_len)
 
 
+def _decode_one_command(codec: MetablockCodec) -> bool:
+    """Decode one command; False when it was the END marker."""
+    bk, lbk = codec.bk, codec.lbk
+    nib = codec.code_command_type(0)
+    if nib == cmds.END_NIBBLE:
+        return False
+    if nib == 0x3:
+        bk.obs_literal_state()
+        data = codec.code_literal(None)
+        codec.output += data
+        if codec.sync_lit_history:
+            lbk.sync_last_8_from_output(codec.output)
+    elif nib == 0x1:
+        bk.obs_copy_state()
+        distance, num_bytes = codec.code_copy(None)
+        bk.obs_distance(distance)
+        _execute_copy(codec.output, distance, num_bytes)
+        if codec.sync_lit_history:
+            lbk.sync_last_8_from_output(codec.output)
+    elif nib == 0x2:
+        bk.obs_dict_state()
+        word = codec.code_dict(None)
+        codec.output += word
+        if codec.sync_lit_history:
+            lbk.sync_last_8_from_output(codec.output)
+    elif nib == 0x4:
+        btype = codec.code_block_switch(0, 0, 0)
+        stride = codec.code_stride_nibble(0)
+        bk.obs_btypel(btype)
+        lbk.btype_last = btype
+        lbk.stride = stride
+    elif nib == 0x5:
+        bk.obs_btypec(codec.code_block_switch(1, 0, 1))
+    elif nib == 0x6:
+        bk.obs_btyped(codec.code_block_switch(2, 0, 2))
+    elif nib == 0x7:
+        pm = codec.code_prediction_mode(None)
+        lbk.obs_prediction_mode(pm, bk.desired_do_context_map)
+    else:
+        raise CorruptStream(f"bad command nibble {nib}", errors.ErrCode.BAD_COMMAND)
+    return True
+
+
 def _decode_loop(codec: MetablockCodec, raw_len: int) -> bytes:
     """The decode-side command pump, shared with the deferred codec."""
-    bk, lbk = codec.bk, codec.lbk
     guard = 0
-    while True:
-        nib = codec.code_command_type(0)
-        if nib == cmds.END_NIBBLE:
-            break
-        if nib == 0x3:
-            bk.obs_literal_state()
-            data = codec.code_literal(None)
-            codec.output += data
-            if codec.sync_lit_history:
-                lbk.sync_last_8_from_output(codec.output)
-        elif nib == 0x1:
-            bk.obs_copy_state()
-            distance, num_bytes = codec.code_copy(None)
-            bk.obs_distance(distance)
-            _execute_copy(codec.output, distance, num_bytes)
-            if codec.sync_lit_history:
-                lbk.sync_last_8_from_output(codec.output)
-        elif nib == 0x2:
-            bk.obs_dict_state()
-            word = codec.code_dict(None)
-            codec.output += word
-            if codec.sync_lit_history:
-                lbk.sync_last_8_from_output(codec.output)
-        elif nib == 0x4:
-            btype = codec.code_block_switch(0, 0, 0)
-            stride = codec.code_stride_nibble(0)
-            bk.obs_btypel(btype)
-            lbk.btype_last = btype
-            lbk.stride = stride
-        elif nib == 0x5:
-            bk.obs_btypec(codec.code_block_switch(1, 0, 1))
-        elif nib == 0x6:
-            bk.obs_btyped(codec.code_block_switch(2, 0, 2))
-        elif nib == 0x7:
-            pm = codec.code_prediction_mode(None)
-            lbk.obs_prediction_mode(pm, bk.desired_do_context_map)
-        else:
-            raise CorruptStream(f"bad command nibble {nib}", errors.ErrCode.BAD_COMMAND)
+    while _decode_one_command(codec):
         guard += 1
         if len(codec.output) > raw_len or guard > 8 * raw_len + 1024:
             raise CorruptStream("metablock decode overran declared length", errors.ErrCode.LENGTH_OVERRUN)
@@ -739,10 +844,12 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
         from ..ir.detect import apply_detection
         options = apply_detection(data, options)
     mb = options.metablock_size
-    # block-split and per-context-mask streams stay on the per-nibble
-    # adaptive profile: the deferred policy engine is nb=1 with constant
-    # masks by design (ratio-mode tradeoff)
+    # block-split, per-context-mask, and streamed containers stay on the
+    # per-nibble adaptive profile: the deferred policy engine is nb=1
+    # with constant masks by design (ratio-mode tradeoff), and streamed
+    # chunk tables need the golden coder's pull marks
     chunk = (0 if options.block_split or options.prior_bitmask_detection
+             or options.streaming_chunk_bytes
              else options.chunk_nibbles)
     frames = []
     command_lists = []
@@ -751,6 +858,12 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
         mb_opts = _slice_external_probs(options, off, mb)
         commands = build_commands(raw, mb_opts)
         command_lists.append(commands)
+        if options.streaming_chunk_bytes:
+            frames.append(fmt.StreamedMetablockFrame(
+                len(raw), encode_metablock_streamed(
+                    raw, commands, mb_opts,
+                    options.streaming_chunk_bytes)))
+            continue
         if chunk:
             cmd_b, lit_b = deferred.encode_metablock(raw, commands, mb_opts,
                                                      chunk)

@@ -930,7 +930,8 @@ def compress(data: bytes, options: DivansOptions | None = None,
     from . import deferred
     options = options or DivansOptions()
     if (options.external_probs is not None or options.block_split
-            or options.prior_bitmask_detection or options.cmap_clustering):
+            or options.prior_bitmask_detection or options.cmap_clustering
+            or options.streaming_chunk_bytes):
         from . import engine_np
         # ECDF, block-split, clustered-cmap, and per-context-mask
         # streams are golden-engine paths (the trace builder and device

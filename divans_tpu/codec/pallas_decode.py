@@ -1025,10 +1025,16 @@ def decompress_frames(frames, chunk: int, layout, options,
             raw = decode_metablock(f.cmd, f.lit, f.raw_len, options, chunk)
         return ("host", raw)
 
-    # queues per hardware lane (latency interleave, _make_lit_kernel):
-    # one queue's decode is a serial dependency chain, so 3 queues per
-    # lane run ~2.5x the single-queue kernel rate
-    QPL = int(os.environ.get("DIVANS_DEC_QPL", "3"))
+    # queues per hardware lane (latency interleave, _make_lit_kernel).
+    # DEFAULT 1: the synthetic-chain probe measured ~2.5x for 3-4
+    # interleaved chains, but on real containers the 32 KiB lit
+    # sub-streams floor every scan at SUB_LIT/s_bytes = 256 steps (a
+    # sub is serial), so extra phases mostly idle unless >= QPL*128
+    # balanced subs are in flight — measured 69 -> 28 MB/s e2e at
+    # QPL=3 on the 48 MiB corpus (pipeline collapse + idle phases;
+    # PERF_NOTES round 5).  The interleaved kernel stays available for
+    # sub-rich workloads via this env knob, bit-exact at every K.
+    QPL = int(os.environ.get("DIVANS_DEC_QPL", "1"))
     # group size: target ~128 chunk-slots per queue-lane per scan —
     # big enough that the scan's fixed dispatch cost amortizes and
     # every lane is loaded, small enough that scans pipeline finely

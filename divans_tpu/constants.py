@@ -12,6 +12,9 @@ import numpy as np
 MAGIC = bytes([0xFF, 0x44, 0x56, 0x54])  # '\xffDVT'
 FORMAT_VERSION = 1
 FRAME_METABLOCK = 0x01
+FRAME_METABLOCK_STREAMED = 0x02   # sub-frame chunk table + interleaved
+                                  # cmd/lit payload (bounded-latency
+                                  # streaming; reference mux.rs:23,445-478)
 FRAME_EOF = 0xFE
 TRAILER_SUFFIX = b"ans~"  # reference: src/codec/mod.rs:536-543 trailer magic
 

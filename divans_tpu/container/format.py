@@ -66,6 +66,19 @@ class MetablockFrame:
     lit: bytes
 
 
+@dataclasses.dataclass
+class StreamedMetablockFrame:
+    """Bounded-latency frame: a chunk table + interleaved cmd/lit
+    payload (reference mux.rs:23,445-478 — decode latency bounded by
+    the chunk size, not the metablock size).  chunks = [(raw_delta,
+    cmd_bytes, lit_bytes)]; concatenating the chunk payloads
+    reconstructs the plain frame's two streams exactly, so
+    non-streaming consumers decode streamed containers unchanged
+    (deserialize reassembles)."""
+    raw_len: int
+    chunks: list  # [(raw_delta, cmd_bytes, lit_bytes)]
+
+
 def write_header(window_size: int, mb_log2: int, flags: int = 0) -> bytes:
     return (constants.MAGIC + bytes([constants.FORMAT_VERSION, window_size,
                                      flags, mb_log2]) + b"\x00" * 8)
@@ -83,7 +96,17 @@ def parse_header(data: bytes) -> tuple[int, int, int]:
     return window_size, data[7], data[6]
 
 
-def write_frame(frame: MetablockFrame) -> bytes:
+def write_frame(frame) -> bytes:
+    if isinstance(frame, StreamedMetablockFrame):
+        out = bytearray([constants.FRAME_METABLOCK_STREAMED])
+        out += write_varint(frame.raw_len)
+        out += write_varint(len(frame.chunks))
+        for (rd, cb, lb) in frame.chunks:
+            out += write_varint(rd) + write_varint(len(cb)) \
+                + write_varint(len(lb))
+        for (_rd, cb, lb) in frame.chunks:
+            out += cb + lb
+        return bytes(out)
     return (bytes([constants.FRAME_METABLOCK])
             + write_varint(frame.raw_len) + write_varint(len(frame.cmd))
             + write_varint(len(frame.lit)) + frame.cmd + frame.lit)
@@ -111,6 +134,33 @@ def deserialize(data: bytes) -> tuple[int, int, list[MetablockFrame], int, int]:
         pos += 1
         if ftype == constants.FRAME_EOF:
             break
+        if ftype == constants.FRAME_METABLOCK_STREAMED:
+            # reassemble the two full streams: chunk payloads are exact
+            # prefix slices, so every non-streaming decode path works
+            # on streamed containers unchanged
+            raw_len, pos = read_varint(data, pos)
+            n_chunks, pos = read_varint(data, pos)
+            if n_chunks > (raw_len + 1) * 2 + 16:
+                raise CorruptContainer("implausible chunk count",
+                                       ErrCode.TRUNCATED_FRAME)
+            table = []
+            for _ in range(n_chunks):
+                rd, pos = read_varint(data, pos)
+                cl, pos = read_varint(data, pos)
+                ll, pos = read_varint(data, pos)
+                table.append((rd, cl, ll))
+            cmd_parts, lit_parts = [], []
+            for (_rd, cl, ll) in table:
+                if pos + cl + ll > len(data):
+                    raise CorruptContainer("truncated frame payload",
+                                           ErrCode.TRUNCATED_FRAME)
+                cmd_parts.append(data[pos:pos + cl])
+                pos += cl
+                lit_parts.append(data[pos:pos + ll])
+                pos += ll
+            frames.append(MetablockFrame(raw_len, b"".join(cmd_parts),
+                                         b"".join(lit_parts)))
+            continue
         if ftype != constants.FRAME_METABLOCK:
             raise CorruptContainer(f"unknown frame type {ftype:#x}", ErrCode.TRUNCATED_FRAME)
         raw_len, pos = read_varint(data, pos)

@@ -49,6 +49,18 @@ class CompressorWriter(io.RawIOBase):
 
     def _emit_block(self, raw: bytes) -> None:
         self._emit_header()
+        if self.options.streaming_chunk_bytes:
+            # bounded-latency frames: sub-frame chunk table so a reader
+            # emits output per chunk, not per metablock
+            from .codec import engine_np
+            from .ir.matcher import build_commands
+            chunks = engine_np.encode_metablock_streamed(
+                raw, build_commands(raw, self.options), self.options,
+                self.options.streaming_chunk_bytes)
+            self.sink.write(fmt.write_frame(
+                fmt.StreamedMetablockFrame(len(raw), chunks)))
+            self._crc = crc32c(raw, self._crc)
+            return
         cmd_b = lit_b = None
         if self.engine in ("auto", "native"):
             from . import native
@@ -136,6 +148,11 @@ class DecompressorReader(io.RawIOBase):
         self._crc = 0
         self._stored_crc = None
         self._flags = 0
+        # in-flight STREAMED frame (bounded-latency decode): the chunk
+        # table + an incremental golden decoder; output flows per chunk
+        self._sdec = None
+        self._stable: list | None = None
+        self._schunk = 0
 
     def readable(self) -> bool:
         return True
@@ -154,9 +171,44 @@ class DecompressorReader(io.RawIOBase):
             return False
         raise fmt.CorruptContainer(msg)
 
+    def _step_streamed(self) -> bool:
+        """Consume ready chunks of the in-flight streamed frame; True
+        when any output was produced (decode latency = one chunk, not
+        one metablock — the reference's bounded-latency interleave,
+        mux.rs:23,445-478)."""
+        from .container.crc32c import crc32c as _crc32c
+        produced = False
+        data = self._in
+        while self._schunk < len(self._stable):
+            rd, cl, ll = self._stable[self._schunk]
+            if cl + ll > len(data):
+                if self._fill():
+                    continue
+                if produced:
+                    return True
+                return self._dry("truncated streamed chunk")
+            raw = self._sdec.feed(rd, bytes(data[:cl]),
+                                  bytes(data[cl:cl + ll]))
+            del data[:cl + ll]
+            self._schunk += 1
+            if self._schunk == len(self._stable):
+                raw += self._sdec.finish()
+            if raw:
+                self._crc = _crc32c(raw, self._crc)
+                self._out += raw
+                produced = True
+        self._sdec = None
+        self._stable = None
+        self._schunk = 0
+        self._pos = 0
+        return produced or True
+
     def _step(self) -> bool:
-        """Try to decode one frame from the input buffer."""
+        """Try to decode one frame (or one streamed chunk) from the
+        input buffer."""
         from .codec import engine_np
+        if self._sdec is not None:
+            return self._step_streamed()
         data = self._in
         if not self._header_done:
             while len(data) < 16:
@@ -184,6 +236,31 @@ class DecompressorReader(io.RawIOBase):
                     raise fmt.CorruptContainer("crc mismatch", errors.ErrCode.CRC_MISMATCH)
                 self._eof = True
                 return False
+            if ftype == fmt.constants.FRAME_METABLOCK_STREAMED:
+                from .codec.engine_np import StreamedMetablockDecoder
+                try:
+                    raw_len, p = fmt.read_varint(data, self._pos + 1)
+                    n_chunks, p = fmt.read_varint(data, p)
+                    if n_chunks > (raw_len + 1) * 2 + 16:
+                        raise fmt.CorruptContainer(
+                            "implausible chunk count",
+                            errors.ErrCode.TRUNCATED_FRAME)
+                    table = []
+                    for _ in range(n_chunks):
+                        rd, p = fmt.read_varint(data, p)
+                        cl, p = fmt.read_varint(data, p)
+                        ll, p = fmt.read_varint(data, p)
+                        table.append((rd, cl, ll))
+                except fmt.CorruptContainer:
+                    if not self._fill():
+                        return self._dry("truncated streamed header")
+                    continue
+                del data[:p]
+                self._pos = 0
+                self._sdec = StreamedMetablockDecoder(raw_len, self.options)
+                self._stable = table
+                self._schunk = 0
+                return self._step_streamed()
             try:
                 raw_len, p = fmt.read_varint(data, self._pos + 1)
                 cmd_len, p = fmt.read_varint(data, p)

@@ -709,11 +709,14 @@ def build_commands(raw: bytes, options: DivansOptions) -> list[cmds.Command]:
         out = out[:1] + optimize(raw, out[1:])
     if options.block_split and options.use_context_map:
         from . import blocks
-        # 3-family splits (literal + command + distance,
-        # block_type.rs:18-195); DIVANS_SPLIT_LIT_ONLY=1 ablates to the
-        # literal-only splitter
+        # literal splits by default (native fast path both directions);
+        # DIVANS_SPLIT_3FAMILY=1 adds command/distance splits
+        # (block_type.rs:18-195 families) — measured ratio-NEUTRAL on
+        # the corpora (adaptive per-(ctype,...) priors already absorb
+        # regime changes; PERF_NOTES round 5) and cmd/dist switches are
+        # golden-engine-only, so they stay opt-in
         cseg = dseg = None
-        if os.environ.get("DIVANS_SPLIT_LIT_ONLY") != "1":
+        if os.environ.get("DIVANS_SPLIT_3FAMILY") == "1":
             cseg, dseg = blocks.segment_commands(raw, out)
         out = blocks.inject_switches(raw, out, blocks.segment(raw), options,
                                      cseg, dseg)

@@ -93,6 +93,7 @@ def supports(options: DivansOptions) -> bool:
             and options.external_probs is None
             and not options.block_split         # switches: cmds path only
             and options.cmap_clustering == 0    # clustered maps: golden path
+            and options.streaming_chunk_bytes == 0  # chunk tables: golden
             and options.divans_ir_optimizer == 0)  # actuary is Python-side
 
 
@@ -534,7 +535,10 @@ def compress(data: bytes, options: DivansOptions | None = None) -> bytes:
     # list (q11 DP with dict edges, IR-optimizer merges) even when the
     # mechanical trace builder abstains
     supports_cmds = (options.prior_depth == 0
-                     and options.external_probs is None)
+                     and options.external_probs is None
+                     # streamed frames need the golden coder's chunk
+                     # table (pull marks) — engine_np path only
+                     and options.streaming_chunk_bytes == 0)
     if load() is None or not (supports(options) or supports_cmds):
         return None
     from . import tracelog

@@ -69,6 +69,15 @@ class DivansOptions:
                                           # (8 bytes per raw byte, reference
                                           # feature external-literal-probability;
                                           # decoder must supply the same bytes)
+    streaming_chunk_bytes: int = 0        # 0 = frame-granular container;
+                                          # else emit STREAMED frames with a
+                                          # sub-frame chunk table so a reader
+                                          # produces output after ~this many
+                                          # input bytes regardless of
+                                          # metablock size (reference
+                                          # mux.rs:23,445-478 bounded-latency
+                                          # interleave).  Golden per-nibble
+                                          # encode path; any engine decodes
     # --- TPU-native knobs ---
     metablock_size: int = 1 << 18         # bytes per independent model domain
     num_streams: int = 2                  # cmd + literal ANS streams per metablock

@@ -127,13 +127,17 @@ def test_three_family_block_switches_roundtrip():
            + open(td + "random_then_unicode", "rb").read()[:80000])
     opts = DivansOptions(quality=10, block_split=True,
                         metablock_size=1 << 22)
-    commands = build_commands(het, opts)
-    kinds = {type(c) for c in commands}
-    assert cmds.BlockSwitchLiteral in kinds
-    # command/distance families must actually be exercised
-    assert (cmds.BlockSwitchCommand in kinds
-            or cmds.BlockSwitchDistance in kinds), kinds
-    blob = engine_np.compress(het, opts)
+    os.environ["DIVANS_SPLIT_3FAMILY"] = "1"
+    try:
+        commands = build_commands(het, opts)
+        kinds = {type(c) for c in commands}
+        assert cmds.BlockSwitchLiteral in kinds
+        # command/distance families must actually be exercised
+        assert (cmds.BlockSwitchCommand in kinds
+                or cmds.BlockSwitchDistance in kinds), kinds
+        blob = engine_np.compress(het, opts)
+    finally:
+        os.environ.pop("DIVANS_SPLIT_3FAMILY", None)
     assert engine_np.decompress(blob) == het
 
 
