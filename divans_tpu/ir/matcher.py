@@ -293,7 +293,11 @@ def find_matches_optimal(data: bytes, quality: int, as_array: bool = False):
         depth = int(os.environ.get("DIVANS_Q11_DEPTH", "256"))
         kcand = int(os.environ.get("DIVANS_Q11_KCAND", "5"))
     elif quality == 10:
-        depth = int(os.environ.get("DIVANS_Q10_DEPTH", str(depth)))
+        # depth 24 is the shipped speed/ratio point (on-chip e2e sweep,
+        # 32 MiB mb 2^18: d32 20.0 MB/s @ 0.1747, d24 21.3 @ 0.1754,
+        # d16 22.5 @ 0.1766 — d24 keeps the <=0.1760 gate with margin
+        # over the >=19 MB/s line-speed gate; mb 2^22 corpus 0.1731)
+        depth = int(os.environ.get("DIVANS_Q10_DEPTH", "24"))
     da, db = globals().get("_DIST_COST_OVERRIDE", (40, 7))
     if quality >= 11:
         dlen, dcost = _dict_candidate_arrays(data)
