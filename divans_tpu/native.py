@@ -440,6 +440,7 @@ def decode_cmd_structure(cmd: bytes, raw_len: int, layout: ModelLayout,
                  pool_d.ctypes.data_as(ctypes.c_void_p),
                  meta.ctypes.data_as(ctypes.c_void_p), meta.shape[0])
     info = np.zeros(16, np.int32)
+    lcm_out = np.zeros(256, np.uint8)
     ops_cap = raw_len // 4 + 4096
     while True:
         ops = np.zeros((ops_cap, 3), np.int32)
@@ -454,7 +455,8 @@ def decode_cmd_structure(cmd: bytes, raw_len: int, layout: ModelLayout,
             *dargs,
             ops.ctypes.data_as(ctypes.c_void_p), ops_cap,
             pool.ctypes.data_as(ctypes.c_void_p), pool.shape[0],
-            info.ctypes.data_as(ctypes.c_void_p))
+            info.ctypes.data_as(ctypes.c_void_p),
+            lcm_out.ctypes.data_as(ctypes.c_void_p))
         if n != -2:
             break
         ops_cap = 8 * raw_len + 8192  # guard bound; cannot overflow twice
@@ -463,9 +465,13 @@ def decode_cmd_structure(cmd: bytes, raw_len: int, layout: ModelLayout,
     from .probability.speed import Speed
     speeds = [Speed(int(info[3 + 2 * i]), int(info[4 + 2 * i]))
               for i in range(4)]
-    supported = info[2] == 1 and info[1] == 1  # one PM, mixing on
+    # kernel envelope: one PM, mixing on, single literal block type
+    # (the per-frame lcmap input covers any 64-entry map — clustered
+    # and foreign maps ride the device pipeline; nb>1 decodes host-side)
+    supported = info[2] == 1 and info[1] == 1 and info[12] <= 1
     return NativeScript(ops[:n], pool[:info[11]].tobytes(), raw_len,
-                        int(info[0]), list(range(64)), speeds, supported)
+                        int(info[0]), [int(v) for v in lcm_out[:64]],
+                        speeds, supported)
 
 
 def execute_script(script: NativeScript, lit_bytes,

@@ -648,6 +648,11 @@ struct DecCtx {
     int32_t nctx_hi = 64;  // lit_hi / lit_hi_s minor dim (64 * nb)
     int32_t nb_cap = 1;    // layout capacity: (nctx << lo_shift) / 64
     int32_t btype_last = 0;
+    // decoded literal context map (identity unless the PM carries a
+    // clustered/foreign map — engine_np actual_context = lcm[sel +
+    // btype*64]); values are bounded < 64*nb at PM decode
+    uint8_t lcm_tab[256];
+    DecCtx() { for (int i = 0; i < 256; ++i) lcm_tab[i] = (uint8_t)i; }
     int32_t bt_lru0 = 0, bt_lru1 = 1;
     int32_t bt_max_seen = 0;
 
@@ -811,7 +816,8 @@ static void decode_literal_content(DecCtx& c, int32_t nbytes) {
         int32_t prev2 = self_fed ? (int32_t)((c.l8 >> 0x30) & 0xFF)
                                  : (c.wpos >= 2 ? c.out[c.wpos - 2] : 0);
         int32_t ctx = c.use_cm
-            ? (c.lut0[prev] | c.lut1[prev2]) + (c.btype_last << 6) : 0;
+            ? c.lcm_tab[(c.lut0[prev] | c.lut1[prev2])
+                        + (c.btype_last << 6)] : 0;
         int32_t hi_flat, lo_base;
         // deferred layouts bucket the lo-nibble ctx (engine_np.py)
         int32_t ctx_lo = c.use_cm ? (ctx >> c.lo_shift) : ctx;
@@ -939,7 +945,9 @@ static void decode_prediction_mode(DecCtx& c) {
         c.adapt[si][0] = u8_to_speed(inc8);
         c.adapt[si][1] = u8_to_speed(lim8);
     }
-    // context maps: identity-bounded (anything else -> python fallback)
+    // context maps: literal map may be ARBITRARY (clustered/foreign;
+    // stored in lcm_tab, values bounded below); distance map stays
+    // identity-bounded (anything else -> python fallback)
     for (int which = 0; which < 2; ++which) {
         int32_t lru[13];
         for (int i = 0; i < 13; ++i) lru[i] = i;
@@ -963,9 +971,14 @@ static void decode_prediction_mode(DecCtx& c) {
             } else {
                 val = lru[mn];
             }
-            // identity requirement: decoded map must be the identity the
-            // fast profiles assume
-            if (idx >= limit || val != idx) { c.err = true; return; }
+            if (idx >= limit) { c.err = true; return; }
+            if (which == 0) {
+                c.lcm_tab[idx] = (uint8_t)val;
+            } else if (val != idx) {
+                // distance map: identity required
+                c.err = true;
+                return;
+            }
             // lru move-to-front / insert
             int pos = -1;
             for (int i = 0; i < 13; ++i) if (lru[i] == val) { pos = i; break; }
@@ -977,12 +990,16 @@ static void decode_prediction_mode(DecCtx& c) {
             idx++;
         }
         if (which == 0) {
-            // literal map: identity over nb*64 values, nb <= capacity
+            // literal map: nb*64 entries, nb <= capacity; VALUES must
+            // stay inside the nb*64 model rows (engine semantics allow
+            // any u8, but rows beyond the layout go to python)
             if (idx % 64 != 0 || idx > limit) { c.err = true; return; }
             if (idx == 0 && c.use_cm) { c.err = true; return; }
             if (idx != 0 && !c.use_cm) { c.err = true; return; }
             c.nb = idx ? idx / 64 : 1;
             c.nctx_hi = 64 * c.nb;
+            for (int32_t i = 0; i < idx; ++i)
+                if (c.lcm_tab[i] >= 64 * c.nb) { c.err = true; return; }
         } else {
             if (idx != 0 && idx != limit) { c.err = true; return; }
         }
@@ -1350,7 +1367,10 @@ int32_t dtpu_decode_metablock(
 //   ops[i] = {0, lit_len, 0} | {1, distance, copy_len} | {2, pool_off, len}
 // with transformed dict-word bytes appended to pool_out.
 // info_out[16]: [0]=lit_total, [1]=combine(mixing on), [2]=pm_count,
-// [3..10]=adapt speeds (inc,lim)x4, [11]=pool_len.
+// [3..10]=adapt speeds (inc,lim)x4, [11]=pool_len, [12]=nb (literal
+// block types).  lcm_out[256] (may be null): the decoded literal
+// context map (identity unless the PM carried a clustered/foreign map)
+// — the device literal kernel consumes it per frame.
 // Returns n_ops >= 0, or -1 (corrupt / out of profile -> caller falls back).
 int32_t dtpu_decode_cmd_structure(
         const uint8_t* cmd_bytes, int32_t cmd_n,
@@ -1362,7 +1382,7 @@ int32_t dtpu_decode_cmd_structure(
         const int32_t* dict_tr_meta, int32_t dict_ntr,
         int32_t* ops_out, int32_t ops_cap,
         uint8_t* pool_out, int32_t pool_cap,
-        int32_t* info_out) {
+        int32_t* info_out, uint8_t* lcm_out) {
     DictRef dict;
     dict.data = dict_data;
     dict.data_size = dict_size;
@@ -1405,7 +1425,10 @@ int32_t dtpu_decode_cmd_structure(
         info_out[4 + 2 * i] = c.adapt[i][1];
     }
     info_out[11] = c.pool_len;
-    for (int i = 12; i < 16; ++i) info_out[i] = 0;
+    info_out[12] = c.nb;
+    for (int i = 13; i < 16; ++i) info_out[i] = 0;
+    if (lcm_out)
+        memcpy(lcm_out, c.lcm_tab, 256);
     return c.n_ops;
 }
 

@@ -45,8 +45,10 @@ def test_clustered_map_roundtrip_all_engines():
 
 
 def test_clustered_map_deferred_device_pipeline():
-    # deferred container with clustered maps: decompress_frames' host
-    # lane must handle every frame (never abstain on a valid container)
+    # deferred container with clustered maps: the native cmd pass
+    # decodes the map (codec_core lcm_tab) and the frame rides the
+    # DEVICE kernel path (the per-frame lcmap input covers any
+    # 64-entry map); bytes equal end to end
     data = ALICE[:50000]
     opts = DivansOptions(quality=10, cmap_clustering=8,
                         metablock_size=1 << 15, chunk_nibbles=256)
@@ -57,6 +59,11 @@ def test_clustered_map_deferred_device_pipeline():
     from divans_tpu.codec.deferred import flags_to_chunk
     _w, _mb, frames, _crc, flags = fmt.deserialize(blob)
     layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+    if native.load() is not None:
+        sc = native.decode_cmd_structure(frames[0].cmd, frames[0].raw_len,
+                                         layout, flags_to_chunk(flags))
+        assert sc is not None and sc.supported
+        assert sc.lcmap != list(range(64)), "map not decoded"
     raw = pd.decompress_frames(frames, flags_to_chunk(flags), layout,
                                DivansOptions(), interpret=True)
     assert raw == data
