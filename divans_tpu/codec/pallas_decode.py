@@ -372,11 +372,13 @@ def _renorm_bound_q(spd_all, s_bytes: int) -> int | None:
 
 @functools.partial(jax.jit, static_argnames=("r_lit", "chunk", "n_steps",
                                              "offs", "interpret",
-                                             "n_renorm", "_ablate"))
+                                             "n_renorm", "return_carry",
+                                             "_ablate"))
 def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
                        lcmap_all, spd_all, luts, perm,
                        r_lit, chunk, n_steps, offs, interpret,
                        n_renorm: int | None = None,
+                       carry_in=None, return_carry: bool = False,
                        _ablate: str = ""):
     """lax.scan over lit chunks with PERSISTENT WORKER LANES: each of the
     128 lanes decodes a queue of whole literal streams back-to-back, so
@@ -690,8 +692,16 @@ def _decode_lit_scan_q(words, counts, state0, n_lit_all, woff_all,
               woff_all[0] * 2, jnp.zeros((b,), jnp.int32),
               jnp.zeros((b,), jnp.int32), n_lit_all[0],
               jnp.zeros((b,), jnp.int32), lcmap_all[0], spd_all[0])
+    if carry_in is not None:
+        # resumable segment: continue a previous segment's full state
+        # (model, weights, pend, ANS state, cursor, queue position) —
+        # the stream tables may have GROWN (rows append-only, so fidx
+        # keeps indexing the same entries)
+        carry0 = carry_in
     carry, ys = jax.lax.scan(step, carry0, None, length=n_steps)
     out = jnp.swapaxes(ys, 0, 1).reshape(b, n_steps * s_bytes)
+    if return_carry:
+        return out, carry
     return out, carry[4]
 
 
@@ -952,6 +962,289 @@ def _execute(script, lit_bytes, out: np.ndarray | None = None):
     return None
 
 
+@functools.partial(jax.jit, static_argnames=("b", "r_lit"))
+def _resume_init_carry(b: int, r_lit: int):
+    """Empty-queue initial carry for the resumable scan: every lane
+    idle (fidx=-1, n_rem=0) so its first assigned stream loads through
+    the in-scan switch logic — byte-identical to the preloaded start
+    (the switch resets to exactly the init values)."""
+    from ..probability import cdf16
+    committed0 = jnp.broadcast_to(
+        jnp.asarray(np.asarray(cdf16.CDF_INIT, np.int32))[None, :, None],
+        (b, 16, r_lit))
+    weights0 = jnp.concatenate([
+        jnp.ones((b, 2, 2), jnp.int32),
+        jnp.full((b, 2, 1), 1 << 14, jnp.int32)], axis=2)
+    pend0 = {
+        "add": jnp.zeros((b, 16, r_lit), jnp.int32),
+        "limsum": jnp.zeros((b, r_lit), jnp.int32),
+        "cnt": jnp.zeros((b, r_lit), jnp.int32),
+        "wadj": jnp.zeros((b, 2, 2), jnp.int32),
+    }
+    z = jnp.zeros((b,), jnp.int32)
+    return (committed0, weights0, pend0, z, z, z, z, z,
+            jnp.full((b,), -1, jnp.int32),
+            jnp.zeros((16, b), jnp.int32), jnp.zeros((b, 6), jnp.int32))
+
+
+class ResumableLaneDecoder:
+    """Persistent queue-lane decode across scan SEGMENTS (round-5
+    decode lever): the full scan carry (model, mixer, pend, ANS state,
+    cursor, queue position) round-trips on device between jit calls, so
+    a 32 KiB sub-stream can SPAN segments — lanes never wait for the
+    longest sub and new streams append between segments (the per-group
+    pipeline's n_steps was floored at SUB_LIT/s_bytes = 256 by any full
+    sub; see PERF_NOTES round 5).
+
+    Queue consumption is deterministic (one chunk per active lane per
+    step; a lane switches to its next assigned stream when the current
+    one is exhausted), so the host SIMULATES the schedule exactly and
+    knows which output rows of which segment hold every stream's
+    chunks — no device feedback needed for placement."""
+
+    def __init__(self, chunk: int, layout, lanes: int = LANES,
+                 interpret: bool = False):
+        self.chunk = chunk
+        self.s_bytes = chunk // 2
+        self.lanes = lanes
+        self.interpret = interpret
+        perm, offs = kernel_perm(layout)
+        self.perm = jnp.asarray(perm)
+        self.offs = offs
+        lit_base = layout.segments["lit_hi"][0]
+        self.r_lit = layout.num_rows - lit_base + 1
+        # per-lane queues
+        self.rows: list[list] = [[] for _ in range(lanes)]
+        # each row: (state0, n_lit, woff_words, lcmap_col(np[16]), spd6)
+        self.lane_words: list[list[np.ndarray]] = [[] for _ in range(lanes)]
+        self.lane_wlen = [0] * lanes
+        self.backlog = [0] * lanes          # unconsumed chunks per lane
+        # host twin of the in-scan queue logic
+        self.sim_fidx = [-1] * lanes
+        self.sim_rem = [0] * lanes
+        self.gstep = 0
+        # (lane, row) -> global step its first chunk decodes at
+        self.start_step: dict = {}
+        self.carry = None
+        import heapq
+        self._heap = [(0, l) for l in range(lanes)]
+        self._heapq = heapq
+
+    def add_stream(self, payload: bytes, n_lit: int, lcmap, speeds):
+        """Assign a stream to the least-backlogged lane (LPT greedy);
+        returns its (lane, row) key — the id used in segment()
+        placements — or None for empty streams."""
+        chunks = -(-n_lit // self.s_bytes) if n_lit else 0
+        if chunks == 0:
+            return None
+        load, l = self._heapq.heappop(self._heap)
+        w = _stream_words(payload)
+        state0 = int.from_bytes(payload[:4], "little") if len(payload) >= 4 \
+            else 0
+        sp = speeds
+        key = (l, len(self.rows[l]))
+        self.rows[l].append((state0, n_lit, self.lane_wlen[l],
+                             pack6(np.asarray(lcmap, np.int32)[:64]),
+                             [sp[0].inc, sp[0].lim, sp[2].inc, sp[2].lim,
+                              sp[3].inc, sp[3].lim]))
+        self.lane_words[l].append(w)
+        self.lane_wlen[l] += w.shape[0]
+        self.backlog[l] += chunks
+        self._heapq.heappush(self._heap, (load + chunks, l))
+        return key
+
+    def pending_chunks(self) -> int:
+        return sum(self.backlog)
+
+    def max_backlog(self) -> int:
+        return max(self.backlog) if self.backlog else 0
+
+    def _arrays(self):
+        """Current full tables, pow2/grid-padded for compile reuse."""
+        lanes = self.lanes
+        f_max = max(1, max(len(r) for r in self.rows))
+        f_max = 1 << (f_max - 1).bit_length()
+        state0 = np.zeros((f_max, lanes), np.int32)
+        n_lit_all = np.zeros((f_max, lanes), np.int32)
+        woff_all = np.zeros((f_max, lanes), np.int32)
+        lcmap_all = np.zeros((f_max, 16, lanes), np.int32)
+        spd_all = np.zeros((f_max, lanes, 6), np.int32)
+        counts = np.zeros(lanes, np.int32)
+        for l, rws in enumerate(self.rows):
+            counts[l] = len(rws)
+            for k, (st, nl, wo, lc, sp) in enumerate(rws):
+                state0[k, l] = st
+                n_lit_all[k, l] = nl
+                woff_all[k, l] = wo
+                lcmap_all[k, :, l] = lc
+                spd_all[k, l] = sp
+        w_len = max(2, max(self.lane_wlen))
+        w_len = -(-w_len // 2048) * 2048
+        words = np.zeros((lanes, w_len), np.int32)
+        for l in range(lanes):
+            pos = 0
+            for w in self.lane_words[l]:
+                words[l, pos:pos + w.shape[0]] = w
+                pos += w.shape[0]
+        from .. import constants
+        lut0 = np.asarray(constants.literal_lut0(
+            constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+        lut1 = np.asarray(constants.literal_lut1(
+            constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+        luts = np.repeat(pack6(np.concatenate([lut0, lut1]))[:, None],
+                         lanes, axis=1)
+        return (words, counts, state0, n_lit_all, woff_all, lcmap_all,
+                spd_all, luts)
+
+    def segment(self, n_steps: int):
+        """Issue one scan segment (async device array [lanes,
+        n_steps*s_bytes] u8) and advance the host schedule twin.
+        Returns (dev_out, placements) where placements[sid] = list of
+        (chunk_index_in_stream, step_offset_in_this_segment) for chunks
+        decoded in THIS segment."""
+        arrays = self._arrays()
+        argsj = [jnp.asarray(a) for a in arrays] + [self.perm]
+        nr = _renorm_bound_q(arrays[6], self.s_bytes)
+        if self.carry is None:
+            self.carry = _resume_init_carry(self.lanes, self.r_lit)
+        out, self.carry = _decode_lit_scan_q(
+            *argsj, self.r_lit, self.chunk, n_steps, self.offs,
+            self.interpret, n_renorm=nr, carry_in=self.carry,
+            return_carry=True)
+        # host twin: replay the switch logic for n_steps.  A lane works
+        # one stream on CONSECUTIVE steps until exhausted, so each
+        # (stream, segment) contribution is one contiguous RUN
+        # (first_chunk, first_step, n) — finish copies one slice per run
+        placements: dict = {}
+        for l in range(self.lanes):
+            rws = self.rows[l]
+            fidx, rem = self.sim_fidx[l], self.sim_rem[l]
+            t = 0
+            while t < n_steps:
+                if rem <= 0:
+                    if fidx + 1 < len(rws):
+                        fidx += 1
+                        rem = rws[fidx][1]
+                        self.start_step[(l, fidx)] = self.gstep + t
+                    else:
+                        break               # idle through segment end
+                n_here = min(n_steps - t, -(-rem // self.s_bytes))
+                sid = (l, fidx)
+                ci = (self.gstep + t) - self.start_step[sid]
+                placements.setdefault(sid, []).append((ci, t, n_here))
+                self.backlog[l] -= n_here
+                rem -= n_here * self.s_bytes
+                t += n_here
+            self.sim_fidx[l], self.sim_rem[l] = fidx, rem
+        self.gstep += n_steps
+        return _cast_u8(out), placements
+
+
+
+def _quant_steps(n: int, lo: int = 32, hi: int = 256) -> int:
+    """Quantize a segment length to the quarter-pow2 grid (Mosaic
+    compiles are per-shape-cached)."""
+    n = max(lo, min(hi, n))
+    p = 1 << (n - 1).bit_length()
+    for m in (5, 6, 7):
+        if (p >> 3) * m >= n:
+            return (p >> 3) * m
+    return p
+
+
+def _decompress_frames_resumable(frames, chunk, layout, options,
+                                 interpret, one, n_workers, lanes):
+    """Resumable-segment decode pipeline (DIVANS_DEC_RESUME=1): one
+    persistent ResumableLaneDecoder spans the whole container, so
+    sub-streams cross segment boundaries and lanes never stall on the
+    longest sub (the per-group pipeline's utilization floor)."""
+    import os
+    import threading
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+    from .deferred import SUB_LIT, lit_subs_split
+
+    s_bytes = chunk // 2
+    offsets = np.zeros(len(frames) + 1, np.int64)
+    np.cumsum([f.raw_len for f in frames], out=offsets[1:])
+    out_buf = np.empty(int(offsets[-1]), np.uint8)
+
+    dec = ResumableLaneDecoder(chunk, layout, lanes=lanes,
+                               interpret=interpret)
+    SEG_NEED = lanes * int(os.environ.get("DIVANS_DEC_SEG_CHUNKS", "64"))
+
+    stream_buf: dict = {}     # key -> np buffer
+    stream_left: dict = {}    # key -> chunks outstanding
+    stream_frame: dict = {}   # key -> frame idx
+    frame_left: dict = {}     # frame idx -> outstanding stream count
+    scripts: dict = {}
+    lock = threading.Lock()
+
+    def finish_seg(seg):
+        dev, placements = seg
+        arr = np.asarray(dev)
+        done_frames = []
+        for key, runs in placements.items():
+            buf = stream_buf[key]
+            l = key[0]
+            for (ci, t, n_here) in runs:
+                lo = ci * s_bytes
+                hi = min(lo + n_here * s_bytes, buf.shape[0])
+                buf[lo:hi] = arr[l, t * s_bytes:t * s_bytes + (hi - lo)]
+            with lock:
+                stream_left[key] -= sum(r[2] for r in runs)
+                if stream_left[key] <= 0:
+                    i = stream_frame[key]
+                    frame_left[i] -= 1
+                    if frame_left[i] == 0:
+                        done_frames.append(i)
+        for i in done_frames:
+            sc = scripts[i]
+            subs = [stream_buf[k] for k in frame_keys[i]]
+            lb = np.concatenate(subs) if subs else np.zeros(0, np.uint8)
+            _execute(sc, lb, out=out_buf[offsets[i]:offsets[i + 1]])
+
+    frame_keys: dict = {}
+    seg_futs = []
+    with ThreadPoolExecutor(n_workers) as ex, \
+            ThreadPoolExecutor(2) as finisher:
+        futs = {ex.submit(one, frames[i]): i for i in range(len(frames))}
+        for fut in as_completed(futs):
+            kind, val = fut.result()
+            i = futs[fut]
+            if kind == "host":
+                out_buf[offsets[i]:offsets[i + 1]] = \
+                    np.frombuffer(val, np.uint8)
+                continue
+            sc = val
+            scripts[i] = sc
+            keys = []
+            for j, payload in enumerate(lit_subs_split(frames[i].lit)):
+                nl = (min(SUB_LIT, sc.lit_total - j * SUB_LIT)
+                      if sc.lit_total else 0)
+                key = dec.add_stream(payload, nl, sc.lcmap, sc.speeds)
+                if key is not None:
+                    keys.append(key)
+                    stream_buf[key] = np.empty(nl, np.uint8)
+                    stream_left[key] = -(-nl // s_bytes)
+                    stream_frame[key] = i
+            frame_keys[i] = keys
+            if not keys:
+                _execute(sc, b"", out=out_buf[offsets[i]:offsets[i + 1]])
+                continue
+            frame_left[i] = len(keys)
+            while dec.pending_chunks() >= SEG_NEED:
+                S = _quant_steps(-(-dec.pending_chunks() // lanes))
+                seg_futs.append(finisher.submit(finish_seg,
+                                                dec.segment(S)))
+        # drain: lanes may hold imbalanced tails
+        while dec.pending_chunks() > 0:
+            S = _quant_steps(dec.max_backlog())
+            seg_futs.append(finisher.submit(finish_seg, dec.segment(S)))
+    for fut in seg_futs:
+        fut.result()
+    return out_buf.tobytes()
+
+
 def decompress_frames(frames, chunk: int, layout, options,
                       interpret: bool | None = None) -> bytes | None:
     """Full 2-stage deferred decode of a frame list.
@@ -1051,6 +1344,17 @@ def decompress_frames(frames, chunk: int, layout, options,
     n_finish = int(os.environ.get("DIVANS_DEC_FINISHERS", "2"))
     from concurrent.futures import as_completed
     from .deferred import SUB_LIT, lit_subs_split
+
+    # resumable-segment pipeline (round-5 experiment, PERF_NOTES):
+    # sub-streams span scan segments, so lanes never stall on the
+    # longest sub; opt-in while the grouped pipeline remains the
+    # measured default
+    if os.environ.get("DIVANS_DEC_RESUME") == "1" and kernel_profile:
+        interp = interpret if interpret is not None \
+            else jax.default_backend() != "tpu"
+        return _decompress_frames_resumable(
+            frames, chunk, layout, options, interp, one, n_workers,
+            QPL * LANES)
 
     def issue_group(ready):
         """ready: list of (frame_idx, script).  Each lit sub-stream is

@@ -240,3 +240,33 @@ class TestNativeStructure:
         lits = pallas_decode.decode_literals_np(
             lb, sc.lit_total, sc.lcmap, sc.speeds, 256)
         assert native.execute_script(nsc, lits) == data
+
+
+def test_resumable_segment_pipeline_bytes_equal(monkeypatch):
+    """DIVANS_DEC_RESUME=1: the resumable-segment pipeline (scan carry
+    round-trips between jit calls; sub-streams span segments) must be
+    byte-equal to the grouped pipeline (round-5 experiment)."""
+    from divans_tpu import native
+    from divans_tpu.container import format as fmt
+    from divans_tpu.codec import pallas_decode as pd
+    from divans_tpu.codec.layout import ModelLayout, PROFILES
+    from divans_tpu.codec.deferred import flags_to_chunk
+    from divans_tpu.options import DivansOptions
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    td = "/root/reference/testdata/"
+    data = (open(td + "alice29", "rb").read()
+            + open(td + "random_then_unicode", "rb").read())[:180000]
+    blob = native.compress(data, DivansOptions(metablock_size=1 << 15,
+                                               chunk_nibbles=256))
+    _w, _mb, frames, _crc, flags = fmt.deserialize(blob)
+    layout = ModelLayout(PROFILES["cm"], lo_bucketed=True)
+    monkeypatch.setenv("DIVANS_DEC_RESUME", "1")
+    monkeypatch.setenv("DIVANS_DEC_SEG_CHUNKS", "8")  # force many segments
+    raw = pd.decompress_frames(frames, flags_to_chunk(flags), layout,
+                               DivansOptions(), interpret=True)
+    assert raw == data
+    monkeypatch.setenv("DIVANS_DEC_QPL", "2")
+    raw = pd.decompress_frames(frames, flags_to_chunk(flags), layout,
+                               DivansOptions(), interpret=True)
+    assert raw == data
