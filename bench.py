@@ -267,6 +267,8 @@ def main():
         live_record("device_encode_stage_rate", enc_mbps)
     except Exception as e:  # tunnel flake: report what we have
         print(f"bench aborted in stage-rate: {e!r}", file=sys.stderr)
+        if not on_chip:
+            results = [(m + "_cpu", v) for (m, v) in results]
         _report_cached_or_fail(results)
 
     # ---- device decode: END-TO-END (container in -> raw bytes out, all
@@ -317,6 +319,8 @@ def main():
                 live_record("device_decode_e2e_throughput", dec_mbps)
         except Exception as e:  # tunnel flake: report what we have
             print(f"bench aborted mid-run: {e!r}", file=sys.stderr)
+            if not on_chip:
+                results = [(m + "_cpu", v) for (m, v) in results]
             _report_cached_or_fail(results)
 
     # report everything: live metrics (already persisted), cached

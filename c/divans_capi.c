@@ -83,10 +83,12 @@ static PyObject* capi_call(const char* fn, PyObject* args) {
 }
 
 /* Last structured error code (divans_tpu.errors.ErrCode) captured from
- * the Python exception that produced the most recent DIVANS_FAILURE —
- * the FFI surface of the reference's ErrMsg taxonomy
- * (/root/reference/src/interface.rs:28-64).  0 = none; 1 = generic. */
-static int32_t g_last_err_code = 0;
+ * the Python exception that produced the most recent DIVANS_FAILURE on
+ * THIS THREAD — thread-local so concurrent compressors/decompressors
+ * never report each other's failures.  The FFI surface of the
+ * reference's ErrMsg taxonomy (/root/reference/src/interface.rs:28-64).
+ * 0 = none; 1 = generic. */
+static _Thread_local int32_t g_last_err_code = 0;
 
 int32_t divans_last_error_code(void) { return g_last_err_code; }
 

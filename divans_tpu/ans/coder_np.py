@@ -104,7 +104,11 @@ class ANSDecoder:
             self.pos = 0
 
     def extend(self, more: bytes) -> None:
-        self.data = self.data + more
+        # amortized append: a bytes + bytes rebuild here is quadratic
+        # over a streamed metablock's ~1000 chunk feeds
+        if not isinstance(self.data, bytearray):
+            self.data = bytearray(self.data)
+        self.data += more
         if self.pos == 0 and len(self.data) >= 4:
             self.state = int.from_bytes(self.data[:4], "little")
             self.pos = 4

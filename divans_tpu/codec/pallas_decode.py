@@ -1033,8 +1033,11 @@ class ResumableLaneDecoder:
     def add_stream(self, payload: bytes, n_lit: int, lcmap, speeds):
         """Assign a stream to the least-backlogged lane (LPT greedy);
         returns its (lane, row) key — the id used in segment()
-        placements — or None for empty streams."""
-        chunks = -(-n_lit // self.s_bytes) if n_lit else 0
+        placements — or None for empty streams.  n_lit <= 0 (a corrupt
+        container can declare more sub-streams than its lit_total
+        covers) adds nothing: the frame then decodes short and fails
+        the script's length check as a typed error."""
+        chunks = -(-n_lit // self.s_bytes) if n_lit > 0 else 0
         if chunks == 0:
             return None
         load, l = self._heapq.heappop(self._heap)
@@ -1219,7 +1222,7 @@ def _decompress_frames_resumable(frames, chunk, layout, options,
             scripts[i] = sc
             keys = []
             for j, payload in enumerate(lit_subs_split(frames[i].lit)):
-                nl = (min(SUB_LIT, sc.lit_total - j * SUB_LIT)
+                nl = (max(0, min(SUB_LIT, sc.lit_total - j * SUB_LIT))
                       if sc.lit_total else 0)
                 key = dec.add_stream(payload, nl, sc.lcmap, sc.speeds)
                 if key is not None:
@@ -1366,7 +1369,7 @@ def decompress_frames(frames, chunk: int, layout, options,
             spans.append((len(streams), len(subs_i)))
             for j, payload in enumerate(subs_i):
                 streams.append(payload)
-                n_lits.append(min(SUB_LIT, s.lit_total - j * SUB_LIT)
+                n_lits.append(max(0, min(SUB_LIT, s.lit_total - j * SUB_LIT))
                               if s.lit_total else 0)
                 lcmaps.append(s.lcmap)
                 spds.append(s.speeds)

@@ -251,7 +251,12 @@ class DecompressorReader(io.RawIOBase):
                         cl, p = fmt.read_varint(data, p)
                         ll, p = fmt.read_varint(data, p)
                         table.append((rd, cl, ll))
-                except fmt.CorruptContainer:
+                except fmt.CorruptContainer as e:
+                    # only a short varint means "need more bytes"; a
+                    # failed plausibility check is real corruption and
+                    # must not be retried as truncation
+                    if e.code != errors.ErrCode.TRUNCATED_VARINT:
+                        raise
                     if not self._fill():
                         return self._dry("truncated streamed header")
                     continue

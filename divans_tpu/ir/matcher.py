@@ -57,8 +57,6 @@ def _dict_index() -> dict:
         return _DICT_INDEX
     import os as _os
 
-    import numpy as np
-
     from .. import dictionary
     d = dictionary.load()
     by_out: dict[bytes, tuple[int, int, int]] = {}
@@ -326,22 +324,6 @@ def find_matches_optimal(data: bytes, quality: int, as_array: bool = False):
     # experimentation via research scripts.
 
 
-_DICT_PREFIX4 = None
-
-
-def _dict_prefix4():
-    """Sorted uint32 array of the bucket keys (big-endian 4-byte output
-    prefixes) — a vectorized prefilter so per-position dict probing only
-    pays the Python bucket scan at positions that can possibly hit."""
-    global _DICT_PREFIX4
-    if _DICT_PREFIX4 is None:
-        import numpy as np
-        keys = _dict_index().keys()
-        _DICT_PREFIX4 = (np.sort(np.array(list(keys), np.uint32))
-                         if keys else np.zeros(0, np.uint32))
-    return _DICT_PREFIX4
-
-
 def _dict_candidate_arrays(data):
     """Per-position static-dictionary edge (final length + estimated cost
     in 1/16 bits) for the DP; 0 length = no candidate."""
@@ -351,10 +333,12 @@ def _dict_candidate_arrays(data):
 
     n = len(data)
     dlen, ent_idx = _dict_scan_cached(data)
+    ew = _dict_flat_index()[5]
+    if ew.shape[0] == 0:      # no dictionary asset: no candidates
+        return np.zeros(n, np.int32), np.zeros(n, np.int32)
     # cmd nibble + size/transform overhead + word-id mantissa at ~0.63
     # bits/bit: swept against the corpus — the adaptive dict priors make
     # word ids far cheaper than their raw bit count
-    ew = _dict_flat_index()[5]
     bits = np.asarray(dictionary.DICT_BITS, np.int32)
     wlen = np.where(ent_idx >= 0, ew[np.maximum(ent_idx, 0)], 4)
     dcost = np.where(dlen > 0, 80 + 10 * bits[wlen], 0).astype(np.int32)
