@@ -1015,10 +1015,17 @@ class ResumableLaneDecoder:
         self.r_lit = layout.num_rows - lit_base + 1
         # per-lane queues
         self.rows: list[list] = [[] for _ in range(lanes)]
-        # each row: (state0, n_lit, woff_words, lcmap_col(np[16]), spd6)
-        self.lane_words: list[list[np.ndarray]] = [[] for _ in range(lanes)]
-        self.lane_wlen = [0] * lanes
+        # each row: [state0, n_lit, woff_words|None, lcmap_col(np[16]),
+        # spd6] — woff assigned when the stream's words upload (delta
+        # packing); streams need not be contiguous per lane, only
+        # within themselves
         self.backlog = [0] * lanes          # unconsumed chunks per lane
+        # device-resident append-only words buffer: each segment uploads
+        # only the NEW streams' words (the full per-segment re-upload
+        # was the resumable pipeline's measured overhead)
+        self.words_dev = None
+        self.W_dev = 0
+        self.pending_words: list = []       # (lane, row_idx, np words)
         # host twin of the in-scan queue logic
         self.sim_fidx = [-1] * lanes
         self.sim_rem = [0] * lanes
@@ -1026,6 +1033,13 @@ class ResumableLaneDecoder:
         # (lane, row) -> global step its first chunk decodes at
         self.start_step: dict = {}
         self.carry = None
+        from .. import constants
+        lut0 = np.asarray(constants.literal_lut0(
+            constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+        lut1 = np.asarray(constants.literal_lut1(
+            constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
+        self.luts_dev = jnp.asarray(np.repeat(
+            pack6(np.concatenate([lut0, lut1]))[:, None], lanes, axis=1))
         import heapq
         self._heap = [(0, l) for l in range(lanes)]
         self._heapq = heapq
@@ -1046,12 +1060,11 @@ class ResumableLaneDecoder:
             else 0
         sp = speeds
         key = (l, len(self.rows[l]))
-        self.rows[l].append((state0, n_lit, self.lane_wlen[l],
+        self.rows[l].append([state0, n_lit, None,
                              pack6(np.asarray(lcmap, np.int32)[:64]),
                              [sp[0].inc, sp[0].lim, sp[2].inc, sp[2].lim,
-                              sp[3].inc, sp[3].lim]))
-        self.lane_words[l].append(w)
-        self.lane_wlen[l] += w.shape[0]
+                              sp[3].inc, sp[3].lim]])
+        self.pending_words.append((l, key[1], w))
         self.backlog[l] += chunks
         self._heapq.heappush(self._heap, (load + chunks, l))
         return key
@@ -1062,8 +1075,34 @@ class ResumableLaneDecoder:
     def max_backlog(self) -> int:
         return max(self.backlog) if self.backlog else 0
 
+    def _upload_delta(self):
+        """Append pending streams' words to the device buffer and assign
+        their woffs.  Streams are contiguous within themselves; gaps
+        between a lane's streams are fine (each row carries its own
+        start offset)."""
+        if not self.pending_words:
+            return
+        per_lane: dict = {}
+        for (l, ri, w) in self.pending_words:
+            per_lane.setdefault(l, []).append((ri, w))
+        delta_w = max(sum(w.shape[0] for _ri, w in v)
+                      for v in per_lane.values())
+        delta_w = -(-max(delta_w, 2) // 2048) * 2048
+        delta = np.zeros((self.lanes, delta_w), np.int32)
+        for l, v in per_lane.items():
+            pos = 0
+            for (ri, w) in v:
+                self.rows[l][ri][2] = self.W_dev + pos
+                delta[l, pos:pos + w.shape[0]] = w
+                pos += w.shape[0]
+        dd = jnp.asarray(delta)
+        self.words_dev = dd if self.words_dev is None \
+            else jnp.concatenate([self.words_dev, dd], axis=1)
+        self.W_dev += delta_w
+        self.pending_words = []
+
     def _arrays(self):
-        """Current full tables, pow2/grid-padded for compile reuse."""
+        """Current full tables (KBs), pow2-padded for compile reuse."""
         lanes = self.lanes
         f_max = max(1, max(len(r) for r in self.rows))
         f_max = 1 << (f_max - 1).bit_length()
@@ -1081,23 +1120,7 @@ class ResumableLaneDecoder:
                 woff_all[k, l] = wo
                 lcmap_all[k, :, l] = lc
                 spd_all[k, l] = sp
-        w_len = max(2, max(self.lane_wlen))
-        w_len = -(-w_len // 2048) * 2048
-        words = np.zeros((lanes, w_len), np.int32)
-        for l in range(lanes):
-            pos = 0
-            for w in self.lane_words[l]:
-                words[l, pos:pos + w.shape[0]] = w
-                pos += w.shape[0]
-        from .. import constants
-        lut0 = np.asarray(constants.literal_lut0(
-            constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
-        lut1 = np.asarray(constants.literal_lut1(
-            constants.LITERAL_PREDICTION_MODE_UTF8), np.int32)
-        luts = np.repeat(pack6(np.concatenate([lut0, lut1]))[:, None],
-                         lanes, axis=1)
-        return (words, counts, state0, n_lit_all, woff_all, lcmap_all,
-                spd_all, luts)
+        return (counts, state0, n_lit_all, woff_all, lcmap_all, spd_all)
 
     def segment(self, n_steps: int):
         """Issue one scan segment (async device array [lanes,
@@ -1105,13 +1128,18 @@ class ResumableLaneDecoder:
         Returns (dev_out, placements) where placements[sid] = list of
         (chunk_index_in_stream, step_offset_in_this_segment) for chunks
         decoded in THIS segment."""
-        arrays = self._arrays()
-        argsj = [jnp.asarray(a) for a in arrays] + [self.perm]
-        nr = _renorm_bound_q(arrays[6], self.s_bytes)
+        self._upload_delta()
+        counts, state0, n_lit_all, woff_all, lcmap_all, spd_all = \
+            self._arrays()
+        nr = _renorm_bound_q(spd_all, self.s_bytes)
         if self.carry is None:
             self.carry = _resume_init_carry(self.lanes, self.r_lit)
         out, self.carry = _decode_lit_scan_q(
-            *argsj, self.r_lit, self.chunk, n_steps, self.offs,
+            self.words_dev, jnp.asarray(counts), jnp.asarray(state0),
+            jnp.asarray(n_lit_all), jnp.asarray(woff_all),
+            jnp.asarray(lcmap_all), jnp.asarray(spd_all),
+            self.luts_dev, self.perm,
+            self.r_lit, self.chunk, n_steps, self.offs,
             self.interpret, n_renorm=nr, carry_in=self.carry,
             return_carry=True)
         # host twin: replay the switch logic for n_steps.  A lane works
