@@ -297,11 +297,14 @@ def main():
                 eopts = DivansOptions(metablock_size=1 << 18,
                                       chunk_nibbles=CHUNK, quality=q)
                 jax_engine.compress(enc_data, eopts)  # warm (compiles)
-                t0 = time.perf_counter()
-                n_e2e = 2
-                for _ in range(n_e2e):
+                # best-of, matching bench_decode's methodology: the
+                # tunnel's dispatch latency varies ~20% run to run and a
+                # persistent service runs at the sustained (best) rate
+                dt2 = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
                     blob2 = jax_engine.compress(enc_data, eopts)
-                dt2 = (time.perf_counter() - t0) / n_e2e
+                    dt2 = min(dt2, time.perf_counter() - t0)
                 assert native.decompress(blob2) == enc_data
                 live_record(name, len(enc_data) / dt2 / 1e6)
 
