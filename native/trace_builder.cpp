@@ -117,19 +117,40 @@ int32_t dtpu_match(const uint8_t* data, int32_t n, int32_t quality,
     chains.assign(1 << 15, {});
     int32_t count = 0;
 
+    auto ext_len = [&](const uint8_t* a, const uint8_t* b,
+                       int32_t maxl) -> int32_t {
+        // 8-byte XOR compares (identical result to the byte loop; the
+        // match-extension dominates the chain walk)
+        int32_t l = 0;
+        while (l + 8 <= maxl) {
+            uint64_t xa, xb;
+            memcpy(&xa, a + l, 8);
+            memcpy(&xb, b + l, 8);
+            uint64_t x = xa ^ xb;
+            if (x) return l + (__builtin_ctzll(x) >> 3);
+            l += 8;
+        }
+        while (l < maxl && a[l] == b[l]) ++l;
+        return l;
+    };
     auto best_at = [&](int32_t i, int32_t* bl, int32_t* bd) {
         *bl = 0; *bd = 0;
         if (i + MIN_MATCH > n) return;
         auto& cand = chains[hash4(data + i)];
         int32_t best_len = 0, best_dist = 0;
         int32_t lo = (int32_t)cand.size() > depth ? (int32_t)cand.size() - depth : 0;
+        int32_t maxl = n - i;
         for (int32_t k = (int32_t)cand.size() - 1; k >= lo; --k) {
             int32_t j = cand[k];
-            int32_t l = 0;
-            int32_t maxl = n - i;
-            const uint8_t* a = data + j;
-            const uint8_t* b = data + i;
-            while (l < maxl && a[l] == b[l]) ++l;
+            // cheap reject, exact: the chain walks nearest-first so
+            // distances only grow — a candidate can only win by
+            // EXTENDING past best_len, which requires a match at index
+            // best_len (the equal-length+nearer tie-break is dead after
+            // the first hit)
+            if (best_len > 0 && best_len < maxl
+                && data[j + best_len] != data[i + best_len])
+                continue;
+            int32_t l = ext_len(data + j, data + i, maxl);
             if (l > best_len || (l == best_len && i - j < best_dist)) {
                 best_len = l;
                 best_dist = i - j;
