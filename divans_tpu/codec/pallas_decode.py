@@ -1201,7 +1201,9 @@ def _decompress_frames_resumable(frames, chunk, layout, options,
 
     dec = ResumableLaneDecoder(chunk, layout, lanes=lanes,
                                interpret=interpret)
-    SEG_NEED = lanes * int(os.environ.get("DIVANS_DEC_SEG_CHUNKS", "64"))
+    SEG_STEPS = int(os.environ.get("DIVANS_DEC_SEG_STEPS", "192"))
+    SEG_NEED = lanes * int(os.environ.get("DIVANS_DEC_SEG_CHUNKS",
+                                          str(SEG_STEPS)))
 
     stream_buf: dict = {}     # key -> np buffer
     stream_left: dict = {}    # key -> chunks outstanding
@@ -1263,14 +1265,17 @@ def _decompress_frames_resumable(frames, chunk, layout, options,
                 _execute(sc, b"", out=out_buf[offsets[i]:offsets[i + 1]])
                 continue
             frame_left[i] = len(keys)
+            # FIXED segment length: the scan compiles per (S, F, W)
+            # shape, and arrival-order-dependent S values were
+            # recompiling inside timed runs (probe_r5_resume) — one S
+            # keeps the shape set tiny and stable
             while dec.pending_chunks() >= SEG_NEED:
-                S = _quant_steps(-(-dec.pending_chunks() // lanes))
                 seg_futs.append(finisher.submit(finish_seg,
-                                                dec.segment(S)))
+                                                dec.segment(SEG_STEPS)))
         # drain: lanes may hold imbalanced tails
         while dec.pending_chunks() > 0:
-            S = _quant_steps(dec.max_backlog())
-            seg_futs.append(finisher.submit(finish_seg, dec.segment(S)))
+            seg_futs.append(finisher.submit(finish_seg,
+                                            dec.segment(SEG_STEPS)))
     for fut in seg_futs:
         fut.result()
     return out_buf.tobytes()
